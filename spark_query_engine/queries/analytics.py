@@ -1,0 +1,290 @@
+"""Window functions, scalar functions, grouping sets — SURVEY.md §2.6 /
+§2.9 (ABSENT in the reference; the only scalar expressions there are
+column refs, literals, Eq, a stub And, and an unplanned Cast —
+src/logical_plan/mod.rs:244-625).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_query_engine.queries import load, query
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal, rn
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey
+                   ) AS rn
+            FROM customer
+        )
+        WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ROW_NUMBER — the canonical windowed pattern;
+    shuffles once on the partition key."""
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice,
+               RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk
+        FROM part
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wp = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    ws = W.partitionBy("p_brand").orderBy("p_size")
+    return load(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(wp).alias("rnk"),
+        F.dense_rank().over(ws).alias("drnk"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_spend
+        FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_upper,
+               LOWER(p_type) AS type_lower,
+               SUBSTR(p_name, 1, 8) AS name_prefix,
+               LENGTH(p_name) AS name_len,
+               CONCAT(p_brand, ':', p_type) AS brand_type,
+               REPLACE(p_type, ' ', '_') AS type_snake,
+               TRIM(p_name) AS name_trim
+        FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (SURVEY.md §2.9 ABSENT row)."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+               CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS order_day,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface. Session TZ is pinned UTC so values
+    agree with the oracle's naive timestamps."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_discount - 0.05) AS abs_disc,
+               ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+               CEIL(l_quantity / 7.0) AS ceil_qty,
+               FLOOR(l_quantity / 7.0) AS floor_qty,
+               CAST(l_linenumber % 3 AS INT) AS line_mod,
+               ROUND(LN(l_extendedprice), 6) AS ln_price,
+               POWER(2.0, CAST(l_linenumber AS DOUBLE)) AS pow2
+        FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface. ROUND guards the transcendentals
+    (sqrt/ln) against cross-engine libm last-bit differences."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("ceil_qty"),
+        F.floor(F.col("l_quantity") / 7.0).alias("floor_qty"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.pow(F.lit(2.0), F.col("l_linenumber").cast("double")).alias("pow2"),
+    )
+
+
+@query(
+    "scalar_case_when",
+    oracle="""
+        SELECT o_orderkey,
+               CASE
+                   WHEN o_totalprice < 50000.0 THEN 'small'
+                   WHEN o_totalprice < 150000.0 THEN 'medium'
+                   WHEN o_totalprice < 300000.0 THEN 'large'
+                   ELSE 'jumbo'
+               END AS price_band,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open
+        FROM orders
+    """,
+)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000.0, "small")
+        .when(F.col("o_totalprice") < 150000.0, "medium")
+        .when(F.col("o_totalprice") < 300000.0, "large")
+        .otherwise("jumbo")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate (SURVEY.md §2.5 ABSENT row). Spark expands
+    this to a two-phase aggregation automatically."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY.md §2.5 ABSENT row)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # approximate by design — rows-only check
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — the 100 TB-scale substitute for exact
+    COUNT(DISTINCT). No oracle: estimates are engine-specific."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        )
+    )

@@ -1,0 +1,249 @@
+"""Joins, sorts, set operations — SURVEY.md §2.4 / §2.7 / §2.8 (all
+ABSENT in the reference; the closed plan enum at
+src/logical_plan/mod.rs:12-18 has no join/sort/set nodes).
+
+Scale notes (100 TB design):
+- region/nation are tiny dimensions at every scale factor → always
+  broadcast (`F.broadcast`), so the fact-side scan never shuffles for
+  the dim join.
+- customer⋈orders⋈lineitem are key-partitioned shuffle joins; AQE
+  handles skew and coalesces post-shuffle partitions.
+- top-k = orderBy().limit(k) which Spark plans as
+  TakeOrderedAndProject — per-partition heap + single merge, never a
+  global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_query_engine.queries import load, query
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+        SELECT n.n_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim joins: both dims broadcast → zero shuffle on the
+    customer scan side until the final aggregation."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_shuffle_revenue",
+    oracle="""
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 20
+    """,
+)
+def join_shuffle_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: fact-fact shuffle join + agg + top-k. The
+    mktsegment filter pushes to the customer parquet scan; at cluster
+    scale AQE converts the filtered customer side to broadcast when it
+    fits."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               COUNT(o.o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spent
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join; COUNT over a nullable side + COALESCE."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
+        )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — customers with no urgent orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier
+        ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (range-partitioned exchange + per-partition
+    sort at scale)."""
+    return (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy(F.col("s_nationkey").asc(), F.col("s_acctbal").desc(), "s_suppkey")
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — SURVEY.md §2.8 ABSENT row."""
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000.0
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.subtract(b)
+
+
+@query(
+    "distinct_dedup_rows",
+    oracle="""
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def distinct_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — hash-partitioned dedup (map-side partial dedup first)."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()

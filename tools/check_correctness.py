@@ -1,0 +1,119 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB at a given scale dir, then compares row count, schema (column
+names), and an order-insensitive value comparison (columns sorted by
+name, rows sorted by all values). Prints one line per query.
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df):
+    """Column-name-sorted, row-sorted pandas frame with hashable cells."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        # make lists/arrays hashable + comparable
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v
+            )
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf, duck_pdf) -> tuple[bool, str]:
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return False, f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"rows: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            import pandas.testing as pt
+
+            pt.assert_series_equal(
+                av.astype(bv.dtype) if av.dtype != bv.dtype else av,
+                bv,
+                check_names=False,
+                check_exact=True,
+            )
+        except Exception as e:
+            return False, f"col {c}: {str(e).splitlines()[0] if str(e) else type(e).__name__}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from spark_query_engine import queries as registry
+    from spark_query_engine.session import get_session
+
+    spark = get_session("correctness_check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    n_pass = n_fail = n_skip = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            n_skip += 1
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        ok, msg = compare(spark_pdf, duck_pdf)
+        status = "PASS" if ok else "FAIL"
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status} {name}: {msg} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
