@@ -1,0 +1,354 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All hashing is md5-based so results are engine-portable (the DuckDB
+oracle computes the identical md5 strings); all expressions are
+built-in Spark SQL functions — shingling, minhashing and banding run
+inside whole-stage codegen, and every join is an equi-join on a
+hash-distributed key.
+
+Scale design (100 TB):
+- Candidate generation is LSH banding → equi-join on (band_idx,
+  band_key): documents only meet if they share a band, so the shuffle
+  volume is O(n · bands), not O(n²).
+- Verification (exact Jaccard) runs only on candidate pairs, via a
+  shingle equi-join semi-filtered to candidates.
+- Hot shingles (boilerplate) are the skew risk: ``max_shingle_df``
+  drops shingles shared by more than a fraction of the corpus — at
+  scale these carry no signal and create quadratic join fan-out.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- shingling -------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles, one row per (id, shingle).
+
+    Pure JVM expressions: split → sequence → transform → explode.
+    Documents with fewer than k words produce no shingles.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)]
+        ),
+    )
+    return (
+        df.where(n >= k)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
+    )
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles, one row per (id, shingle)."""
+    arr = F.expr(
+        f"transform(sequence(1, length({text_col}) - {n - 1}), i -> substring({text_col}, i, {n}))"
+    )
+    return (
+        df.where(F.length(text_col) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(arr)).alias("shingle"))
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with
+    the representative (min id) and duplicate count. A single
+    hash-partitioned aggregation — the cheapest dedup at any scale."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("id").alias("representative_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per id: hash_j(doc) = min over shingles of
+    md5(j ':' shingle). Lexicographic min over md5 hex strings is a
+    uniform min-wise hash and is byte-identical in any engine with
+    standard md5. One aggregation, num_hashes partial-agg columns."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature and equi-join on (band_idx, band_key) →
+    candidate pairs (id_a < id_b). For docs with Jaccard s, the miss
+    probability is (1 - s^(h/b))^b — with 16 hashes / 4 bands,
+    s=0.8 is missed with p≈0.028, s=0.95 with p≈3e-5. Tune bands up
+    for lower thresholds."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + j}") for j in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    shingles: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: intersection via a
+    shingle equi-join restricted to candidates, union via per-id
+    shingle counts. Returns (id_a, id_b, jaccard) with jaccard ≥
+    threshold, rounded to 6dp (integer-ratio division — engine-exact)."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    p = pairs.alias("p")
+    inter = (
+        p.join(sa, F.col("sa.id") == F.col("p.id_a"))
+        .join(
+            sb,
+            (F.col("sb.id") == F.col("p.id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("za.id") == F.col("id_a"))
+        .join(sizes.alias("zb"), F.col("zb.id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band
+    → candidate equi-join → exact-Jaccard verify."""
+    sh = word_shingles(df, id_col, text_col, shingle_k)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes, bands)
+    return verify_jaccard(sh, cand, threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over distinct whitespace tokens. Token hash =
+    first 8 hex chars of md5 (a 32-bit value — portable); simhash bit
+    b is the sign of the ±1 vote sum. One explode + one aggregation
+    with `bits` integer-sum columns (all codegen'd)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+) -> DataFrame:
+    """Hamming-distance near-dups with pigeonhole blocking: split the
+    simhash into ``blocks`` byte-bands; any pair within
+    ``max_distance < blocks`` Hamming must agree on ≥1 band, so the
+    band equi-join has exact recall (not probabilistic, unlike
+    MinHash-LSH). Returns (id_a, id_b, hamming)."""
+    assert max_distance < blocks, "pigeonhole recall needs max_distance < blocks"
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sim = simhash(df, id_col, text_col, bits)
+    banded = sim.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(mask)
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block_idx", "block_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard (exact, via shingle equi-join) ---------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard pairs ≥ threshold. The shingle
+    equi-join *is* the blocker: pairs sharing no n-gram never
+    materialize. ``max_shingle_df`` drops n-grams occurring in more
+    than that many docs (boilerplate → quadratic fan-out at scale;
+    dropping them changes semantics, so it is off by default and the
+    oracle-checked query keeps it off)."""
+    sh = char_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("za.id") == F.col("id_a"))
+        .join(sizes.alias("zb"), F.col("zb.id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns as a single
+    JVM fold — dot and norms in one sequential aggregate each, so the
+    summation order is deterministic and engine-reproducible."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold. This is the exact O(n²) baseline
+    — correct at any n but quadratic; the scale path is
+    ``similarity.lsh_bucket`` blocking (probe buckets instead of all
+    pairs). Returns (id_a, id_b, cos_sim rounded 6dp)."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how ANN is deployed at scale:
+
+- ``cosine_topk`` — brute-force scan: one broadcast of the query
+  vector, one pass over the table, TakeOrderedAndProject for top-k.
+  Exact; O(n·d) work fully parallel. The right answer up to ~1e9
+  rows when k is small and the scan is already needed.
+- ``lsh_bucket`` / ``ann_topk_lsh`` — random-hyperplane LSH: each
+  vector gets a small integer bucket from the sign pattern of dot
+  products with fixed hyperplanes; search probes only the query's
+  bucket(s). Sub-linear candidate set; recall tunable via
+  ``n_planes`` and multi-probe.
+
+Hyperplanes are generated from a fixed seed and embedded as literals
+so the computation is reproducible in any engine (the DuckDB oracle
+uses the same literal planes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_query_engine.operators.dedup import cosine
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplanes, rounded to 6dp so they can be
+    embedded as SQL literals without precision drift."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in row] for row in rng.randn(n_planes, dim)]
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = integer of sign bits of plane·vec (sequential fold
+    per plane — deterministic summation order)."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lits = F.array(*[F.lit(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_bucket(
+    df: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Assign each vector its LSH bucket: (id, vec, bucket)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("vec"),
+        _bucket_expr(_as_double(vec_col), planes).alias("bucket"),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine. The query vector is a
+    literal array (broadcast to every task); the plan is scan →
+    project → TakeOrderedAndProject — no shuffle of the table."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine(_as_double(vec_col), q), 6).alias("cos_sim"),
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 5,
+    exclude_id=None,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, rank by
+    exact cosine within it. At scale the bucket column is a partition/
+    cluster key, so the probe reads ~1/2^n_planes of the data."""
+    q = [float(x) for x in query_vec]
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        dot = 0.0
+        for x, w in zip(q, plane):
+            dot += x * w
+        if dot > 0:
+            qbucket |= 1 << p
+    bucketed = lsh_bucket(df, id_col, vec_col, planes).where(
+        F.col("bucket") == qbucket
+    )
+    if exclude_id is not None:
+        bucketed = bucketed.where(F.col("id") != exclude_id)
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        bucketed.select(
+            "id", F.round(cosine(F.col("vec"), qlit), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )

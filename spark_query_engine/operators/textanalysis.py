@@ -1,0 +1,125 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Pure expression pipelines (split / array ops / md5) — no UDFs, fully
+codegen'd, and every computation is integer- or string-exact so the
+DuckDB oracle reproduces it bit-for-bit. Ratios are rounded at 6dp
+(numerator/denominator are exact ints; one double division is
+engine-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deliberately minimal — language ID here is a deterministic, cheap
+#: heuristic suited to corpus bucketing, not a model.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "los", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language ID: score(lang) = |token-set ∩
+    stopwords(lang)|; predict the argmax (ties broken by fixed lang
+    order), 'und' if all scores are 0."""
+    tokset = F.array_distinct(_tokens(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(tokset, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    # argmax with deterministic ties: first lang (fixed order) whose
+    # score equals the max; 'und' when every score is 0
+    max_score = F.greatest(*scores.values())
+    predicted = None
+    for lang in langs:
+        c = (scores[lang] == max_score) & (max_score > 0)
+        predicted = F.when(c, lang) if predicted is None else predicted.when(c, lang)
+    predicted = predicted.otherwise("und")
+    return df.select(
+        F.col(id_col).alias("id"),
+        predicted.alias("predicted_lang"),
+        max_score.cast("int").alias("stopword_hits"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword
+    ratio, alpha ratio, distinct-token ratio → a 0..1 score. The
+    classic cheap pre-filter before expensive pipeline stages."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_tok_len = F.round((n_chars - (n_tok - 1)) / n_tok, 6)
+    alpha_ratio = F.round(n_alpha / n_chars, 6)
+    distinct_ratio = F.round(n_distinct / n_tok, 6)
+    # round to 8dp: the 0.25-weighted sum of 6dp terms lies on a
+    # 2.5e-7 grid, so 6dp rounding hits exact half-cases (which Spark
+    # and other engines resolve differently); the 1e-8 grid does not.
+    score = F.round(
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + distinct_ratio * 0.25
+        + F.least(n_stop / 4.0, F.lit(1.0)) * 0.25,
+        8,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_computed"),
+        mean_tok_len.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword
+    estimate (each token contributes ceil(len/4) pieces — the common
+    ~4-chars-per-token heuristic), all integer-exact."""
+    toks = _tokens(text_col)
+    bpe_ish = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        bpe_ish.alias("n_bpe_ish_tokens"),
+        F.ceil(F.length(text_col) / 4.0).cast("bigint").alias("n_char4_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: raw md5, normalized md5 (lower +
+    whitespace-collapse), and an order-insensitive token-set
+    fingerprint (md5 of the sorted distinct tokens) — the standard
+    keys for exact / near-layout / bag-of-words dedup respectively."""
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    )
+    tokset_fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(text_col))))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("md5_raw"),
+        F.md5(normalized).alias("md5_normalized"),
+        tokset_fp.alias("token_set_fp"),
+    )

@@ -1,1 +1,174 @@
-"""Placeholder — filled in during round 1."""
+"""Dedup queries over the documents/embeddings tables.
+
+Each oracle recomputes the SAME deterministic definition (md5-based
+hashing, integer-exact Jaccard) — brute force where the Spark side
+uses LSH/banded blocking, which is exactly the point: the oracle
+checks that the scale path loses nothing at this threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_query_engine.operators import dedup as D
+from spark_query_engine.queries import load, query
+
+# word-3gram shingle CTE shared by minhash oracle (DuckDB lists are 1-indexed)
+_WORD_SHINGLES = """
+    words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS fingerprint,
+               MIN(doc_id) AS representative_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup — one hash-partitioned aggregation."""
+    return D.exact_duplicates(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (word 3-grams, 16 hashes / 4 bands,
+    exact-Jaccard verify at 0.6). The oracle brute-forces all pairs;
+    at this threshold the LSH miss probability is ≈3e-5 per true pair
+    (the corpus's planted near-dups sit at j≥0.95)."""
+    return D.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.6,
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        th AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, bb.b AS b,
+                   SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th, (SELECT UNNEST(range(0, 32)) AS b) bb
+            GROUP BY doc_id, bb.b
+        ),
+        sim AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit, Hamming ≤ 3) with pigeonhole
+    byte-band blocking — recall is EXACT (distance ≤3 over 4 bands ⇒
+    ≥1 band equal), so the banded Spark plan provably equals the
+    oracle's brute force."""
+    return D.simhash_near_duplicates(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_distance=3,
+        bits=32,
+        blocks=4,
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+            FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+            WHERE length(text) >= 5
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.7
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard pairs ≥ 0.7 via shingle
+    equi-join (the join is the blocker — same SQL shape as the
+    oracle, distributed via shuffle on the shingle key)."""
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.7
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs ≥ 0.45 — exact all-pairs
+    baseline (O(n²); the LSH-bucketed scale path is
+    ``similarity.ann_topk_lsh``)."""
+    return D.embedding_near_duplicates(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )

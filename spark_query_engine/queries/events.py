@@ -1,1 +1,182 @@
-"""Placeholder — filled in during round 1."""
+"""Event-stream queries (batch semantics over the events table).
+
+These are the batch twins of the Structured Streaming operators in
+``spark_query_engine.streaming`` — identical window/sessionization
+semantics, verified against the oracle here, re-used as streaming
+transformations there (Spark's unified batch/stream model makes the
+transformation code shared by construction).
+
+``events.ts`` arrives via the nanos-aware loader (see queries.load);
+oracles use the EVENTS_ORACLE µs-truncation rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_query_engine.queries import EVENTS_ORACLE, load, query
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE})
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM ev
+        GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via the native F.window
+    operator (epoch-aligned, same as date_trunc('hour'))."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        exp AS (
+            SELECT e.*, ws.window_start
+            FROM ev e, UNNEST([
+                time_bucket(INTERVAL '30 minutes', e.ts),
+                time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL '30 minutes'
+            ]) AS ws(window_start)
+        )
+        SELECT window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM exp
+        GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide (each event lands in 2
+    windows). Native F.window(ts, '1 hour', '30 minutes')."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        lagd AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM lagd
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum as session id → per-session aggregate. One
+    shuffle on user_id covers both windows and the final group-by.
+    (Streaming twin: F.session_window with watermark — see
+    spark_query_engine.streaming.)"""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = ev.select(
+        "user_id", "event_id", "ts", "value", F.lag("ts").over(w).alias("prev_ts")
+    )
+    flagged = with_prev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.col("prev_ts").isNull()
+            # µs-exact gap comparison, matching the oracle's interval compare
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "events_type_stats",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE})
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 2) AS total_value,
+               ROUND(AVG(value), 4) AS avg_value,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts
+        FROM ev
+        GROUP BY event_type
+    """,
+)
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type profile over the stream table."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

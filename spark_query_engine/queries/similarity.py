@@ -1,1 +1,98 @@
-"""Placeholder — filled in during round 1."""
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_query_engine.operators import similarity as S
+from spark_query_engine.queries import load, query
+
+_PLANES = S.random_hyperplanes(n_planes=8, dim=64, seed=7)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Driver-side fetch of ONE query vector (a scalar parameter of the
+    search, not a data-plane collect)."""
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _planes_values_sql() -> str:
+    rows = []
+    for p, plane in enumerate(_PLANES):
+        for d, w in enumerate(plane):
+            rows.append(f"({p},{d},{w!r})")
+    return ",".join(rows)
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id AS id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, id
+        LIMIT 10
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id 0: broadcast query
+    vector, single scan, TakeOrderedAndProject — the brute-force ANN
+    baseline that stays viable to ~1e9 rows."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return S.cosine_topk(emb, "vec_id", "embedding", qv, k=10)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+        WITH planes(p, d, w) AS (VALUES {_planes_values_sql()}),
+        dots AS (
+            SELECT e.vec_id, pl.p,
+                   SUM(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dot
+            FROM embeddings e, planes pl
+            GROUP BY e.vec_id, pl.p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id AS id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cos_sim
+        FROM embeddings e
+        JOIN buckets b ON b.vec_id = e.vec_id
+        JOIN qb ON b.bucket = qb.bucket
+        CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, id
+        LIMIT 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 8 random hyperplanes (fixed seed, literal
+    weights — identical in the oracle) → probe only the query's
+    bucket → exact cosine rank within it. The scale path: bucket is a
+    cluster/partition key, so a probe touches ~1/256 of the table."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(
+        emb, "vec_id", "embedding", qv, _PLANES, k=5, exclude_id=0
+    )

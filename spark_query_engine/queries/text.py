@@ -1,1 +1,123 @@
-"""Placeholder — filled in during round 1."""
+"""Text-analysis queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_query_engine.operators import textanalysis as TA
+from spark_query_engine.queries import load, query
+
+_EN = ",".join(f"'{w}'" for w in TA.STOPWORDS["en"])
+_LANG_SCORES = ",\n".join(
+    f"len(list_intersect(tokset, [{','.join(repr(w) for w in words)}])) AS score_{lang}"
+    for lang, words in TA.STOPWORDS.items()
+)
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS tokset
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, {_LANG_SCORES}
+            FROM t
+        )
+        SELECT doc_id AS id,
+               CASE
+                   WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+                   WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                   WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                   WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                   ELSE 'fr'
+               END AS predicted_lang,
+               CAST(greatest(score_en, score_es, score_de, score_fr) AS INT)
+                   AS stopword_hits
+        FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (deterministic heuristic; ties go
+    to the fixed language order en>es>de>fr)."""
+    return TA.language_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   text,
+                   string_split(lower(text), ' ') AS toks,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(n_chars AS BIGINT) AS n_chars_computed,
+                   ROUND((n_chars - (len(toks) - 1)) * 1.0 / len(toks), 6) AS mean_token_len,
+                   ROUND(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+                   ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_token_ratio,
+                   len(toks) AS nt,
+                   len(list_intersect(list_distinct(toks), [{_EN}])) AS n_stop,
+                   len(list_distinct(toks)) AS nd,
+                   n_alpha, n_chars
+            FROM t
+        )
+        SELECT doc_id AS id, n_tokens, n_chars_computed, mean_token_len,
+               alpha_ratio, distinct_token_ratio,
+               ROUND(least(nt / 100.0, 1.0) * 0.25
+                     + ROUND(n_alpha * 1.0 / n_chars, 6) * 0.25
+                     + ROUND(nd * 1.0 / nt, 6) * 0.25
+                     + least(n_stop / 4.0, 1.0) * 0.25, 8) AS quality_score
+        FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / alpha ratio / distinct-token
+    ratio / stopword presence) — the cheap pre-filter stage of a
+    training-data pipeline."""
+    return TA.quality_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks, length(text) AS n
+            FROM documents
+        )
+        SELECT doc_id AS id,
+               CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+               CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
+                   AS n_bpe_ish_tokens,
+               CAST(ceil(n / 4.0) AS BIGINT) AS n_char4_tokens
+        FROM t
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (ceil(len/4) per token) token counts —
+    integer-exact in any engine."""
+    return TA.token_counts(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id AS id,
+               md5(text) AS md5_raw,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5_normalized,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                   AS token_set_fp
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw / normalized / token-set md5 fingerprints (exact,
+    near-layout, and bag-of-words dedup keys)."""
+    return TA.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
