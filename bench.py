@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (materialized via the `noop` sink
+— full execution, no driver-side collect overhead) and prints ONE
+JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Usage: python bench.py            # sf0.1 by default
+       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+#: Headline set: the reference-parity core (scan/filter/agg/topk), the
+#: relational extension (broadcast + shuffle joins, windows), and the
+#: pipeline operators (dedup, ANN, text, events).
+HEADLINE = [
+    "filter_eq_project",
+    "agg_group_minmax",
+    "limit_topk",
+    "join_broadcast_dims",
+    "join_shuffle_revenue",
+    "window_topk_per_group",
+    "agg_count_distinct",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce_topk",
+    "text_quality",
+    "text_fingerprint",
+    "events_tumbling_window",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from spark_query_engine import queries as registry
+    from spark_query_engine.session import get_session
+
+    spark = get_session("bench")
+
+    qs = registry.queries()
+
+    # JVM/codegen warmup: cheap full pipeline once
+    qs["limit_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

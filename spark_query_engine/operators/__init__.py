@@ -10,6 +10,29 @@ well-distributed keys — never driver-side loops or O(n²) cross
 products, except where explicitly documented as small-N baselines.
 """
 
-from spark_query_engine.operators import dedup, multimodal, similarity, textanalysis
+from pyspark.sql import DataFrame
 
-__all__ = ["dedup", "multimodal", "similarity", "textanalysis"]
+
+def widen(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before expensive
+    per-row work (shingling, hashing, UDF batches).
+
+    Small local inputs arrive as a single parquet split, which would
+    serialize CPU-heavy expressions onto one core; a real cluster scan
+    has splits ≫ cores, making this a no-op there — it only guards the
+    under-partitioned case, never collapses a well-partitioned scan.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+from spark_query_engine.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+    textanalysis,
+)
+
+__all__ = ["dedup", "multimodal", "similarity", "textanalysis", "widen"]

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spark_query_engine.operators import widen
+
 MAGIC = b"QEIM"
 
 #: Output schema of decode_metadata — typed metadata alongside the payload.
@@ -50,7 +52,7 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     payload = F.encode(
         F.concat(F.lit(MAGIC.decode("ascii")), w, h, F.col(text_col)), "utf-8"
     )
-    return df.select(F.col(id_col).alias("id"), payload.alias("payload"))
+    return widen(df).select(F.col(id_col).alias("id"), payload.alias("payload"))
 
 
 def decode_metadata(df: DataFrame) -> DataFrame:

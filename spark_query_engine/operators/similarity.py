@@ -23,6 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_query_engine.operators import widen
 from spark_query_engine.operators.dedup import cosine
 
 
@@ -56,7 +57,7 @@ def lsh_bucket(
     df: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
 ) -> DataFrame:
     """Assign each vector its LSH bucket: (id, vec, bucket)."""
-    return df.select(
+    return widen(df).select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("vec"),
         _bucket_expr(_as_double(vec_col), planes).alias("bucket"),
@@ -74,7 +75,7 @@ def cosine_topk(
     literal array (broadcast to every task); the plan is scan →
     project → TakeOrderedAndProject — no shuffle of the table."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = df.select(
+    out = widen(df).select(
         F.col(id_col).alias("id"),
         F.round(cosine(_as_double(vec_col), q), 6).alias("cos_sim"),
     )

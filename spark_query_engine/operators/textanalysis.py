@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_query_engine.operators import widen
+
 #: Tiny per-language stopword lists for the n-gram/stopword heuristic.
 #: Deliberately minimal — language ID here is a deterministic, cheap
 #: heuristic suited to corpus bucketing, not a model.
@@ -46,7 +48,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         c = (scores[lang] == max_score) & (max_score > 0)
         predicted = F.when(c, lang) if predicted is None else predicted.when(c, lang)
     predicted = predicted.otherwise("und")
-    return df.select(
+    return widen(df).select(
         F.col(id_col).alias("id"),
         predicted.alias("predicted_lang"),
         max_score.cast("int").alias("stopword_hits"),
@@ -77,7 +79,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(n_stop / 4.0, F.lit(1.0)) * 0.25,
         8,
     )
-    return df.select(
+    return widen(df).select(
         F.col(id_col).alias("id"),
         n_tok.cast("bigint").alias("n_tokens"),
         n_chars.cast("bigint").alias("n_chars_computed"),
@@ -98,7 +100,7 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    return df.select(
+    return widen(df).select(
         F.col(id_col).alias("id"),
         F.size(toks).cast("bigint").alias("n_ws_tokens"),
         bpe_ish.alias("n_bpe_ish_tokens"),
@@ -117,7 +119,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokset_fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(text_col))))
     )
-    return df.select(
+    return widen(df).select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("md5_raw"),
         F.md5(normalized).alias("md5_normalized"),

@@ -65,4 +65,11 @@ def uses_broadcast_join(sdf: SparkDataFrame) -> bool:
 
 
 def wholestage_codegen_spans(sdf: SparkDataFrame) -> int:
-    return format_plan(sdf, "physical").count("WholeStageCodegen")
+    """Number of whole-stage-codegen spans in the physical plan (the
+    tree string marks them ``*(n) Op``; the formatted explain uses
+    ``WholeStageCodegen (n)``)."""
+    text = format_plan(sdf, "physical")
+    ids = set(re.findall(r"\*\((\d+)\)", text))
+    if ids:
+        return len(ids)
+    return formatted_explain(sdf).count("WholeStageCodegen")

@@ -124,10 +124,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle="""
-        WITH sh AS (
-            SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
-            FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
-            WHERE length(text) >= 5
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]) AS shingle
+            FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 4
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
@@ -145,11 +149,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact character-5-gram Jaccard pairs ≥ 0.7 via shingle
-    equi-join (the join is the blocker — same SQL shape as the
-    oracle, distributed via shuffle on the shingle key)."""
+    """Exact word-4-gram Jaccard pairs ≥ 0.7 via shingle equi-join
+    (the join is the blocker — same SQL shape as the oracle,
+    distributed via shuffle on the shingle key). Word n-grams keep
+    the shingle space large relative to the corpus, so the join
+    fan-out stays near-linear (see operator docstring)."""
     return D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.7
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=4,
+        kind="word",
+        threshold=0.7,
     )
 
 

@@ -1,0 +1,24 @@
+"""Structured Streaming operators over event streams.
+
+The reference is batch-only (SURVEY.md §2.10 ABSENT); these are the
+engine's streaming equivalents, built on Spark's unified model: the
+same transformation functions used by the batch queries
+(spark_query_engine.queries.events) applied to an unbounded source,
+plus watermarking for late data and stateful sessionization.
+"""
+
+from spark_query_engine.streaming.events import (
+    run_to_memory_sink,
+    sessionize_stream,
+    sliding_counts,
+    stream_from_parquet_dir,
+    tumbling_counts,
+)
+
+__all__ = [
+    "stream_from_parquet_dir",
+    "tumbling_counts",
+    "sliding_counts",
+    "sessionize_stream",
+    "run_to_memory_sink",
+]

@@ -1,0 +1,140 @@
+"""Streaming event operators: windowed aggregation with watermarks,
+session windows, and a parquet-backed stream source for testing.
+
+Design notes (cluster scale):
+- Watermarks bound the state store: ``withWatermark("ts", d)`` lets
+  Spark drop per-window state once the event-time frontier passes
+  window_end + d. Without it a windowed aggregation's state grows
+  unboundedly.
+- ``session_window`` is Spark's native gap-based session operator —
+  the streaming twin of the batch lag/cumsum sessionization in
+  queries/events.py (same 30-min-gap semantics).
+- Sources here read a parquet directory (each file = a micro-batch
+  when used with availableNow); swap for kafka/kinesis in production —
+  nothing downstream changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the events stream (ts as long ns, as the driver parquet
+#: stores it; converted on read like the batch loader).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_from_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Unbounded readStream over a parquet directory, with the same
+    nanos→timestamp conversion as the batch loader. ``ts`` becomes a
+    proper event-time column usable for watermarks.
+
+    Note: streaming reads use TimestampType (not NTZ) because
+    watermarks require it; the session is pinned UTC in get_session,
+    so wall values match the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    )
+    # the file-stream source requires a directory; stream a single
+    # parquet file via its parent + a glob filter
+    import os
+
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums with a watermark: late events more
+    than ``watermark`` behind the frontier are dropped and window
+    state is evicted — bounded state at any scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window aggregation (each event in window/slide panes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window(ts, gap)``
+    merges events within ``gap`` into one growing session per user;
+    the watermark closes sessions once no extension can arrive."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Drive a streaming query to completion over the currently
+    available input (availableNow semantics via processAllAvailable)
+    and return the finished StreamingQuery; results land in the
+    in-memory table ``name``. Test/debug helper."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

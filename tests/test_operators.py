@@ -1,0 +1,163 @@
+"""Operator unit tests: dedup / similarity / text analysis /
+multimodal on small controlled inputs (the reference's accumulator/
+datasource unit-test layer, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_query_engine.operators import dedup as D
+from spark_query_engine.operators import multimodal as MM
+from spark_query_engine.operators import similarity as S
+from spark_query_engine.operators import textanalysis as TA
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+    (3, "completely different words appear within this very sentence here"),
+    (4, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = D.exact_duplicates(docs, "doc_id", "text")
+    groups = {r["representative_id"]: r["n_copies"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1 and 4 identical
+    assert out.count() == 3
+
+
+def test_word_shingles(docs):
+    sh = D.word_shingles(docs, "doc_id", "text", k=3)
+    one = {r["shingle"] for r in sh.where(F.col("id") == 1).collect()}
+    assert "the quick brown" in one
+    assert "lazy dog tonight" in one
+    assert all(len(s.split()) == 3 for s in one)
+
+
+def test_minhash_finds_near_dups(docs):
+    out = D.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert all(3 not in p for p in pairs)  # unrelated doc matches nothing
+
+
+def test_simhash_distance_properties(docs):
+    out = {r["id"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert out[1] == out[4]  # identical text → identical simhash
+    assert 0 <= out[1] < (1 << 32)
+    # near-dup differs in ≤ a few bits; unrelated doc differs in many
+    assert bin(out[1] ^ out[2]).count("1") < bin(out[1] ^ out[3]).count("1")
+
+
+def test_simhash_near_duplicates(docs):
+    out = D.simhash_near_duplicates(docs, "doc_id", "text", max_distance=3)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs  # one-token difference → tiny hamming
+
+
+def test_ngram_jaccard(docs):
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=4, kind="word", threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+
+
+def test_embedding_near_duplicates(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),  # nearly parallel to 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = D.embedding_near_duplicates(vecs, "vec_id", "embedding", threshold=0.95)
+    pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert pairs == [(1, 2)]
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        + [(9, [0.9, 0.1, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = S.cosine_topk(vecs, "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0], k=2)
+    rows = [(r["id"], r["cos_sim"]) for r in out.collect()]
+    assert rows[0] == (0, 1.0)
+    assert rows[1][0] == 9
+
+
+def test_lsh_bucket_groups_similar_vectors(spark):
+    planes = S.random_hyperplanes(4, 3, seed=7)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.01, 2.0, 3.0]), (3, [-1.0, -2.0, -3.0])],
+        ["vec_id", "embedding"],
+    )
+    b = {r["id"]: r["bucket"] for r in S.lsh_bucket(vecs, "vec_id", "embedding", planes).collect()}
+    assert b[1] == b[2]  # near-identical vectors share a bucket
+    assert b[1] != b[3]  # antipodal vector lands elsewhere
+
+
+def test_language_id_und_for_gibberish(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "zzz qqq www")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r["predicted_lang"] for r in TA.language_id(df, "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "und"
+
+
+def test_quality_score_monotonic(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is a good dog and it runs"), (2, "a a a a a a a a a a")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["quality_score"] for r in TA.quality_score(df, "doc_id", "text").collect()}
+    assert out[1] > out[2]  # repetitive text scores lower
+
+
+def test_token_counts_exact(spark):
+    df = spark.createDataFrame([(1, "abcd ef ghijklmn")], ["doc_id", "text"])
+    r = TA.token_counts(df, "doc_id", "text").collect()[0]
+    assert r["n_ws_tokens"] == 3
+    # ceil(4/4)+ceil(2/4)+ceil(8/4) = 1+1+2
+    assert r["n_bpe_ish_tokens"] == 4
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "world hello")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in TA.fingerprint(df, "doc_id", "text").collect()}
+    assert out[1]["md5_raw"] != out[2]["md5_raw"]
+    assert out[1]["md5_normalized"] == out[2]["md5_normalized"]
+    assert out[2]["token_set_fp"] == out[3]["token_set_fp"]  # order-insensitive
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "x" * 100), (2, "y" * 50)], ["doc_id", "text"])
+    meta = {r["id"]: r for r in MM.decode_metadata(MM.attach_payload(df, "doc_id", "text")).collect()}
+    assert meta[1]["width"] == 100 and meta[1]["height"] == 100
+    assert meta[1]["byte_len"] == 4 + 4 + 4 + 100
+    assert meta[1]["magic_ok"] and meta[2]["magic_ok"]
+
+
+def test_decode_image_stub_contract():
+    payload = b"QEIM0100" + b"0050" + b"body"
+    assert MM.decode_image(payload, codec="fake") == (50, 100)
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(payload)  # real codec absent by design
+    with pytest.raises(ValueError):
+        MM.decode_image(b"XXXX00100050", codec="fake")
