@@ -112,6 +112,35 @@ class Dataframe:
             + self.physical_plan()
         )
 
+    # --- sinks (SURVEY.md §2.1: the reference has only a debug
+    # RecordBatch::to_csv, src/datatypes/mod.rs:308-328) ---
+
+    def write_parquet(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Parquet sink; ``partition_by`` produces the hive-layout
+        partitioned table that enables partition pruning downstream."""
+        w = self._sdf.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def write_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self._sdf.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def write_json(self, path: str, mode: str = "overwrite") -> None:
+        self._sdf.write.mode(mode).json(path)
+
+    def to_csv(self) -> str:
+        """Debug CSV serialization of the full result — the engine's
+        analogue of the reference's RecordBatch::to_csv
+        (src/datatypes/mod.rs:308-328); driver-side, test-sized only."""
+        rows = self._sdf.collect()
+        return "".join(",".join(str(v) for v in row) + "\n" for row in rows)
+
     # --- actions ---
 
     def collect(self):

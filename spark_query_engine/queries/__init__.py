@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         parity,
         relational,
         analytics,
+        advanced,
         dedup,
         similarity,
         text,

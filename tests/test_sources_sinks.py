@@ -1,0 +1,57 @@
+"""Source/sink tests: parquet/csv/json roundtrips, partitioned writes
+with partition pruning, and the debug CSV sink (the reference's only
+sink, src/datatypes/mod.rs:308-328)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_query_engine.plans import formatted_explain
+
+
+def test_parquet_roundtrip(ctx, sf_dir, tmp_path):
+    out = str(tmp_path / "cust")
+    src = ctx.parquet(f"{sf_dir}/customer.parquet")
+    src.write_parquet(out)
+    back = ctx.parquet(out)
+    assert back.count() == src.count()
+    assert back.schema() == src.schema()
+
+
+def test_partitioned_write_enables_pruning(ctx, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    ctx.parquet(f"{sf_dir}/orders.parquet").write_parquet(
+        out, partition_by=["o_orderstatus"]
+    )
+    pruned = ctx.parquet(out).filter(F.col("o_orderstatus") == "F")
+    # partition filter must be applied at scan planning, not post-scan
+    assert "PartitionFilters" in formatted_explain(pruned.to_spark())
+    full = ctx.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    assert pruned.count() == full.count()
+
+
+def test_csv_roundtrip_all_string(ctx, tmp_path):
+    out = str(tmp_path / "csv_out")
+    df = ctx.memory([{"id": "1", "name": "bob"}, {"id": "2", "name": "ann"}])
+    df.write_csv(out)
+    back = ctx.csv(out)  # reference semantics: all-string read
+    assert back.count() == 2
+    assert [f.dataType.typeName() for f in back.schema().fields] == ["string", "string"]
+
+
+def test_json_roundtrip(ctx, tmp_path):
+    out = str(tmp_path / "json_out")
+    df = ctx.memory([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    df.write_json(out)
+    back = ctx.json(out)
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        (("a", 1), ("b", "x")),
+        (("a", 2), ("b", "y")),
+    }
+
+
+def test_debug_csv_sink(ctx):
+    df = ctx.memory([{"id": "1", "x": "a"}, {"id": "2", "x": "b"}]).sort("id")
+    assert df.to_csv() == "1,a\n2,b\n"
