@@ -24,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 #: relational extension (broadcast + shuffle joins, windows), and the
 #: pipeline operators (dedup, ANN, text, events).
 HEADLINE = [
+    "tpch_q1",
     "filter_eq_project",
     "agg_group_minmax",
     "limit_topk",

@@ -85,16 +85,38 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --- MinHash + LSH ---------------------------------------------------------
 
 
+_MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _minhash_params(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a_j, b_j) drawn
+    from [1, 2^30) — caps a_j·h at 2^62 (h < 2^32), so the arithmetic
+    is exact signed-64-bit in any engine, no ANSI overflow. Fixed seed
+    for cross-run/cross-engine reproducibility."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    bound = 1 << 30
+    return [
+        (int(rng.randint(1, bound)), int(rng.randint(0, bound)))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per id: hash_j(doc) = min over shingles of
-    md5(j ':' shingle). Lexicographic min over md5 hex strings is a
-    uniform min-wise hash and is byte-identical in any engine with
-    standard md5. One aggregation, num_hashes partial-agg columns."""
+    """MinHash signature per id via affine permutations of ONE base
+    hash: h = first 8 md5 hex chars as a 32-bit int, hash_j(doc) =
+    min over shingles of (a_j·h + b_j) mod P (P prime > 2^32, product
+    < 2^63 — exact in any 64-bit engine). One md5 per shingle instead
+    of num_hashes md5s, and the num_hashes partial-agg mins run on
+    longs, not 32-char strings — ~10× cheaper signature stage at equal
+    min-wise uniformity."""
+    base = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min((F.lit(a) * base + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_minhash_params(num_hashes))
     ]
     return shingles.groupBy("id").agg(*aggs)
 
@@ -110,7 +132,10 @@ def lsh_candidate_pairs(
     rows = num_hashes // bands
     band_cols = [
         F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows + j}") for j in range(rows)])
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)],
+            )
         ).alias(f"band{b}")
         for b in range(bands)
     ]

@@ -82,6 +82,72 @@ def cosine_topk(
     return out.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
 
 
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (ties → lowest centroid id). Centroids here are
+    the vectors with id < n_centroids — a deterministic stand-in for a
+    k-means codebook; the assignment plan (broadcast centroids × one
+    scan, rank-1 per row) is identical whatever the codebook source.
+
+    At scale the output is written partitioned/clustered by
+    ``centroid`` so a probe reads only its inverted list.
+    Returns (id, vec, centroid, cent_sim)."""
+    from pyspark.sql import Window
+
+    v = widen(df).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    )
+    cents = v.where(F.col("id") < n_centroids).select(
+        F.col("id").alias("centroid"), F.col("vec").alias("cvec")
+    )
+    scored = v.join(F.broadcast(cents)).select(
+        "id",
+        "vec",
+        "centroid",
+        F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("cent_sim"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cent_sim").desc(), F.col("centroid")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    n_centroids: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """IVF probe: rank by exact cosine only within the query's inverted
+    list (its nearest centroid's cluster). One broadcast-assignment
+    pass + a probe that touches ~1/n_centroids of the data — the
+    classic recall/cost trade; multi-probe = relax the centroid filter
+    to the top-p centroids."""
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids)
+    qrow = assigned.where(F.col("id") == query_id).select(
+        F.col("centroid").alias("qcent"), F.col("vec").alias("qvec")
+    )
+    members = assigned.join(F.broadcast(qrow), F.col("centroid") == F.col("qcent"))
+    return (
+        members.where(F.col("id") != query_id)
+        .select(
+            "id",
+            "centroid",
+            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     id_col: str,

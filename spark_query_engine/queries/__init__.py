@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
         relational,
         analytics,
         advanced,
+        extended,
         dedup,
         similarity,
         text,

@@ -1,0 +1,476 @@
+"""Extended SQL surface: TPC-H classics, grouping sets, range frames,
+lateral explode, array/null scalar functions, subqueries, ntile.
+
+These widen SURVEY.md §2's ABSENT rows (§2.5 grouping sets, §2.6 frame
+specs, §2.9 array functions, plus the SQL-parser capabilities the
+reference never grew — the closed plan enum at
+src/logical_plan/mod.rs:12-18 admits none of these). Everything is
+built-in Catalyst surface; no UDFs.
+
+Scale notes:
+- tpch_q1/q6 are single-pass scan+partial-agg queries — the shape that
+  saturates I/O at 100 TB; filters and the 7-column projection push to
+  the parquet scan.
+- grouping sets / rollup / cube expand in the aggregate Exec, not by
+  re-scanning the input.
+- ntile/global-order queries are documented small-output patterns: the
+  global sort happens on k-proportional data only where possible
+  (ntile over orders is a true global sort — use approx percentiles at
+  100 TB; kept here because the reference-class API needs exact ntile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_query_engine.operators import similarity as S
+from spark_query_engine.queries import load, query
+
+
+@query(
+    "tpch_q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical scan-heavy partial-agg
+    query. One parquet scan (7 columns pruned), map-side partial
+    aggregation into 4 groups, trivial shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: pure filter + global sum. All four
+    predicates push to the parquet scan; the aggregate is a single
+    partial/final pair with a 1-row shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube —
+    SURVEY.md §2.5 ABSENT row). Expands inside the aggregate; the
+    input is scanned once."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               COUNT(*) OVER w AS n_within_100,
+               ROUND(SUM(c_acctbal) OVER w, 2) AS bal_within_100
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+                     RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame — SURVEY.md §2.6 ABSENT row.
+    Frame membership is by value distance, so ties are handled
+    identically in any engine (no row-order dependence). Partitioned
+    by nation → parallel window groups, no global sort. (SQL form:
+    PySpark's Window.rangeBetween only accepts integer offsets, but
+    c_acctbal is DOUBLE — the SQL frame spec takes any numeric
+    literal.)"""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_rf")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               COUNT(*) OVER w AS n_within_100,
+               ROUND(SUM(c_acctbal) OVER w, 2) AS bal_within_100
+        FROM customer_rf
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+                     RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "window_ntile_cume",
+    oracle="""
+        SELECT quartile, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+               ROUND(MAX(cd), 6) AS max_cume_dist
+        FROM (
+            SELECT o_totalprice,
+                   NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+                   CUME_DIST() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS cd
+            FROM orders
+        )
+        GROUP BY quartile
+    """,
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE + CUME_DIST ranking (deterministic: the ORDER BY includes
+    the unique o_orderkey so bucket boundaries are engine-stable).
+    Global single-partition sort — exact quantiles; at 100 TB use
+    agg_percentiles' approx path instead."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 100
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST) of tokenized text → global token
+    frequencies. The generate+agg pattern behind every vocabulary /
+    BPE-corpus-statistics job; partial aggregation collapses the token
+    stream before the shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+               ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_val,
+               ROUND(sqrt(list_aggregate(
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                   'sum')), 6) AS l2_norm,
+               len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_pos
+        FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (SURVEY.md §2.9 ABSENT row):
+    size / element_at / array_max / fold (F.aggregate) / filter — all
+    JVM codegen'd, the building blocks of the vector operators."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        ).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@query(
+    "scalar_null_funcs",
+    oracle="""
+        SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status,
+               COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')
+    """,
+)
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars: NULLIF / COALESCE and the COUNT(col)
+    null-skipping contract (ANSI semantics — the deliberate divergence
+    from the reference's Null==Null quirk, SURVEY.md §1.2)."""
+    o = load(spark, sf_dir, "orders")
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN"))
+    return o.groupBy(status.alias("status")).agg(
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias("n_nonnull"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst decorrelates it to a left
+    semi join (RewriteCorrelatedScalarSubquery / RewritePredicate
+    Subquery), so no per-row re-execution ever happens."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: the inner AVG computes once and
+    broadcasts as a literal into the outer filter."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_ssq
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders_ssq)
+        """
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        cents AS (SELECT id AS centroid, vec AS cvec FROM v WHERE id < 8),
+        scored AS (
+            SELECT v.id, v.vec, c.centroid,
+                   ROUND(list_cosine_similarity(v.vec, c.cvec), 6) AS cent_sim
+            FROM v CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT id, vec, centroid FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY id ORDER BY cent_sim DESC, centroid) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT centroid AS qcent, vec AS qvec FROM assigned WHERE id = 42)
+        SELECT a.id, a.centroid,
+               ROUND(list_cosine_similarity(a.vec, q.qvec), 6) AS cos_sim
+        FROM assigned a CROSS JOIN q
+        WHERE a.centroid = q.qcent AND a.id <> 42
+        ORDER BY cos_sim DESC, a.id
+        LIMIT 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid (broadcast codebook, one scan), then probe only the query
+    vector's inverted list. The scale path alongside ann_lsh_topk —
+    probe cost ~1/n_centroids of the corpus, recall tunable by
+    multi-probe."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, "vec_id", "embedding", query_id=42, n_centroids=8, k=5)
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        SELECT n.n_name, s.s_suppkey, s.s_name
+        FROM (SELECT * FROM nation WHERE n_regionkey <= 1) n
+        FULL OUTER JOIN (SELECT * FROM supplier WHERE s_acctbal > 3000.0) s
+          ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — completes the join-type matrix (inner / left /
+    semi / anti / asof / range live in relational.py & advanced.py).
+    Full outer forbids broadcast; Spark plans a sort-merge join on the
+    shuffled key, which is the right 100 TB plan anyway."""
+    n = load(spark, sf_dir, "nation").where(F.col("n_regionkey") <= 1)
+    s = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 3000.0)
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_cross_count",
+    oracle="""
+        SELECT r.r_name, COUNT(*) AS n_pairs
+        FROM region r CROSS JOIN nation n
+        GROUP BY r.r_name
+    """,
+)
+def join_cross_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS join (tiny dims only — a documented anti-pattern
+    on fact tables; Catalyst plans BroadcastNestedLoopJoin here)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).groupBy("r_name").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+               ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(SKEWNESS(l_quantity), 4) AS skew_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/covariance/correlation/
+    skewness) — single-pass moment accumulators, partial+final split
+    like any hash aggregate."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               FIRST_VALUE(o_totalprice) OVER w AS first_price,
+               LAST_VALUE(o_totalprice) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_price,
+               NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE navigation functions
+    (deterministic: ORDER BY includes the unique o_orderkey;
+    last_price uses an unbounded frame — the default growing frame
+    would make it equal the current row)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        UNION ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — bag union, no dedup shuffle (vs set_union's
+    DISTINCT): a pure concatenation of partitions."""
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.unionAll(b)

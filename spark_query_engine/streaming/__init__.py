@@ -9,6 +9,7 @@ plus watermarking for late data and stateful sessionization.
 
 from spark_query_engine.streaming.events import (
     run_to_memory_sink,
+    running_user_totals,
     sessionize_stream,
     sliding_counts,
     stream_from_parquet_dir,
@@ -20,5 +21,6 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "sessionize_stream",
+    "running_user_totals",
     "run_to_memory_sink",
 ]

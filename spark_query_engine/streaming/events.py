@@ -124,6 +124,51 @@ def sessionize_stream(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (event count, value total) that survives across
+    micro-batches — the escape hatch for stateful logic that windowed
+    aggregation can't express (counters, ML feature state, CDC merge).
+
+    State is partitioned by user_id across executors; each group's
+    state is a 2-tuple, read+updated once per micro-batch with Arrow
+    batch transfer (no row-at-a-time Python). Emits the updated total
+    per user per batch → use outputMode("update").
+
+    At scale: state store size is O(distinct users), bounded by an
+    eviction timeout if users churn (set GroupStateTimeout.
+    ProcessingTimeTimeout and state.setTimeoutDuration in the handler).
+    """
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming query to completion over the currently
     available input (availableNow semantics via processAllAvailable)

@@ -161,3 +161,24 @@ def test_decode_image_stub_contract():
         MM.decode_image(payload)  # real codec absent by design
     with pytest.raises(ValueError):
         MM.decode_image(b"XXXX00100050", codec="fake")
+
+
+def test_ivf_assign_and_topk(spark):
+    # 3 well-separated directions; ids 0-2 double as centroids
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (3, [0.9, 0.1, 0.0]),   # → centroid 0
+        (4, [0.1, 0.95, 0.0]),  # → centroid 1
+        (5, [0.0, 0.2, 0.8]),   # → centroid 2
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    assigned = {
+        r["id"]: r["centroid"]
+        for r in S.ivf_assign(df, "vec_id", "embedding", n_centroids=3).collect()
+    }
+    assert assigned[3] == 0 and assigned[4] == 1 and assigned[5] == 2
+    # probe from id 3: its list is centroid 0's {0, 3} → neighbor is 0
+    top = S.ivf_topk(df, "vec_id", "embedding", query_id=3, n_centroids=3, k=2).collect()
+    assert [r["id"] for r in top] == [0]

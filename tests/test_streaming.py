@@ -51,6 +51,29 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream):
         assert want[batch_key] == val, key
 
 
+def test_stateful_running_totals_matches_batch(spark, sf_dir, events_stream):
+    """applyInPandasWithState per-user running totals: after draining
+    the (single-file) stream, the last emission per user must equal
+    the batch groupBy totals."""
+    out = ST.running_user_totals(events_stream)
+    ST.run_to_memory_sink(out, "running_out", mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM running_out").collect()
+    }
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("v"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert got == want
+
+
 def test_session_stream_runs(spark, events_stream):
     sess = ST.sessionize_stream(events_stream, gap="30 minutes")
     ST.run_to_memory_sink(sess, "session_out", mode="append")
