@@ -95,6 +95,63 @@ def decode_image(payload: bytes, codec: str = "real"):
     )
 
 
+def resize(df: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """'Resize' each payload: rewrite the header dims, keep the body
+    (the fake stands in for a pixel resample; a real one swaps the body
+    transform only). Same mapInPandas shape as decode_metadata —
+    Arrow-batched, partition-preserving, no shuffle; this is how a
+    100 TB image-normalization pass runs."""
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    wb = str(new_w).zfill(4).encode()
+    hb = str(new_h).zfill(4).encode()
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: MAGIC + wb + hb + bytes(b)[12:]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(do_resize, out_schema)
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: a deterministic ``dim``-bucket byte
+    histogram per payload body, L1-normalized — the Spark-side shape
+    of an embedding-extraction pass (model inference would replace the
+    histogram; schema ``array<double>`` and batching are what carry
+    over). Arrow-batched, no shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def hist(b: bytes) -> list[float]:
+            body = np.frombuffer(bytes(b)[12:], dtype=np.uint8)
+            if body.size == 0:
+                return [0.0] * dim
+            counts = np.bincount(body % dim, minlength=dim).astype("float64")
+            return list(counts / counts.sum())
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf["id"], "features": pdf["payload"].map(hist)}
+            )
+
+    return df.mapInPandas(featurize, out_schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """'Frame sampling' over the synthetic payloads: keep every n-th
     item per partition-stable ordering key — the Spark-side shape of

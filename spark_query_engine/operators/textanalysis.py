@@ -30,6 +30,14 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.lower(F.col(text_col)), " ")
 
 
+def lang_score_sql(lang: str) -> str:
+    """DuckDB fragment for the stopword-overlap score of ``lang``,
+    over a list column named ``tokset`` — so oracles stay in lockstep
+    with STOPWORDS."""
+    words = ",".join(repr(w) for w in STOPWORDS[lang])
+    return f"len(list_intersect(tokset, [{words}]))"
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-overlap language ID: score(lang) = |token-set ∩
     stopwords(lang)|; predict the argmax (ties broken by fixed lang

@@ -61,7 +61,11 @@ def pushed_filters(sdf: SparkDataFrame) -> str:
 
 
 def uses_broadcast_join(sdf: SparkDataFrame) -> bool:
-    return "BroadcastHashJoin" in format_plan(sdf, "physical")
+    """True if any join in the plan builds a broadcast side (hash or
+    nested-loop — the latter is what a join without equi-keys, e.g. an
+    IVF codebook cross join, plans as)."""
+    text = format_plan(sdf, "physical")
+    return "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
 
 
 def wholestage_codegen_spans(sdf: SparkDataFrame) -> int:

@@ -182,3 +182,50 @@ def test_ivf_assign_and_topk(spark):
     # probe from id 3: its list is centroid 0's {0, 3} → neighbor is 0
     top = S.ivf_topk(df, "vec_id", "embedding", query_id=3, n_centroids=3, k=2).collect()
     assert [r["id"] for r in top] == [0]
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)] + [(900, 7)], ["row_id", "k"]
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (2, "c2")], ["k2", "v"]
+    )
+    from spark_query_engine.operators import skew
+
+    got = sorted(
+        (r["row_id"], r["v"])
+        for r in skew.salted_join(big, small, "k", "k2", salt=4).collect()
+    )
+    want = sorted(
+        (r["row_id"], r["v"])
+        for r in big.join(small, big.k == small.k2).collect()
+    )
+    assert got == want  # multiplicity preserved (k=2 matches twice)
+
+    left = sorted(
+        (r["row_id"], r["v"])
+        for r in skew.salted_join(big, small, "k", "k2", salt=4, how="left").collect()
+    )
+    want_left = sorted(
+        (r["row_id"], r["v"])
+        for r in big.join(small, big.k == small.k2, "left").collect()
+    )
+    assert left == want_left  # unmatched big rows appear exactly once
+
+    with pytest.raises(ValueError):
+        skew.salted_join(big, small, "k", "k2", how="full")
+
+
+def test_multimodal_resize_and_features(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc")], ["doc_id", "text"]
+    )
+    payloads = MM.attach_payload(df, "doc_id", "text")
+    resized = {r["id"]: bytes(r["payload"]) for r in MM.resize(payloads, 64, 32).collect()}
+    assert resized[1][:12] == b"QEIM00640032"
+    assert resized[1][12:] == b"hello world"  # body untouched by the fake
+    feats = {r["id"]: r["features"] for r in MM.extract_features(payloads, dim=4).collect()}
+    assert len(feats[1]) == 4
+    assert abs(sum(feats[1]) - 1.0) < 1e-9  # L1-normalized
+    assert all(v >= 0 for v in feats[1])

@@ -66,3 +66,27 @@ def test_explain_string_has_three_stages(ctx, sf_dir):
     df = ctx.parquet(f"{sf_dir}/customer.parquet").project(F.col("c_custkey"))
     s = df.explain_string()
     assert "== Logical ==" in s and "== Optimized ==" in s and "== Physical ==" in s
+
+
+def test_tpch_q1_scan_prunes_and_pushes(spark):
+    """The flagship agg query reads only its 7 columns and pushes the
+    shipdate predicate into the parquet scan."""
+    from spark_query_engine.queries import queries
+
+    df = queries()["tpch_q1"](spark, "/root/testdata/sf0.001")
+    cols = set(scan_read_schema(df))
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    assert "LessThanOrEqual(l_shipdate" in pushed_filters(df)
+
+
+def test_ivf_probe_broadcasts_codebook(spark):
+    """IVF assignment must broadcast the centroid codebook — the scan
+    side never shuffles for the assignment."""
+    from spark_query_engine.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = S.ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
+    assert uses_broadcast_join(df)
