@@ -59,9 +59,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # run 1 = warmup (whole-stage-codegen compile + JIT of this
+        # query's generated classes — one-time cost, heavily load-
+        # sensitive); run 2 = the steady-state number we record
+        for is_warmup in (True, False):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if not is_warmup:
+                timings[name] = round(time.time() - t0, 3)
+            # isolate queries: drop persisted intermediates (dedup
+            # shingle caches etc.) so cache residue can't tax the next
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

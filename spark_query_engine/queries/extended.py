@@ -474,3 +474,81 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
     )
     return a.unionAll(b)
+
+
+@query(
+    "tpch_q5",
+    oracle="""
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the 6-table join. Fact-fact
+    joins (customer⋈orders⋈lineitem⋈supplier) shuffle on their keys
+    with AQE replanning; nation/region broadcast. The orderdate range
+    pushes into the orders scan."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "scalar_regexp_funcs",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+               len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+               length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels,
+               CASE WHEN regexp_matches(text, '^[A-Z]') THEN 1 ELSE 0 END
+                   AS starts_upper
+        FROM documents
+    """,
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar functions (extract / extract-all / replace /
+    match) — JVM-side regex over the corpus, the workhorse of text
+    cleaning at scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"))).cast("bigint").alias(
+            "n_numbers"
+        ),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("len_no_vowels"),
+        F.when(F.col("text").rlike(r"^[A-Z]"), 1).otherwise(0).alias("starts_upper"),
+    )

@@ -55,3 +55,34 @@ def test_json_roundtrip(ctx, tmp_path):
 def test_debug_csv_sink(ctx):
     df = ctx.memory([{"id": "1", "x": "a"}, {"id": "2", "x": "b"}]).sort("id")
     assert df.to_csv() == "1,a\n2,b\n"
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-located on the join key: the join reads both
+    sides pre-hashed, so the plan has NO shuffle Exchange — the 100 TB
+    pattern for repeatedly-joined fact tables."""
+    # spark.sql.warehouse.dir is static — tables land in the default
+    # warehouse; managed tables are dropped (files removed) in finally
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").write.bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").saveAsTable("b_orders")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").write.bucketBy(
+        8, "c_custkey"
+    ).sortBy("c_custkey").saveAsTable("b_customer")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
