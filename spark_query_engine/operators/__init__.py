@@ -32,7 +32,8 @@ from spark_query_engine.operators import (  # noqa: E402
     dedup,
     multimodal,
     similarity,
+    skew,
     textanalysis,
 )
 
-__all__ = ["dedup", "multimodal", "similarity", "textanalysis", "widen"]
+__all__ = ["dedup", "multimodal", "similarity", "skew", "textanalysis", "widen"]

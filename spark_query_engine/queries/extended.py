@@ -552,3 +552,152 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("len_no_vowels"),
         F.when(F.col("text").rlike(r"^[A-Z]"), 1).otherwise(0).alias("starts_upper"),
     )
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+        SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: fact⋈dim with a conditional
+    aggregate ratio. part broadcasts under the 64 MB threshold at
+    bench scale; the one-month shipdate range prunes the lineitem
+    scan."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: IN-subquery over a grouped
+    HAVING (Catalyst plans it as a semi join on the aggregated key) +
+    a 3-table join + top-100."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big.withColumnRenamed("l_orderkey", "big_key"),
+              F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+        WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+                   FROM events GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.d AS day, COUNT(*) AS retained
+            FROM e a JOIN e b ON a.user_id = b.user_id AND b.d = a.d + 1
+            GROUP BY a.d
+        ),
+        actives AS (SELECT d AS day, COUNT(*) AS active FROM e GROUP BY d)
+        SELECT actives.day, active, COALESCE(retained, 0) AS retained,
+               ROUND(COALESCE(retained, 0) * 1.0 / active, 6) AS retention_rate
+        FROM actives LEFT JOIN pairs ON actives.day = pairs.day
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention over the events stream: distinct (user, day)
+    → self-join on day+1 → rate per day. The canonical product-
+    analytics query; both sides of the self-join are the same deduped
+    relation, shuffled once on user_id."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).distinct()
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.d") == F.date_add(F.col("a.d"), 1)),
+        )
+        .groupBy(F.col("a.d").alias("day"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    actives = e.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("active")
+    )
+    return actives.join(pairs, "day", "left").select(
+        "day",
+        "active",
+        F.coalesce("retained", F.lit(0)).alias("retained"),
+        F.round(F.coalesce("retained", F.lit(0)) / F.col("active"), 6).alias(
+            "retention_rate"
+        ),
+    )
+
+
+@query(
+    "agg_array_collect",
+    oracle="""
+        SELECT n_nationkey,
+               list_sort(list(s_suppkey)) AS suppliers,
+               len(list(s_suppkey)) AS n_suppliers
+        FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        GROUP BY n_nationkey
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG / collect_list with a deterministic sort inside the
+    array (collect order is partition-dependent — sorting makes the
+    result engine-stable; same contract as DuckDB's list_sort)."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        n.join(s, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("s_suppkey")).alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )

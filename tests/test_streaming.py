@@ -81,3 +81,52 @@ def test_session_stream_runs(spark, events_stream):
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data contract: once a window's state is evicted (watermark
+    passed its end AND a batch has run), a later event for that window
+    is dropped.
+
+    Three files → three micro-batches (maxFilesPerTrigger=1).
+    Batch 0 advances the watermark to 12:50 (13:00 max − 10 min);
+    batch 1 finalizes + evicts the 10:00 window (emitted, count 2);
+    batch 2's 10:05 event targets the evicted window → discarded.
+    (The watermark is a lower-bound guarantee: an event later than the
+    watermark may still be accepted until eviction actually runs —
+    which is why the late file must arrive after the spacer batch.)
+    """
+    import pandas as pd
+
+    d = tmp_path / "stream"
+    d.mkdir()
+
+    def write(fname, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]).value for r in rows],  # ns long
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(d / fname)
+
+    # batch 0: window 10:00 gets 2 events; max event time 13:00
+    write("a.parquet", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00"),
+                        (3, "2024-01-01 13:00:00")])
+    # batch 1: spacer — triggers eviction of the 10:00 window
+    write("b.parquet", [(9, "2024-01-01 13:05:00")])
+    # batch 2: late event for the already-evicted 10:00 window
+    write("c.parquet", [(4, "2024-01-01 10:05:00"), (5, "2024-01-01 13:10:00")])
+
+    stream = ST.stream_from_parquet_dir(spark, str(d))
+    agg = ST.tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+    ST.run_to_memory_sink(agg, "late_out", mode="append")
+    got = {
+        r["window_start"].strftime("%H:%M"): r["n_events"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the 10:00 window closed at count 2 — the late event never landed
+    assert got.get("10:00") == 2
