@@ -25,6 +25,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 #: pipeline operators (dedup, ANN, text, events).
 HEADLINE = [
     "tpch_q1",
+    "tpch_q5",
+    "tpch_q18",
     "filter_eq_project",
     "agg_group_minmax",
     "limit_topk",
@@ -40,6 +42,9 @@ HEADLINE = [
     "text_fingerprint",
     "events_tumbling_window",
     "events_sessionize",
+    "events_retention",
+    "ann_ivf_topk",
+    "pipeline_curate",
 ]
 
 

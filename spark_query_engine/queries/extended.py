@@ -701,3 +701,103 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 50000.0
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection (multiplicity = min of the two
+    sides), completing §2.8 with the ALL variants."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_totalprice") > 50000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000.0
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference (per-row multiplicity subtraction)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 100000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+                              l_linenumber::VARCHAR), 1, 8))::BIGINT % 20 = 0
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% hash sample: md5 of the row key mod 20.
+    Unlike TABLESAMPLE/rand() this is reproducible across engines,
+    runs, and partitionings — the only defensible way to sample a
+    shared corpus (and the basis of stable train/eval splits)."""
+    l = load(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return l.where(h % 20 == 0).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+        SELECT LEAST(FLOOR(o_totalprice / 50000.0), 9)::BIGINT AS bucket,
+               COUNT(*) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucket arithmetic (portable —
+    no width_bucket dependency): one scan, one small-key aggregation.
+    The first look at any 100 TB numeric column."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast(
+        "bigint"
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
