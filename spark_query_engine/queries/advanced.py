@@ -266,3 +266,50 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         weighted, "event_type string, n bigint, weighted_avg double"
     )
+
+
+@query(
+    "udtf_bigrams",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS bigram
+            FROM words, UNNEST(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 50
+    """,
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface — SURVEY.md §2.11: a
+    generator class emitting one row per word bigram, applied with
+    LATERAL. The UDTF runs per-partition in Python workers (use
+    sparingly — explode_tokens shows the pure-JVM equivalent; this
+    query exists to exercise the extension surface itself)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                if a and b:
+                    yield (f"{a} {b}",)
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT b.bigram, COUNT(*) AS n
+        FROM docs_udtf, LATERAL bigrams_udtf(text) AS b
+        GROUP BY b.bigram
+        ORDER BY n DESC, b.bigram
+        LIMIT 50
+        """
+    )

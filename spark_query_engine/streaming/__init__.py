@@ -8,6 +8,7 @@ plus watermarking for late data and stateful sessionization.
 """
 
 from spark_query_engine.streaming.events import (
+    interval_join_streams,
     run_to_memory_sink,
     running_user_totals,
     sessionize_stream,
@@ -22,5 +23,6 @@ __all__ = [
     "sliding_counts",
     "sessionize_stream",
     "running_user_totals",
+    "interval_join_streams",
     "run_to_memory_sink",
 ]

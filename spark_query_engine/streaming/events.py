@@ -169,6 +169,42 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events of the same key whose timestamp falls in
+    [left.ts, left.ts + within]. Both sides carry watermarks + the
+    time-range condition, so Spark can bound the join state buffer on
+    both sides and evict matched/expired rows — without them, a
+    stream-stream join's state grows forever.
+
+    The classic attribution shape (impression → click within an
+    hour); at scale the state store is partitioned by the join key.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    ).withWatermark("l_ts", left_watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    ).withWatermark("r_ts", right_watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming query to completion over the currently
     available input (availableNow semantics via processAllAvailable)
