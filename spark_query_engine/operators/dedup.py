@@ -206,12 +206,13 @@ def minhash_near_duplicates(
     → candidate equi-join → exact-Jaccard verify.
 
     The shingle relation feeds both the signature aggregation and the
-    verification join, so it is persisted — otherwise every reference
-    re-executes the scan+explode lineage. At cluster scale the same
-    pattern applies with MEMORY_AND_DISK (the default) or a
+    verification join, and the signature relation feeds both sides of
+    the band self-join — both are persisted, otherwise every reference
+    re-executes the scan+explode(+agg) lineage. At cluster scale the
+    same pattern applies with MEMORY_AND_DISK (the default) or a
     checkpoint between the candidate and verify stages."""
     sh = word_shingles(df, id_col, text_col, shingle_k).persist()
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures(sh, num_hashes).persist()
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     return verify_jaccard(sh, cand, threshold)
 
