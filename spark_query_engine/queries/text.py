@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_query_engine.operators import textanalysis as TA
 from spark_query_engine.queries import load, query
@@ -121,3 +122,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw / normalized / token-set md5 fingerprints (exact,
     near-layout, and bag-of-words dedup keys)."""
     return TA.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(string_split_regex(text, ''),
+                                  x -> ascii(x)::BIGINT),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS content_hash,
+               list_reduce(
+                   list_transform(string_split_regex(substr(text, 1, 100), ''),
+                                  x -> ascii(x)::BIGINT),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS prefix_hash
+        FROM documents
+        WHERE length(text) > 0
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprints (base 31 mod 1e9+7,
+    engine-exact 64-bit arithmetic): whole-content hash + first-100-
+    char prefix hash (the near-layout dedup key — catches documents
+    differing only in their tails). A pure fold inside codegen; at
+    corpus scale this replaces md5 when the hash must be updatable
+    incrementally (rolling windows over byte streams)."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+
+    def roll(col):
+        return F.aggregate(
+            F.split(col, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % 1000000007,
+        )
+
+    return d.select(
+        "doc_id",
+        roll(F.col("text")).alias("content_hash"),
+        roll(F.substring("text", 1, 100)).alias("prefix_hash"),
+    )
