@@ -801,3 +801,54 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_orderstatus, o_orderkey) AS latest_status,
+               arg_max(o_totalprice, o_orderkey) AS latest_price,
+               arg_min(o_orderdate, o_orderkey) AS first_date
+        FROM orders
+        GROUP BY o_custkey
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / MIN_BY (argmax aggregation) — 'the value of X at the
+    row where Y is extreme'. Deterministic because the ordering key
+    (o_orderkey) is unique; one hash aggregation, no window needed —
+    the cheap way to get latest-per-key at 100 TB (vs a row_number
+    window, which must sort every group)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderstatus", "o_orderkey").alias("latest_status"),
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
+        F.min_by("o_orderdate", "o_orderkey").alias("first_date"),
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+        SELECT o_orderkey, kind, val FROM (
+            SELECT o_orderkey, o_totalprice AS price,
+                   o_custkey::DOUBLE AS cust
+            FROM orders WHERE o_orderkey < 1000
+        ) UNPIVOT (val FOR kind IN (price, cust))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide → long reshape, the inverse of agg_pivot).
+    A per-row expansion — no shuffle; columns become (kind, val)
+    pairs."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_custkey").cast("double").alias("cust"),
+        )
+    )
+    return o.unpivot("o_orderkey", ["price", "cust"], "kind", "val")
