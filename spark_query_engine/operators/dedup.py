@@ -365,6 +365,66 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- duplicate clustering (connected components) -----------------------------
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: every node gets
+    the MIN id reachable from it. Iterative min-label propagation —
+    each round, a node adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds (near-dup
+    clusters are shallow; for adversarial long-chain graphs switch to
+    large-star/small-star, which is O(log n) rounds of the same
+    join+min shape).
+
+    Per round: one equi-join (labels ⋈ edges) + one min-aggregation,
+    both shuffled on node id. Labels persist per round and the
+    previous round unpersists; ``localCheckpoint`` every 5 rounds
+    truncates the growing lineage (a real cluster job uses reliable
+    checkpointing). The convergence test is a scalar count — the only
+    driver-side value, as in any iterative distributed algorithm.
+
+    Returns (id, component) for every node appearing in ``pairs``.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        sym.select(F.col("u").alias("n"))
+        .distinct()
+        .withColumn("label", F.col("n"))
+        .persist()
+    )
+    for i in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["n"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels["n"] == nbr["u"], "left")
+            .select(
+                "n",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        if i % 5 == 4:
+            new = new.localCheckpoint()
+        changed = new.where(F.col("label") < F.col("old_label")).count()
+        labels.unpersist()
+        labels = new.select("n", "label")
+        if changed == 0:
+            break
+    out = labels.select(F.col("n").alias("id"), F.col("label").alias("component"))
+    sym.unpersist()
+    return out
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 

@@ -165,6 +165,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_components",
+    oracle=f"""
+        WITH RECURSIVE
+        {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+        )
+        SELECT n AS id, MIN(m) AS component FROM reach GROUP BY n
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via iterative min-label
+    propagation (connected components): the step that turns pairwise
+    similarity into keep-one-per-group dedup decisions. The oracle
+    computes the same components by recursive transitive closure —
+    feasible at test scale, while the Spark path (join+min per round)
+    is the distributed algorithm."""
+    pairs = D.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.6,
+    ).select("id_a", "id_b")
+    return D.connected_components(pairs)
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
         WITH v AS (

@@ -229,3 +229,15 @@ def test_multimodal_resize_and_features(spark):
     assert len(feats[1]) == 4
     assert abs(sum(feats[1]) - 1.0) < 1e-9  # L1-normalized
     assert all(v >= 0 for v in feats[1])
+
+
+def test_connected_components_clusters(spark):
+    # two chains and an isolated pair: {1,2,3,9}, {5,6}, {7,8}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 7), (9, 1)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7, 8: 7}
