@@ -180,3 +180,55 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        v AS (SELECT user_id, MIN(ts) AS vts FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS cts
+              FROM ev e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.vts
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS pts
+              FROM ev e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.cts
+              GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+               (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+               (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage
+    keeps users whose stage event occurs at/after their previous
+    stage's first event. Three shuffles on user_id (the natural
+    partition key); each stage's relation shrinks, so the joins get
+    cheaper down the funnel."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )

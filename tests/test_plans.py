@@ -90,3 +90,15 @@ def test_ivf_probe_broadcasts_codebook(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     df = S.ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
     assert uses_broadcast_join(df)
+
+
+def test_window_topk_uses_group_limit(spark):
+    """rank<=k windows must plan WindowGroupLimit (per-partition top-k
+    before the shuffle — the difference between sorting k rows and
+    sorting every group at 100 TB)."""
+    from spark_query_engine.queries import queries
+    from spark_query_engine.plans import format_plan
+
+    df = queries()["window_topk_per_group"](spark, "/root/testdata/sf0.001")
+    plan = format_plan(df, "physical")
+    assert "WindowGroupLimit" in plan
