@@ -98,10 +98,17 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: BPE-style pre-tokenizer: letter runs | digit runs | single
+#: punctuation — the GPT-2-ish split that precedes merge rules. The
+#: character-class-only pattern behaves identically under Java regex
+#: (Spark) and RE2 (DuckDB).
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Token counting: whitespace tokens plus a BPE-ish subword
-    estimate (each token contributes ceil(len/4) pieces — the common
-    ~4-chars-per-token heuristic), all integer-exact."""
+    """Token counting: whitespace tokens, a BPE-style regex
+    pre-tokenizer count, and a ceil(len/4) subword estimate (the
+    ~4-chars-per-token heuristic) — all integer-exact."""
     toks = _tokens(text_col)
     bpe_ish = F.aggregate(
         F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
@@ -111,6 +118,9 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return widen(df).select(
         F.col(id_col).alias("id"),
         F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_RE), 0))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
         bpe_ish.alias("n_bpe_ish_tokens"),
         F.ceil(F.length(text_col) / 4.0).cast("bigint").alias("n_char4_tokens"),
     )

@@ -90,11 +90,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_counts",
     oracle="""
         WITH t AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS toks, length(text) AS n
+            SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+                   length(text) AS n
             FROM documents
         )
         SELECT doc_id AS id,
                CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT) AS n_regex_tokens,
                CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
                    AS n_bpe_ish_tokens,
                CAST(ceil(n / 4.0) AS BIGINT) AS n_char4_tokens
