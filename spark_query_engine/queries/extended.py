@@ -852,3 +852,32 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unpivot("o_orderkey", ["price", "cust"], "kind", "val")
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROUND(AVG(o_totalprice) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        FROM orders
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (7-row moving average) — constant per-row
+    state regardless of partition size, unlike the growing unbounded
+    frame in window_running_sum. Deterministic via the unique
+    o_orderkey in the ORDER BY."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma7"),
+    )

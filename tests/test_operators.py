@@ -241,3 +241,25 @@ def test_connected_components_clusters(spark):
         for r in D.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_ngram_jaccard_hashed_matches_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    hashed = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, hash_shingles=True
+        ).collect()
+    }
+    assert exact == hashed and len(exact) == 1

@@ -102,3 +102,27 @@ def test_window_topk_uses_group_limit(spark):
     df = queries()["window_topk_per_group"](spark, "/root/testdata/sf0.001")
     plan = format_plan(df, "physical")
     assert "WindowGroupLimit" in plan
+
+
+def test_sql_broadcast_hint_forces_broadcast(spark, sf_dir):
+    """The /*+ BROADCAST */ hint must override the size-threshold
+    decision — the escape hatch when statistics undersell a side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+            "c_hint"
+        )
+        spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+            "n_hint"
+        )
+        df = spark.sql(
+            """
+            SELECT /*+ BROADCAST(n_hint) */ c_custkey, n_name
+            FROM c_hint JOIN n_hint ON c_nationkey = n_nationkey
+            """
+        )
+        assert uses_broadcast_join(df)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
