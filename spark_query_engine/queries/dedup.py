@@ -231,3 +231,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_duplicates(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS corpus_id, b.doc_id AS new_id, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle
+             AND a.doc_id < 250 AND b.doc_id >= 250
+            GROUP BY 1, 2
+        )
+        SELECT corpus_id, new_id,
+               ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = corpus_id
+        JOIN sizes zb ON zb.doc_id = new_id
+        WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW batch (doc_id ≥
+    250 here) is checked against the EXISTING corpus (doc_id < 250)
+    without re-comparing the corpus to itself. The shingle equi-join
+    is one-sided (new ⋈ corpus), so per-batch cost is O(batch), not
+    O(corpus): at 100 TB the corpus side is a pre-built shingle/
+    signature index read from storage, and only the batch side is
+    computed fresh."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", 3).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    corpus = sh.where(F.col("id") < 250).alias("a")
+    new = sh.where(F.col("id") >= 250).alias("b")
+    inter = (
+        corpus.join(new, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.id").alias("corpus_id"), F.col("b.id").alias("new_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("za.id") == F.col("corpus_id"))
+        .join(sizes.alias("zb"), F.col("zb.id") == F.col("new_id"))
+        .select(
+            "corpus_id",
+            "new_id",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.6)
+    )

@@ -881,3 +881,32 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round(F.avg("o_totalprice").over(w), 4).alias("ma7"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+               ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'),
+                     2) AS urgent_total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause on aggregates — per-aggregate predicates in
+    one pass over the input (vs scanning once per conditional sum)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_fc")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+               ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'),
+                     2) AS urgent_total
+        FROM orders_fc
+        GROUP BY o_orderstatus
+        """
+    )
