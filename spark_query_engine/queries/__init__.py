@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
         analytics,
         advanced,
         extended,
+        tpch_suite,
         pipeline,
         dedup,
         similarity,

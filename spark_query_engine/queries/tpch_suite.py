@@ -1,0 +1,317 @@
+"""Remaining TPC-H query shapes, adapted to the driver's reduced star
+schema (no partsupp table, no commit/receipt dates, no phone column —
+see TESTDATA.md). Each query exercises a distinct optimizer pattern
+the rest of the catalog doesn't cover:
+
+- q4: correlated EXISTS with a non-equi date condition → left semi join
+- q13: outer-join two-level aggregation (distribution of counts)
+- q15: CTE revenue view + scalar MAX subquery over the same aggregate
+- q17: correlated per-group AVG subquery → decorrelated broadcast join
+- q19: OR-of-ANDs multi-column predicate (pushdown + single scan)
+- q21: stacked correlated EXISTS / NOT EXISTS on the same fact table
+- q22: NOT EXISTS anti join + uncorrelated scalar AVG subquery
+
+Scale notes (100 TB design): every one of these decorrelates to a
+join — Catalyst's RewritePredicateSubquery / RewriteCorrelatedScalar
+Subquery guarantee there is no per-row re-execution anywhere. The
+per-part AVG in q17 and the per-supplier EXISTS probes in q21 shuffle
+on the correlation key only once; AQE converts filtered probe sides to
+broadcast when they fit. The reference has no subqueries at all (no
+SQL parser, closed plan enum at src/logical_plan/mod.rs:12-18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_query_engine.queries import load, query
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: ship-lag instead of the absent commit/receipt
+    dates) — correlated EXISTS with a non-equi condition. Catalyst
+    rewrites it to a left semi join on l_orderkey with the date
+    comparison as a join residual; the order-date range filter pushes
+    to the orders parquet scan."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q4 o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem_q4 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — customer order-count distribution. Left outer join
+    with a pushed join-side predicate (the priority filter applies to
+    the orders side BEFORE the join, preserving zero-order customers),
+    then a second aggregation over the first's output. The second
+    shuffle is tiny (one row per distinct count) — re-aggregation cost
+    is independent of table size."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier by quarterly revenue. The revenue CTE
+    is computed once and reused for both the probe and the scalar MAX
+    (Spark reuses the exchange; the MAX side collapses to one row and
+    broadcasts). Revenue is rounded identically on both sides BEFORE
+    the max-equality comparison so the selection itself is robust to
+    cross-engine summation order."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+              SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: brand-only filter, no container column) —
+    small-quantity-order revenue. The correlated per-part AVG is
+    decorrelated explicitly: aggregate lineitem by partkey once, then
+    equi-join that (small — one row per part) back to the filtered
+    fact rows as a broadcast. One shuffle over the correlation key
+    instead of a per-row subquery."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_qty), l.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle="""
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted: no container/shipmode columns) — disjunctive
+    multi-table predicate. The single-table conjuncts each OR branch
+    shares (brand IN (...), quantity/size bounds) are derivable by
+    Catalyst's predicate inference, and the part side filters to a few
+    brands → broadcast; the OR residual evaluates post-join in one
+    codegen stage, never as three scans."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(branch).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: returnflag='R' stands in for the absent
+    receipt>commit lateness predicate) — suppliers who were the ONLY
+    returned-flag supplier on a multi-supplier finalized order.
+    Stacked correlated EXISTS (→ left semi) and NOT EXISTS (→ left
+    anti) against the same fact table; both probes join on l_orderkey
+    with the suppkey inequality as a residual, so lineitem is shuffled
+    on orderkey once per probe, not re-scanned per row."""
+    for name, t in [
+        ("supplier_q21", "supplier"),
+        ("lineitem_q21", "lineitem"),
+        ("orders_q21", "orders"),
+    ]:
+        load(spark, sf_dir, t).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier_q21 s
+        JOIN lineitem_q21 l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders_q21 o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+        SELECT c.c_mktsegment, COUNT(*) AS numcust,
+               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: mktsegment stands in for the absent phone
+    country code) — positive-balance customers above the average with
+    no recent (year-2000+) orders. The uncorrelated AVG computes once and broadcasts
+    into the filter; NOT EXISTS becomes a left anti join against a
+    1-column projection of orders."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS numcust,
+               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+        FROM customer_q22 c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_q22 c2
+                             WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_mktsegment
+        """
+    )
