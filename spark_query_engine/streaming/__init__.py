@@ -8,6 +8,7 @@ plus watermarking for late data and stateful sessionization.
 """
 
 from spark_query_engine.streaming.events import (
+    dedup_stream,
     interval_join_streams,
     run_to_memory_sink,
     running_user_totals,
@@ -15,6 +16,7 @@ from spark_query_engine.streaming.events import (
     sliding_counts,
     stream_from_parquet_dir,
     tumbling_counts,
+    write_foreach_batch_parquet,
 )
 
 __all__ = [
@@ -24,5 +26,7 @@ __all__ = [
     "sessionize_stream",
     "running_user_totals",
     "interval_join_streams",
+    "dedup_stream",
+    "write_foreach_batch_parquet",
     "run_to_memory_sink",
 ]

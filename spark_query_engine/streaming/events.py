@@ -205,6 +205,53 @@ def interval_join_streams(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingestion-time twin of the
+    batch ``dedup_exact`` operator (at-least-once sources like Kafka
+    redeliver; this makes the pipeline effectively-once).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state-store entry per
+    key only until the event-time watermark passes that key's first
+    arrival + the watermark delay, so state is bounded by the key rate
+    within the dedup horizon — NOT by stream lifetime. Plain
+    ``dropDuplicates`` on a stream would grow state forever; this is
+    the 100 TB-safe variant.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def write_foreach_batch_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Production sink shape: ``foreachBatch`` hands each micro-batch
+    to arbitrary batch-writer logic (here: append parquet; in
+    production: MERGE into a lakehouse table, upsert to a store, ...).
+    Combined with the checkpoint, batch_id gives exactly-once:
+    replayed batches carry the same id so an idempotent writer can
+    skip them. Drains currently-available input and returns the
+    finished query."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming query to completion over the currently
     available input (availableNow semantics via processAllAvailable)

@@ -132,6 +132,55 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got.get("10:00") == 2
 
 
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same event_id redelivered in
+    a later micro-batch (within the watermark horizon) is emitted only
+    once — the at-least-once → effectively-once ingestion contract."""
+    import pandas as pd
+
+    d = tmp_path / "dupstream"
+    d.mkdir()
+
+    def write(fname, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]).value for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(d / fname)
+
+    write("a.parquet", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")])
+    # batch 1 redelivers id 1 and 2 (same + slightly different ts) + a new id
+    write("b.parquet", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:02:00"),
+                        (3, "2024-01-01 10:03:00")])
+
+    stream = ST.stream_from_parquet_dir(spark, str(d))
+    deduped = ST.dedup_stream(stream, keys=("event_id",), watermark="1 hour")
+    ST.run_to_memory_sink(
+        deduped.select("event_id"), "dedup_out", mode="append"
+    )
+    ids = [r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()]
+    assert sorted(ids) == [1, 2, 3]
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path, events_stream):
+    """foreachBatch sink: every input row lands in the output parquet
+    exactly once, stamped with its micro-batch id."""
+    out = tmp_path / "sink_out"
+    ckpt = tmp_path / "sink_ckpt"
+    ST.write_foreach_batch_parquet(
+        events_stream.select("event_id"), str(out), str(ckpt)
+    )
+    written = spark.read.parquet(str(out))
+    assert "batch_id" in written.columns
+    assert written.count() == load(spark, sf_dir, "events").count()
+    assert written.select("event_id").distinct().count() == written.count()
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
     """Stream-stream interval join (click within 1h of a view, same
     user) must equal the identical batch join over the same data."""
