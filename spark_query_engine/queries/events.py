@@ -232,3 +232,62 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
+
+
+@query(
+    "events_rollup_granularity",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE})
+        SELECT CASE WHEN GROUPING(bucket_hour) = 0 THEN 'hour' ELSE 'day' END
+                   AS granularity,
+               COALESCE(bucket_hour, bucket_day) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM (
+            SELECT date_trunc('hour', ts) AS bucket_hour,
+                   date_trunc('day', ts) AS bucket_day,
+                   event_type, value
+            FROM ev
+        )
+        GROUP BY GROUPING SETS ((bucket_hour, event_type),
+                                (bucket_day, event_type))
+    """,
+)
+def events_rollup_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over the
+    raw events produces BOTH the hourly and the daily materialization
+    via GROUPING SETS on two time buckets — instead of two scans (or
+    rolling daily up from hourly with a second shuffle). The
+    GROUPING() bit disambiguates which granularity a row belongs to.
+    At 100 TB this is the maintenance query of a time-series rollup
+    table: partial aggregation is per-granularity map-side, and the
+    output is tiny (one row per bucket × type)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        F.date_trunc("day", "ts").alias("bucket_day"),
+        "event_type",
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["bucket_hour", "event_type"], ["bucket_day", "event_type"]],
+            "bucket_hour",
+            "bucket_day",
+            "event_type",
+        )
+        .agg(
+            F.when(F.grouping("bucket_hour") == 0, F.lit("hour"))
+            .otherwise(F.lit("day"))
+            .alias("granularity"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "granularity",
+            F.coalesce("bucket_hour", "bucket_day").alias("bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -126,3 +126,18 @@ def test_sql_broadcast_hint_forces_broadcast(spark, sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_correlated_subqueries_decorrelate_to_semi_anti(spark):
+    """The TPC-H subquery suite must lower to joins, never per-row
+    re-execution: q4's EXISTS → LeftSemi with the non-equi date
+    residual; q21's stacked EXISTS/NOT EXISTS → LeftSemi + LeftAnti
+    probes on l_orderkey (RewritePredicateSubquery)."""
+    from spark_query_engine.queries import queries
+    from spark_query_engine.plans import format_plan
+
+    sf = "/root/testdata/sf0.001"
+    q4 = format_plan(queries()["tpch_q4"](spark, sf), "physical")
+    assert "LeftSemi" in q4
+    q21 = format_plan(queries()["tpch_q21"](spark, sf), "physical")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
