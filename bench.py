@@ -45,6 +45,11 @@ HEADLINE = [
     "events_retention",
     "ann_ivf_topk",
     "pipeline_curate",
+    # subquery/decorrelation suite + hypertable rollup
+    "tpch_q4",
+    "tpch_q13",
+    "tpch_q17",
+    "events_rollup_granularity",
 ]
 
 
