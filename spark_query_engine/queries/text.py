@@ -164,3 +164,59 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll(F.col("text")).alias("content_hash"),
         roll(F.substring("text", 1, 100)).alias("prefix_hash"),
     )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_distinct(string_split(lower(text), ' ')) AS tokset
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, text, {_LANG_SCORES}
+            FROM t
+        ),
+        langed AS (
+            SELECT doc_id, text,
+                   CASE
+                       WHEN greatest(score_en, score_es, score_de, score_fr) = 0
+                           THEN 'und'
+                       WHEN score_en = greatest(score_en, score_es, score_de, score_fr)
+                           THEN 'en'
+                       WHEN score_es = greatest(score_en, score_es, score_de, score_fr)
+                           THEN 'es'
+                       WHEN score_de = greatest(score_en, score_es, score_de, score_fr)
+                           THEN 'de'
+                       ELSE 'fr'
+                   END AS predicted_lang
+            FROM s
+        )
+        SELECT doc_id AS id, predicted_lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                   AS bucket
+        FROM langed
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 <
+              CASE WHEN predicted_lang = 'en' THEN 10 ELSE 50 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling — the corpus-balance
+    op: downsample the dominant language (en → 10%) while keeping
+    minority languages at 50%. The per-row hash bucket is md5-derived,
+    so the sample is reproducible across engines, runs, and
+    partitionings (rand()/TABLESAMPLE are neither), and the rate table
+    is a per-stratum CASE — at 100 TB this is one codegen'd scan with
+    zero shuffle (langid + hash + filter are all row-local)."""
+    langed = TA.language_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    ).alias("bucket")
+    rate = F.when(F.col("predicted_lang") == "en", 10).otherwise(50)
+    return (
+        langed.select("id", "predicted_lang", bucket)
+        .where(F.col("bucket") < rate)
+    )
