@@ -50,6 +50,8 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q17",
     "events_rollup_granularity",
+    "tpch_q7",
+    "tpch_q8",
 ]
 
 

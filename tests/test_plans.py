@@ -141,3 +141,19 @@ def test_correlated_subqueries_decorrelate_to_semi_anti(spark):
     assert "LeftSemi" in q4
     q21 = format_plan(queries()["tpch_q21"](spark, sf), "physical")
     assert "LeftSemi" in q21 and "LeftAnti" in q21
+
+
+def test_q7_q8_broadcast_dims_no_cartesian(spark):
+    """Q7/Q8 plan shape: the nation/region/part dims must land as
+    BroadcastHashJoin probes (never shuffles of the fact side against
+    a 25-row table), and the bi-directional nation-pair disjunction in
+    q7 must not degrade to a cartesian product."""
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("tpch_q7", "tpch_q8"):
+        plan = format_plan(queries()[name](spark, sf), "physical")
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
