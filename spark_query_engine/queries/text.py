@@ -220,3 +220,66 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         langed.select("id", "predicted_lang", bucket)
         .where(F.col("bucket") < rate)
     )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS cnt
+            FROM toks WHERE term <> ''
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        ranked AS (
+            SELECT tf.doc_id, tf.term, tf.cnt, df.df,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.cnt::DOUBLE * n.n_docs) / df.df DESC,
+                                tf.term
+                   ) AS rnk
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id AS id, term, cnt, df, rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-3 highest-scoring terms per document. The
+    score is kept RATIONAL — (cnt * N_docs) / df, a single IEEE divide
+    of small integers — so ranking is bit-identical across engines (a
+    log()-based idf would differ in the last ulp between libm and
+    java.lang.Math and flip near-ties); doc length is constant within
+    a ranking partition so omitting it preserves the per-doc order.
+    Three shuffles total at any scale: tf on (doc_id, term) with
+    map-side combine, df derived from tf (one row per distinct
+    (doc,term), so no COUNT DISTINCT expansion), tf⋈df on term (AQE
+    re-plans if the vocabulary side fits broadcast), and the per-doc
+    top-k window on doc_id. N_docs is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        ((F.col("cnt").cast("double") * F.col("n_docs")) / F.col("df")).desc(),
+        "term",
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(F.col("doc_id").alias("id"), "term", "cnt", "df", "rnk")
+    )
