@@ -82,6 +82,27 @@ def cosine_topk(
     return out.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
 
 
+def cosine_range(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    threshold: float,
+) -> DataFrame:
+    """Radius search: every vector whose cosine similarity to the
+    query is >= threshold. Same plan shape as cosine_topk minus the
+    top-k heap — scan -> project -> filter, zero shuffle; output size
+    is data-dependent, so at 100 TB this streams straight to a sink
+    instead of an ordered collect. The threshold compares the ROUNDED
+    similarity so the boundary is reproducible across engines."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = widen(df).select(
+        F.col(id_col).alias("id"),
+        F.round(cosine(_as_double(vec_col), q), 6).alias("cos_sim"),
+    )
+    return out.where(F.col("cos_sim") >= threshold)
+
+
 def ivf_assign(
     df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8
 ) -> DataFrame:

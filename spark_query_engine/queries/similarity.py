@@ -96,3 +96,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_lsh(
         emb, "vec_id", "embedding", qv, _PLANES, k=5, exclude_id=0
     )
+
+
+@query(
+    "ann_range_search",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id AS id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+          AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+              >= 0.2
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine radius search: ALL vectors within similarity >= 0.2 of
+    vec_id 0 — the retrieval twin of top-k (top-k bounds result count,
+    radius bounds result quality). Broadcast query vector, one scan,
+    filter — zero shuffle, and unlike top-k there is no ordered
+    collect, so the result streams to a sink at any scale."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return S.cosine_range(emb, "vec_id", "embedding", qv, threshold=0.2)
