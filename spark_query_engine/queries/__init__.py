@@ -87,6 +87,69 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+#: Family priority for the driver-verification window. The driver's
+#: CORRECTNESS gate checks only the FIRST ~50 registry entries per
+#: round, so ordering is a verification-coverage decision: queries with
+#: no driver-green row yet go first, ranked by family value (the
+#: LLM-pipeline operators and TPC-H patterns before the long extended
+#: tail), and everything a past round already verified rotates to the
+#: back. Driven by the committed CORRECTNESS_r*.json files, so each
+#: round's greens automatically free window slots for the next round.
+_FAMILY_PRIORITY = (
+    ("dedup_", 1),
+    ("ann_", 2),
+    ("text_", 3),
+    ("sample_", 3),
+    ("multimodal_", 4),
+    ("events_", 5),
+    ("pipeline_", 6),
+    ("join_salted", 6),
+    ("tpch_", 7),
+)
+
+
+def _family_rank(name: str) -> int:
+    for prefix, rank in _FAMILY_PRIORITY:
+        if name.startswith(prefix):
+            return rank
+    return 8  # unverified misc (extended tail, new additions)
+
+
+def _driver_verified() -> set[str]:
+    """Names with a green row (hash_match, or rows-only for no-oracle
+    queries) in any committed CORRECTNESS_r*.json at the repo root."""
+    import json
+    from pathlib import Path
+
+    verified: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                verified.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                verified.add(name)  # rows-only is the strongest check it gets
+    return verified
+
+
+def _reorder_registry() -> None:
+    verified = _driver_verified()
+    order = list(REGISTRY.items())
+    ranked = sorted(
+        range(len(order)),
+        key=lambda i: (order[i][0] in verified, _family_rank(order[i][0]), i),
+    )
+    REGISTRY.clear()
+    for i in ranked:
+        name, q = order[i]
+        REGISTRY[name] = q
+
 
 def _ensure_loaded() -> None:
     """Import all query modules (they self-register via @query)."""
@@ -108,4 +171,5 @@ def _ensure_loaded() -> None:
         events,
     )
 
+    _reorder_registry()
     _LOADED = True

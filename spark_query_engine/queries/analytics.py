@@ -175,30 +175,32 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_funcs",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               ABS(l_discount - 0.05) AS abs_disc,
+               ROUND(ABS(l_discount - 0.05), 6) AS abs_disc,
                ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
-               CEIL(l_quantity / 7.0) AS ceil_qty,
-               FLOOR(l_quantity / 7.0) AS floor_qty,
+               CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS ceil_qty,
+               CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS floor_qty,
                CAST(l_linenumber % 3 AS INT) AS line_mod,
                ROUND(LN(l_extendedprice), 6) AS ln_price,
-               POWER(2.0, CAST(l_linenumber AS DOUBLE)) AS pow2
+               ROUND(POWER(2.0, CAST(l_linenumber AS DOUBLE)), 6) AS pow2
         FROM lineitem
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function surface. ROUND guards the transcendentals
-    (sqrt/ln) against cross-engine libm last-bit differences."""
+    (sqrt/ln) against cross-engine libm last-bit differences; CEIL/FLOOR
+    are pinned to BIGINT on BOTH sides (Spark returns LongType, DuckDB
+    returns DOUBLE — the driver hashes typed values, so 28 != 28.0)."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
         F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
-        F.ceil(F.col("l_quantity") / 7.0).alias("ceil_qty"),
-        F.floor(F.col("l_quantity") / 7.0).alias("floor_qty"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("ceil_qty"),
+        F.floor(F.col("l_quantity") / 7.0).cast("bigint").alias("floor_qty"),
         (F.col("l_linenumber") % 3).alias("line_mod"),
         F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
-        F.pow(F.lit(2.0), F.col("l_linenumber").cast("double")).alias("pow2"),
+        F.round(F.pow(F.lit(2.0), F.col("l_linenumber").cast("double")), 6).alias("pow2"),
     )
 
 

@@ -511,10 +511,10 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     oracle="""
         SELECT o.o_orderpriority,
-               SUM(CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END)
-                   AS high_line_count,
-               SUM(CASE WHEN l.l_quantity < 25 THEN 1 ELSE 0 END)
-                   AS low_line_count
+               CAST(SUM(CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN l.l_quantity < 25 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS low_line_count
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'

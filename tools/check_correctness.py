@@ -26,7 +26,18 @@ TABLES = [
 
 
 def normalize(df):
-    """Column-name-sorted, row-sorted pandas frame with hashable cells."""
+    """Column-name-sorted, row-sorted pandas frame with hashable cells.
+
+    Representation (not kind) is unified to mirror the driver's hash,
+    which r01 shows is width/representation-insensitive but KIND-
+    sensitive: int32 vs int64 and date-object vs datetime64 both
+    hashed equal (window_topk_per_group, scalar_date_funcs were
+    driver-green with those skews), while int vs float failed
+    (scalar_math_funcs, 28 != 28.0). So: integer widths -> int64,
+    float32 -> float64, dates -> datetime64[ns] — all value-preserving
+    — and any remaining dtype mismatch is a FAILURE in compare()."""
+    import datetime
+
     import pandas as pd
 
     df = df[sorted(df.columns)].copy()
@@ -36,8 +47,21 @@ def normalize(df):
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v
             )
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(
+                isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+                for v in nonnull
+            ):
+                df[c] = pd.to_datetime(df[c])
+        kind = df[c].dtype.kind
+        if kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif kind == "f" and df[c].dtype != "float64":
+            df[c] = df[c].astype("float64")
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # unify resolution (Arrow gives us/ns depending on source) —
+            # value-preserving, so this cannot mask a driver hash mismatch
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -50,15 +74,15 @@ def compare(spark_pdf, duck_pdf) -> tuple[bool, str]:
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes TYPED values (28 != 28.0): a dtype mismatch
+        # between the Spark and DuckDB frames is a failure here too —
+        # never coerce, or the local gate passes what the driver fails.
+        if av.dtype != bv.dtype:
+            return False, f"col {c}: dtype spark={av.dtype} duck={bv.dtype}"
         try:
             import pandas.testing as pt
 
-            pt.assert_series_equal(
-                av.astype(bv.dtype) if av.dtype != bv.dtype else av,
-                bv,
-                check_names=False,
-                check_exact=True,
-            )
+            pt.assert_series_equal(av, bv, check_names=False, check_exact=True)
         except Exception as e:
             return False, f"col {c}: {str(e).splitlines()[0] if str(e) else type(e).__name__}"
     return True, "ok"
