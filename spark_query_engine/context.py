@@ -61,6 +61,12 @@ class ExecutionContext:
             reader = reader.schema(schema)
         return Dataframe(reader.json(path))
 
+    def orc(self, path: str) -> Dataframe:
+        """ORC source — same columnar pushdown story as parquet
+        (projection/predicate pushdown are native in Spark's ORC
+        reader)."""
+        return Dataframe(self.spark.read.orc(path))
+
     def memory(self, data: Iterable, schema=None) -> Dataframe:
         """In-memory table (reference: InMemoryDataSource,
         src/datasources/mod.rs:250-313 — there a fixed schema +

@@ -134,6 +134,9 @@ class Dataframe:
     def write_json(self, path: str, mode: str = "overwrite") -> None:
         self._sdf.write.mode(mode).json(path)
 
+    def write_orc(self, path: str, mode: str = "overwrite") -> None:
+        self._sdf.write.mode(mode).orc(path)
+
     def to_csv(self) -> str:
         """Debug CSV serialization of the full result — the engine's
         analogue of the reference's RecordBatch::to_csv

@@ -21,9 +21,19 @@ def widen(df: DataFrame, min_factor: int = 1) -> DataFrame:
     serialize CPU-heavy expressions onto one core; a real cluster scan
     has splits ≫ cores, making this a no-op there — it only guards the
     under-partitioned case, never collapses a well-partitioned scan.
+
+    The guard reads ``df.inputFiles()`` (leaf-scan metadata, no job,
+    no RDD lineage — ``df.rdd.getNumPartitions()`` would force a full
+    physical re-plan per call) as the split-count proxy: file count
+    under-approximates splits only for multi-split large files, and a
+    table that large does not need widening in the first place.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits < target:
         return df.repartition(target)
     return df
 

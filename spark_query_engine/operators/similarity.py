@@ -64,6 +64,137 @@ def lsh_bucket(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+) -> DataFrame:
+    """Split ``planes`` into ``bands`` contiguous groups and compute one
+    sign-pattern key per band: (id, band, key). The banded OR-construction
+    (any band matching => candidate) is what turns single-bucket LSH into
+    a near-duplicate JOIN key."""
+    per = len(planes) // bands
+    v = widen(df).select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    # One 2-D literal + a single transform over it: all |planes| dot
+    # products compile to ONE codegen loop, instead of |planes|
+    # independent fold expressions (which made Janino compile seconds
+    # of code for 32+ planes). F.lit on the nested list builds a SINGLE
+    # Literal node — an F.array(F.array(...)) tree of |planes|*dim
+    # nodes made every optimizer rule walk thousands of nodes (~7 s of
+    # driver-side planning for 32x64). Per-plane arithmetic is the
+    # identical sequential zip_with/fold of _bucket_expr.
+    planes_lit = F.lit([[float(w) for w in p] for p in planes])
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(F.col("vec"), p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    signs = F.transform(
+        dots, lambda d: F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    )
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(per)])
+    keys = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(signs, b * per + 1, per),
+                    weights,
+                    lambda s, w: s * w,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for b in range(bands)
+        ]
+    )
+    sig = v.select("id", keys.alias("keys"))
+    return sig.select("id", F.posexplode(F.col("keys")).alias("band", "key"))
+
+
+def banded_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes: list[list[float]],
+    bands: int,
+    probe_flips: int = 1,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded LSH blocking + exact verify.
+
+    Plan shape (the point of this operator — contrast the all-pairs
+    ``dedup.embedding_near_duplicates`` theta-join, which plans as a
+    nested-loop cartesian product):
+
+      1. signatures: one scan, ``len(planes)`` codegen'd dot-product
+         folds per row -> (id, band, key) — no Python, no shuffle.
+      2. candidates: EQUI-join on (band, key) — a shuffle hash join
+         partitioned by bucket, the join shape that scales out. The
+         probe side also emits every single-bit flip of its key
+         (multi-probe, Hamming <= ``probe_flips``); emitting flips on
+         one side only still covers both orientations of each pair
+         because the pair is tried in both (a,b) and (b,a) roles.
+      3. verify: distinct candidate pairs -> fetch vectors -> exact
+         cosine >= threshold, so blocking can only LOSE pairs, never
+         invent them.
+
+    Recall/pruning honesty (measured on the fixed-seed planes against
+    the exact all-pairs result): at threshold 0.45 over this corpus's
+    random Gaussian embeddings — where qualifying pairs are merely the
+    tail of the background similarity distribution — recall is 1.0 at
+    sf0.01 AND sf0.1 with (4 planes x 8 bands, 1 flip), but the
+    candidate set is ~94% of all pairs: sign-LSH simply cannot separate
+    cos 0.45 from cos 0.3 (per-plane agreement 0.648 vs 0.597). The
+    blocking earns its keep at real near-dup thresholds: at cos >= 0.8
+    per-band collision for qualifying pairs is >= 0.66 while background
+    pairs collide at ~2^-planes_per_band per band, so the same code
+    prunes geometrically — see ``dedup_embedding_scaled`` where recall
+    is PROVABLE (identical-direction vectors have identical sign
+    patterns) and pruning is ~1/2^16.
+    """
+    per = len(planes) // bands
+    v = widen(df).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    )
+    sig = banded_signatures(df, id_col, vec_col, planes, bands).persist()
+    probe = sig
+    if probe_flips >= 1:
+        flips = [F.col("key").bitwiseXOR(F.lit(1 << j)) for j in range(per)]
+        probe = sig.select(
+            "id", "band", F.explode(F.array(F.col("key"), *flips)).alias("key")
+        )
+    a, b = sig.alias("a"), probe.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    return out
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,

@@ -157,3 +157,18 @@ def test_q7_q8_broadcast_dims_no_cartesian(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_embedding_dedup_is_bucketed_not_nested_loop(spark):
+    """The registered embedding near-dup query must plan as a banded
+    equi-join (shuffle/broadcast HASH join on the LSH band key), never
+    the all-pairs id_a < id_b theta-join — the nested-loop cartesian
+    that cannot survive a 100x scale-up."""
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    for name in ("dedup_embedding_cosine", "dedup_embedding_scaled"):
+        df = queries()[name](spark, "/root/testdata/sf0.001")
+        plan = format_plan(df, "physical")
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -86,3 +86,12 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_orc_roundtrip(ctx, sf_dir, tmp_path):
+    out = str(tmp_path / "cust_orc")
+    src = ctx.parquet(f"{sf_dir}/customer.parquet")
+    src.write_orc(out)
+    back = ctx.orc(out)
+    assert back.count() == src.count()
+    assert back.schema() == src.schema()
