@@ -142,6 +142,15 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
     )
+    # Band self-join, kept after measuring the alternative: bucket
+    # pre-aggregation (collect_list ids per (band,key), expand pairs
+    # map-side with an indexed transform) was ~1.4× SLOWER at sf0.1
+    # cold and warm — the higher-order-function expansion costs more
+    # than the hash join it saves, and the r1-recorded run-to-run
+    # spread turned out to be cold-start (codegen + persist
+    # population), not the join. The equi-join keys distribute the
+    # bucket explosion over tasks, which is also the safer shape for a
+    # degenerate hot band key at 100 TB.
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -290,3 +290,40 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         )
     )
+
+
+@query(
+    "agg_approx_distinct_error",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkable contract for the HLL estimate: per group, the
+    exact distinct count (hash-verified against the oracle) plus a
+    within-5%% flag comparing Spark's HLL sketch to that exact count.
+    The oracle asserts the flag is TRUE, so an HLL drifting past 5%%
+    relative error turns this row red in the hard gate — a
+    quantitative bound on the one value that is engine-specific by
+    design (``agg_approx_distinct`` stays rows-only for the raw
+    estimates)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5pct"),
+        )
+    )

@@ -90,7 +90,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: 8 random hyperplanes (fixed seed, literal
     weights — identical in the oracle) → probe only the query's
     bucket → exact cosine rank within it. The scale path: bucket is a
-    cluster/partition key, so a probe touches ~1/256 of the table."""
+    cluster/partition key, so a probe touches ~1/256 of the table.
+
+    Cross-engine sign stability: the oracle computes plane·vec with an
+    unordered SUM while Spark uses a sequential fold, so order-dependent
+    float error (~1e-12 for 64 terms) could in principle flip a sign
+    and land the two engines in different buckets — but the measured
+    minimum |plane·vec| over every (vector, plane) is 1.2e-4 at sf0.01
+    and 5.0e-5 at sf0.1, eight orders of magnitude above that error, so
+    the bucket assignment is deterministic on this corpus."""
     qv = _query_vec(spark, sf_dir, 0)
     emb = load(spark, sf_dir, "embeddings")
     return S.ann_topk_lsh(

@@ -544,3 +544,290 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("low_line_count"),
         )
     )
+
+
+# --- the five partsupp-blocked patterns, adapted to the reduced schema ---
+# partsupp does not exist in the driver testdata; lineitem's
+# (l_partkey, l_suppkey) pairs stand in as the part-supplier relation,
+# which preserves every optimizer pattern the originals exercise
+# (correlated scalar MIN, uncorrelated scalar total, NOT IN anti join,
+# nested semi with aggregate threshold, multi-dim profit rollup).
+
+
+@query(
+    "tpch_q2",
+    oracle="""
+        WITH supply AS (
+            SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+        FROM part p
+        JOIN supply sp ON sp.partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = sp.suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_size = 4 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+          AND sp.unit_cost = (
+              SELECT MIN(sp2.unit_cost)
+              FROM supply sp2
+              JOIN supplier s2 ON s2.s_suppkey = sp2.suppkey
+              JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+              JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+              WHERE sp2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: lineitem unit price MIN stands in for
+    ps_supplycost) — min-cost supplier per part in a region. The
+    correlated scalar MIN re-derives the same region-filtered supply
+    relation; Catalyst's RewriteCorrelatedScalarSubquery turns it into
+    one aggregate-then-join on partkey, so the "per part, min over its
+    suppliers" never re-executes per row. MIN over identical double
+    sets is order-insensitive, so the float equality join is
+    deterministic cross-engine."""
+    for name, t in [
+        ("part_q2", "part"),
+        ("supplier_q2", "supplier"),
+        ("nation_q2", "nation"),
+        ("region_q2", "region"),
+        ("lineitem_q2", "lineitem"),
+    ]:
+        load(spark, sf_dir, t).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH supply AS (
+            SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem_q2 GROUP BY 1, 2
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+        FROM part_q2 p
+        JOIN supply sp ON sp.partkey = p.p_partkey
+        JOIN supplier_q2 s ON s.s_suppkey = sp.suppkey
+        JOIN nation_q2 n ON n.n_nationkey = s.s_nationkey
+        JOIN region_q2 r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_size = 4 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+          AND sp.unit_cost = (
+              SELECT MIN(sp2.unit_cost)
+              FROM supply sp2
+              JOIN supplier_q2 s2 ON s2.s_suppkey = sp2.suppkey
+              JOIN nation_q2 n2 ON n2.n_nationkey = s2.s_nationkey
+              JOIN region_q2 r2 ON r2.r_regionkey = n2.n_regionkey
+              WHERE sp2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle="""
+        SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity), 2)
+                   AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: 0.6 * p_retailprice * quantity stands in for
+    ps_supplycost * quantity) — profit by supplier-nation and order
+    year. Plan: the name-filtered part and the 25-row nation/100-row
+    supplier dims broadcast onto the lineitem scan; orders joins on
+    orderkey (the one fact-fact shuffle); a single hash aggregate on
+    (nation, year) follows — the classic star-join rollup."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle="""
+        WITH val AS (
+            SELECT l.l_partkey AS partkey, SUM(l.l_quantity) AS stock_value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY l.l_partkey
+        )
+        SELECT partkey, stock_value FROM val
+        WHERE stock_value > (SELECT SUM(stock_value) * 0.0025 FROM val)
+        ORDER BY stock_value DESC, partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: summed lineitem quantity stands in for
+    ps_supplycost * ps_availqty) — parts holding an outsized share of
+    one nation's supplied volume. HAVING-vs-uncorrelated-scalar-total:
+    the same aggregate feeds both sides, and Catalyst evaluates the
+    scalar subquery once (a one-row broadcast), not per group.
+    Quantities are integers, so both sums are float-exact and the
+    threshold comparison is deterministic cross-engine."""
+    for name, t in [
+        ("lineitem_q11", "lineitem"),
+        ("supplier_q11", "supplier"),
+        ("nation_q11", "nation"),
+    ]:
+        load(spark, sf_dir, t).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH val AS (
+            SELECT l.l_partkey AS partkey, SUM(l.l_quantity) AS stock_value
+            FROM lineitem_q11 l
+            JOIN supplier_q11 s ON s.s_suppkey = l.l_suppkey
+            JOIN nation_q11 n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY l.l_partkey
+        )
+        SELECT partkey, stock_value FROM val
+        WHERE stock_value > (SELECT SUM(stock_value) * 0.0025 FROM val)
+        ORDER BY stock_value DESC, partkey
+        """
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 3, 5, 7, 9)
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: negative account balance stands in for the
+    absent complaints-comment filter; lineitem pairs for partsupp) —
+    distinct supplier count per part spec, excluding flagged
+    suppliers. The NOT IN lowers to a null-aware anti join against the
+    6-row exclusion list (broadcast), and COUNT(DISTINCT suppkey)
+    expands to a two-level aggregate — partial distinct map-side, so
+    the shuffle carries (spec, suppkey) pairs, not raw lineitem."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 5, 7, 9)
+    )
+    bad = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+              SELECT ps.suppkey FROM (
+                  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                         SUM(l_quantity) AS qty
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l_shipdate < TIMESTAMP '1998-01-01'
+                  GROUP BY 1, 2) ps
+              WHERE ps.partkey IN
+                    (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                AND ps.qty > 0.5 * (
+                    SELECT SUM(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = ps.partkey
+                      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+                      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+        ORDER BY s.s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: "supplied >50% of a part's 1997 volume"
+    stands in for ps_availqty > half the shipped quantity) — suppliers
+    dominating supply of a name-filtered part family. Three nested
+    levels: semi join on nation, IN over a grouped subquery, and a
+    correlated scalar SUM per part — all of which decorrelate to
+    aggregate-then-join on the correlation key (partkey), so lineitem
+    is scanned twice and shuffled on partkey once each, never probed
+    per supplier. Integer quantities keep the 0.5 * total threshold
+    float-exact on both engines."""
+    for name, t in [
+        ("supplier_q20", "supplier"),
+        ("nation_q20", "nation"),
+        ("lineitem_q20", "lineitem"),
+        ("part_q20", "part"),
+    ]:
+        load(spark, sf_dir, t).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier_q20 s
+        JOIN nation_q20 n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+              SELECT ps.suppkey FROM (
+                  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                         SUM(l_quantity) AS qty
+                  FROM lineitem_q20
+                  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l_shipdate < TIMESTAMP '1998-01-01'
+                  GROUP BY 1, 2) ps
+              WHERE ps.partkey IN
+                    (SELECT p_partkey FROM part_q20 WHERE p_name LIKE 'small%')
+                AND ps.qty > 0.5 * (
+                    SELECT SUM(l2.l_quantity) FROM lineitem_q20 l2
+                    WHERE l2.l_partkey = ps.partkey
+                      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+                      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+        ORDER BY s.s_name
+        """
+    )

@@ -32,3 +32,34 @@ def test_every_query_runs_at_smoke_sf(spark, sf_dir):
         except Exception as e:  # noqa: BLE001
             failures.append((name, str(e)[:200]))
     assert not failures, failures
+
+
+def test_driver_window_prioritizes_unverified_families():
+    """The driver's CORRECTNESS gate checks only a ~50-entry registry
+    prefix, so ordering is verification coverage: every name WITHOUT a
+    green row in a committed CORRECTNESS_r*.json must register before
+    every name WITH one, and within the unverified set the
+    LLM-pipeline families (dedup/ann/text/events/...) must precede the
+    misc tail. Guards against a new query silently pushing a
+    never-verified family out of the window."""
+    from spark_query_engine.queries import (
+        REGISTRY,
+        _driver_verified,
+        _ensure_loaded,
+        _family_rank,
+    )
+
+    _ensure_loaded()
+    names = list(REGISTRY)
+    verified = _driver_verified()
+    flags = [n in verified for n in names]
+    # all unverified come before all verified
+    if True in flags and False in flags:
+        assert flags.index(True) > max(
+            i for i, f in enumerate(flags) if not f
+        ), "a verified query registered before an unverified one"
+    # family ranks are non-decreasing within the unverified prefix
+    unv_ranks = [_family_rank(n) for n, f in zip(names, flags) if not f]
+    assert unv_ranks == sorted(unv_ranks), (
+        "unverified families out of priority order"
+    )
