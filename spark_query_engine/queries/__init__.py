@@ -169,6 +169,7 @@ def _ensure_loaded() -> None:
         text,
         multimodal,
         events,
+        curation,
     )
 
     _reorder_registry()

@@ -1,0 +1,242 @@
+"""Corpus-curation queries: the decision layer of a training-data
+pipeline. The dedup/text/similarity operators measure; these queries
+act — normalize-then-collapse, gate by length percentile, report the
+data mix, screen for benchmark contamination, and pick the keeper in
+each near-duplicate cluster.
+
+Registered with the ``corpus_`` prefix (family rank 8), so they queue
+BEHIND this round's driver-verification window instead of displacing
+the unverified dedup/ANN/TPC-H entries — they enter the hard gate in a
+later round, and carry local oracle verification until then.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_query_engine.operators import dedup as D
+from spark_query_engine.queries import load, query
+from spark_query_engine.queries.dedup import _WORD_SHINGLES
+
+
+@query(
+    "corpus_normalize_dedup",
+    oracle="""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS norm_fp,
+               MIN(doc_id) AS representative_id,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def corpus_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact-dedup: canonicalize text (lowercase,
+    collapse whitespace, trim) BEFORE fingerprinting, so trivially
+    reformatted copies collapse into one group. Same single
+    hash-partitioned aggregation as ``dedup_exact`` — normalization is
+    a free map-side expression, no extra shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.md5(norm).alias("norm_fp"), "doc_id")
+        .groupBy("norm_fp")
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "corpus_length_gate",
+    oracle="""
+        WITH b AS (
+            SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+                   percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+            FROM documents
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d, b
+        WHERE d.n_chars BETWEEN b.lo AND b.hi
+    """,
+)
+def corpus_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-percentile quality gate: keep documents inside the
+    [p5, p95] band of the corpus's own length distribution — the
+    standard too-short/too-long filter, with data-derived bounds
+    instead of magic constants. The percentile aggregate is one
+    reduction to a single row that broadcasts back over the scan (no
+    second shuffle of the corpus); linear interpolation over integer
+    lengths is float-identical across engines."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_gate")
+    return spark.sql(
+        """
+        WITH b AS (
+            SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+                   percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+            FROM documents_gate
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents_gate d, b
+        WHERE d.n_chars BETWEEN b.lo AND b.hi
+        """
+    )
+
+
+@query(
+    "corpus_source_mix",
+    oracle="""
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share,
+               ROUND(SUM(COUNT(*)) OVER (
+                         ORDER BY COUNT(*) DESC, lang, source
+                         ROWS UNBOUNDED PRECEDING)
+                     * CAST(1.0 AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+                   AS cum_share
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY n_docs DESC, lang, source
+    """,
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mix report behind sampling weights: per (lang, source)
+    cell — document count, character mass, corpus share, and
+    cumulative coverage in descending-size order (what fraction of the
+    corpus the top-k cells explain). One aggregation plus windows over
+    the AGGREGATED relation (|langs|x|sources| rows, not documents),
+    so the window stage is negligible at any corpus size. Integer
+    counts keep every ratio float-exact cross-engine."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_mix")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share,
+               ROUND(SUM(COUNT(*)) OVER (
+                         ORDER BY COUNT(*) DESC, lang, source
+                         ROWS UNBOUNDED PRECEDING)
+                     * CAST(1.0 AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+                   AS cum_share
+        FROM documents_mix
+        GROUP BY lang, source
+        ORDER BY n_docs DESC, lang, source
+        """
+    )
+
+
+#: Probe shingles standing in for a benchmark/eval set's n-grams. At
+#: production scale this is a table (millions of eval n-grams) and the
+#: IN-list becomes a broadcast semi join on the shingle key — identical
+#: plan shape, different probe cardinality.
+_PROBE_SHINGLES = (
+    "key agg row",
+    "agg row scan",
+    "data query small",
+    "window merge spark",
+)
+
+
+@query(
+    "corpus_contamination",
+    oracle=f"""
+        WITH {_WORD_SHINGLES}
+        SELECT s.doc_id, d.lang, COUNT(*) AS n_probe_hits
+        FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+        WHERE s.shingle IN {_PROBE_SHINGLES!r}
+        GROUP BY s.doc_id, d.lang
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: which documents contain any
+    probe n-gram from an eval set, and how many distinct probes they
+    hit. Shingle the corpus once (the same word-3-gram relation the
+    dedup family uses) and semi-probe it — with a literal IN list
+    here, and a broadcast join against the eval-shingle table at
+    scale; either way the corpus shuffles zero times (the filter is
+    map-side on the shingle scan)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", 3)
+    hits = (
+        sh.where(F.col("shingle").isin(*_PROBE_SHINGLES))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+    )
+    return (
+        hits.join(docs, hits.id == docs.doc_id)
+        .select(F.col("doc_id"), F.col("lang"), F.col("n_probe_hits"))
+    )
+
+
+@query(
+    "corpus_dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE
+        {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+        ),
+        comp AS (SELECT n AS id, MIN(m) AS component FROM reach GROUP BY n),
+        ranked AS (
+            SELECT comp.component, d.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY comp.component
+                                      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+            FROM comp JOIN documents d ON d.doc_id = comp.id
+        )
+        SELECT component, doc_id AS kept_id, n_members
+        FROM ranked WHERE rn = 1
+    """,
+)
+def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: near-dup pairs (MinHash-LSH, exact-Jaccard
+    verified) → connected components → keep ONE document per cluster,
+    chosen by longest text (doc_id as the deterministic tiebreak).
+    This is the step that turns pairwise similarity into delete
+    actions. The keeper pick is a per-component top-1 window over the
+    component relation (cluster members only, a vanishing fraction of
+    the corpus), and Spark plans it as WindowGroupLimit — rank-1
+    selection before any sort of whole groups."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    ).select("id_a", "id_b")
+    comp = D.connected_components(pairs)
+    members = comp.join(docs, comp.id == docs.doc_id).select(
+        "component", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("kept_id"), "n_members")
+    )
