@@ -1,0 +1,134 @@
+"""Distributed k-means (Lloyd's) over embedding columns, and the two
+operators it unlocks: SemDeDup-style semantic dedup and a
+learned-codebook IVF probe.
+
+This is the codebook trainer the IVF family was missing
+(``similarity.ivf_assign`` uses an id<k stand-in): each Lloyd
+iteration is one broadcast-join assignment pass plus one
+(cluster, dim)-keyed mean — both shapes that scale linearly. Centroids
+are k·dim floats of MODEL state, so they round-trip through the driver
+between iterations exactly like Spark ML's own KMeans (and like the
+``_query_vec`` parameter fetch) — never the data plane.
+
+Determinism discipline (the whole family is exact-oracle checkable):
+init = the vectors with id < k; every centroid element is the 6dp-
+rounded mean of its members; every similarity is 6dp-rounded before
+ranking with centroid id as the tiebreak. A DuckDB oracle unrolling
+the same iterations reproduces assignments bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_query_engine.operators import widen
+from spark_query_engine.operators.dedup import cosine
+
+
+def _vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return widen(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def assign_to_centroids(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """One assignment pass: nearest centroid by 6dp-rounded cosine
+    (ties → lowest centroid id). Centroids ship as ONE 2-D literal —
+    all k similarities compile into a single codegen loop per row, no
+    join, no shuffle. Returns (id, vec, centroid, cent_sim)."""
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    sims = F.transform(cents_lit, lambda c: F.round(cosine(F.col("vec"), c), 6))
+    best = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    return v.select(
+        "id",
+        "vec",
+        best.alias("centroid"),
+        F.array_max(sims).alias("cent_sim"),
+    )
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    v: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Lloyd's iterations; returns the learned centroids (k·dim floats
+    of model state). Init = vectors with id < k. Each iteration:
+    assignment (map-side, broadcast literal centroids) → per-(cluster,
+    dim) mean via posexplode + hash aggregation (map-side combine;
+    k·dim output rows) → 6dp round → driver fetch for the next literal.
+    Empty clusters keep their previous centroid."""
+    v = v.persist()
+    cents = {
+        int(r["id"]): [round(float(x), 6) for x in r["vec"]]
+        for r in v.where(F.col("id") < k).collect()
+    }
+    for _ in range(iters):
+        assigned = assign_to_centroids(v, [cents[i] for i in sorted(cents)])
+        means = (
+            assigned.select("centroid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("centroid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .groupBy("centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("cvec")
+            )
+        )
+        for r in means.collect():
+            cents[int(r["centroid"])] = [float(x) for x in r["cvec"]]
+    return [cents[i] for i in sorted(cents)]
+
+
+def kmeans_assign(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Fit + final assignment: (id, vec, centroid, cent_sim)."""
+    v = _vectors(df, id_col, vec_col)
+    cents = kmeans_fit(spark, v, k=k, iters=iters)
+    return assign_to_centroids(v, cents)
+
+
+def semantic_dedup(
+    assigned: DataFrame, threshold: float
+) -> DataFrame:
+    """SemDeDup decision pass: within each k-means cluster, compare all
+    member pairs by exact cosine; a document is PRUNED when a more-
+    senior member (lower id) sits within ``threshold`` similarity.
+
+    The cluster key is what makes this scale: pair cost drops from
+    O(n²) to O(Σ|cluster|²) ≈ O(n²/k) — and the clusters shuffle-
+    partition independently, so k is the parallelism knob. The pair
+    join is an equi-join on ``centroid`` (hash-partitioned, never a
+    cartesian of the corpus). Returns (id, centroid, is_kept)."""
+    a = assigned.select(
+        F.col("centroid"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = assigned.select(
+        F.col("centroid"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    pruned = (
+        a.join(b, "centroid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6) >= threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assigned.join(pruned, assigned.id == pruned.id_b, "left")
+        .select(
+            "id",
+            "centroid",
+            F.col("id_b").isNull().alias("is_kept"),
+        )
+    )

@@ -126,6 +126,60 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition screens: the most frequent unigram's
+    share of tokens, the most frequent word-bigram's count, and the
+    fraction of trigram occurrences belonging to a REPEATED trigram —
+    the signals that catch boilerplate, keyword stuffing, and
+    copy-paste loops that length/stopword heuristics miss.
+
+    Plan: one n-gram relation (1/2/3-grams unioned with a size tag,
+    all map-side array expressions), one hash aggregation to per-(doc,
+    n, gram) counts, one to per-doc metrics — two key-partitioned
+    shuffles with map-side combine, both on (doc, gram)-grain keys
+    that scale out; never a per-doc O(|grams|²) array scan."""
+    toks = F.split(F.col(text_col), " ")
+    base = widen(df).select(F.col(id_col).alias("id"), toks.alias("t"))
+
+    def grams(n: int) -> DataFrame:
+        if n == 1:
+            g = F.col("t")
+        else:
+            g = F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.get("t", i + j) for j in range(n)]
+                ),
+            )
+        return base.where(F.size("t") >= n).select(
+            "id", F.lit(n).alias("n"), F.explode(g).alias("g")
+        )
+
+    counts = (
+        grams(1)
+        .unionAll(grams(2))
+        .unionAll(grams(3))
+        .groupBy("id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = F.sum(F.when(F.col("n") == 1, F.col("c")))
+    n3 = F.sum(F.when(F.col("n") == 3, F.col("c")))
+    top1 = F.max(F.when(F.col("n") == 1, F.col("c")))
+    top2 = F.max(F.when(F.col("n") == 2, F.col("c")))
+    dup3 = F.coalesce(
+        F.sum(F.when((F.col("n") == 3) & (F.col("c") >= 2), F.col("c"))),
+        F.lit(0),
+    )
+    return counts.groupBy("id").agg(
+        n1.cast("bigint").alias("n_tokens"),
+        top1.cast("bigint").alias("top_unigram_count"),
+        top2.cast("bigint").alias("top_bigram_count"),
+        dup3.cast("bigint").alias("dup_trigram_tokens"),
+        F.round(top1 / n1, 6).alias("top_unigram_frac"),
+        F.round(dup3 / n3, 6).alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: raw md5, normalized md5 (lower +
     whitespace-collapse), and an order-insensitive token-set

@@ -170,6 +170,7 @@ def _ensure_loaded() -> None:
         multimodal,
         events,
         curation,
+        semantic,
     )
 
     _reorder_registry()

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_query_engine.operators import dedup as D
+from spark_query_engine.operators import textanalysis as T
 from spark_query_engine.queries import load, query
 from spark_query_engine.queries.dedup import _WORD_SHINGLES
 
@@ -127,6 +128,56 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_docs DESC, lang, source
         """
     )
+
+
+@query(
+    "corpus_repetition",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+        ),
+        uni AS (SELECT id, 1 AS n, unnest(t) AS g FROM toks),
+        bi AS (
+            SELECT id, 2 AS n, t[pos] || ' ' || t[pos + 1] AS g
+            FROM (SELECT id, t,
+                         unnest(generate_series(1, len(t) - 1)) AS pos
+                  FROM toks)
+        ),
+        tri AS (
+            SELECT id, 3 AS n,
+                   t[pos] || ' ' || t[pos + 1] || ' ' || t[pos + 2] AS g
+            FROM (SELECT id, t,
+                         unnest(generate_series(1, len(t) - 2)) AS pos
+                  FROM toks)
+        ),
+        counts AS (
+            SELECT id, n, g, COUNT(*) AS c
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi
+                  UNION ALL SELECT * FROM tri)
+            GROUP BY 1, 2, 3
+        )
+        SELECT id,
+               CAST(SUM(c) FILTER (n = 1) AS BIGINT) AS n_tokens,
+               CAST(MAX(c) FILTER (n = 1) AS BIGINT) AS top_unigram_count,
+               CAST(MAX(c) FILTER (n = 2) AS BIGINT) AS top_bigram_count,
+               CAST(COALESCE(SUM(c) FILTER (n = 3 AND c >= 2), 0) AS BIGINT)
+                   AS dup_trigram_tokens,
+               ROUND(CAST(MAX(c) FILTER (n = 1) AS DOUBLE)
+                     / SUM(c) FILTER (n = 1), 6) AS top_unigram_frac,
+               ROUND(CAST(COALESCE(SUM(c) FILTER (n = 3 AND c >= 2), 0)
+                          AS DOUBLE)
+                     / SUM(c) FILTER (n = 3), 6) AS dup_trigram_frac
+        FROM counts
+        GROUP BY id
+    """,
+)
+def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screens per document — top-unigram
+    share, top-bigram count, repeated-trigram fraction. See
+    ``textanalysis.repetition_metrics`` for the two-shuffle
+    (doc, gram)-keyed plan."""
+    docs = load(spark, sf_dir, "documents")
+    return T.repetition_metrics(docs, "doc_id", "text")
 
 
 #: Probe shingles standing in for a benchmark/eval set's n-grams. At

@@ -1,0 +1,158 @@
+"""Semantic-clustering queries over the embeddings table: distributed
+k-means, SemDeDup-style semantic dedup, and IVF with the LEARNED
+codebook (upgrading ``ann_ivf_topk``'s id<k stand-in).
+
+Registered with the ``corpus_`` prefix (family rank 8) so they queue
+behind the current driver-verification window — same discipline as
+``queries/curation.py``.
+
+Every query carries an EXACT DuckDB oracle: the oracle unrolls the
+same Lloyd iterations (init = vectors with id < k, 6dp-rounded means,
+6dp-rounded similarities, centroid-id tiebreaks) as CTEs, so even the
+iterative fit is hash-verified — not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_query_engine.operators import clustering as C
+from spark_query_engine.operators.dedup import cosine
+from spark_query_engine.queries import load, query
+
+_K = 8
+_ITERS = 2
+_THRESHOLD = 0.45
+
+
+def _kmeans_ctes(k: int = _K, iters: int = _ITERS) -> str:
+    """DuckDB CTE chain replicating ``clustering.kmeans_assign``:
+    c0 (init) → [assign → mean → next centroids] × iters → a_final.
+    COALESCE keeps an empty cluster's previous centroid, mirroring the
+    fit loop's dict semantics."""
+    parts = [
+        "v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec"
+        " FROM embeddings)",
+        f"c0 AS (SELECT id AS centroid,"
+        f" list_transform(vec, x -> ROUND(x, 6)) AS cvec"
+        f" FROM v WHERE id < {k})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"s{i} AS (SELECT v.id, v.vec, c.centroid,"
+            f" ROUND(list_cosine_similarity(v.vec, c.cvec), 6) AS sim"
+            f" FROM v CROSS JOIN {prev} c)",
+            f"a{i} AS (SELECT id, vec, centroid, sim FROM"
+            f" (SELECT *, ROW_NUMBER() OVER (PARTITION BY id"
+            f" ORDER BY sim DESC, centroid) AS rn FROM s{i}) WHERE rn = 1)",
+            f"e{i} AS (SELECT centroid, unnest(vec) AS val,"
+            f" generate_subscripts(vec, 1) AS pos FROM a{i})",
+            f"m{i} AS (SELECT centroid, pos, ROUND(AVG(val), 6) AS val"
+            f" FROM e{i} GROUP BY 1, 2)",
+            f"cr{i} AS (SELECT centroid, list(val ORDER BY pos) AS cvec"
+            f" FROM m{i} GROUP BY 1)",
+            f"c{i} AS (SELECT p.centroid, COALESCE(cr{i}.cvec, p.cvec) AS cvec"
+            f" FROM {prev} p LEFT JOIN cr{i} USING (centroid))",
+        ]
+        prev = f"c{i}"
+    parts += [
+        f"sf AS (SELECT v.id, v.vec, c.centroid,"
+        f" ROUND(list_cosine_similarity(v.vec, c.cvec), 6) AS sim"
+        f" FROM v CROSS JOIN {prev} c)",
+        "a_final AS (SELECT id, vec, centroid, sim FROM"
+        " (SELECT *, ROW_NUMBER() OVER (PARTITION BY id"
+        " ORDER BY sim DESC, centroid) AS rn FROM sf) WHERE rn = 1)",
+    ]
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "corpus_kmeans",
+    oracle=f"""
+        {_kmeans_ctes()}
+        SELECT id, centroid, sim AS cent_sim FROM a_final
+    """,
+)
+def corpus_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus: the IVF
+    codebook trainer. Per iteration — one broadcast-literal assignment
+    scan (no join, no shuffle) and one (cluster, dim)-keyed mean (hash
+    aggregation with map-side combine, k·dim output rows); only k·dim
+    floats of model state ever touch the driver. Completes the ANN
+    story: ``ann_ivf_topk`` shows the probe shape, this learns the
+    codebook it probes."""
+    emb = load(spark, sf_dir, "embeddings")
+    return C.kmeans_assign(
+        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    ).select("id", "centroid", "cent_sim")
+
+
+@query(
+    "corpus_semdedup",
+    oracle=f"""
+        {_kmeans_ctes()},
+        pruned AS (
+            SELECT DISTINCT b.id AS id_b
+            FROM a_final a JOIN a_final b
+              ON a.centroid = b.centroid AND a.id < b.id
+            WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6)
+                  >= {_THRESHOLD}
+        )
+        SELECT f.id, f.centroid, p.id_b IS NULL AS is_kept
+        FROM a_final f LEFT JOIN pruned p ON f.id = p.id_b
+    """,
+)
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means clusters as the blocking key, exact pairwise
+    cosine only WITHIN a cluster, prune every document with a more-
+    senior near-twin. Pair cost falls from O(n²) to O(Σ|cluster|²) ≈
+    O(n²/k) and the per-cluster pair joins are hash-partitioned
+    equi-joins on ``centroid`` — k is the parallelism knob, which is
+    exactly how SemDeDup runs at corpus scale (k ~ 10⁴-10⁵)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = C.kmeans_assign(
+        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    )
+    return C.semantic_dedup(assigned, _THRESHOLD)
+
+
+@query(
+    "corpus_ivf_learned",
+    oracle=f"""
+        {_kmeans_ctes()},
+        q AS (SELECT centroid AS qcent, vec AS qvec FROM a_final WHERE id = 0)
+        SELECT f.id, f.centroid,
+               ROUND(list_cosine_similarity(f.vec, q.qvec), 6) AS cos_sim
+        FROM a_final f, q
+        WHERE f.centroid = q.qcent AND f.id <> 0
+        ORDER BY cos_sim DESC, id
+        LIMIT 5
+    """,
+)
+def corpus_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the LEARNED codebook: assign the corpus with the
+    k-means centroids, probe only the query's inverted list, rank by
+    exact cosine. Same probe plan as ``ann_ivf_topk`` (broadcast query
+    row, ~1/k of the data touched, TakeOrderedAndProject) but the
+    coarse quantizer is now trained, so list occupancy is balanced by
+    the data instead of by id order."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = C.kmeans_assign(
+        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    )
+    qrow = assigned.where(F.col("id") == 0).select(
+        F.col("centroid").alias("qcent"), F.col("vec").alias("qvec")
+    )
+    return (
+        assigned.join(F.broadcast(qrow), F.col("centroid") == F.col("qcent"))
+        .where(F.col("id") != 0)
+        .select(
+            "id",
+            "centroid",
+            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(5)
+    )

@@ -15,12 +15,14 @@ from spark_query_engine.streaming.events import (
     sessionize_stream,
     sliding_counts,
     stream_from_parquet_dir,
+    stream_from_rate,
     tumbling_counts,
     write_foreach_batch_parquet,
 )
 
 __all__ = [
     "stream_from_parquet_dir",
+    "stream_from_rate",
     "tumbling_counts",
     "sliding_counts",
     "sessionize_stream",

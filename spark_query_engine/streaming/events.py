@@ -57,6 +57,44 @@ def stream_from_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+def stream_from_rate(
+    spark: SparkSession,
+    rows_per_batch: int = 100,
+    start_ts_ms: int = 1_704_067_200_000,  # 2024-01-01T00:00:00Z
+    advance_ms_per_batch: int = 60_000,
+    n_event_types: int = 4,
+    n_users: int = 50,
+) -> DataFrame:
+    """Synthetic event stream from Spark's built-in ``rate-micro-batch``
+    source — the second source family next to the parquet-dir reader
+    (kafka/kinesis swap in with nothing downstream changing, exactly
+    as here: every operator in this module consumes the same schema).
+
+    ``rate-micro-batch`` is fully deterministic: batch b carries values
+    [b·rows, (b+1)·rows) at timestamp start + b·advance, so tests can
+    assert exact windowed aggregates instead of sleeping on a wall
+    clock. Fields derive arithmetically from ``value`` (user, type,
+    amount), giving a reproducible workload generator for state-store
+    and watermark behavior at any rows/batch scale."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_ts_ms)
+        .option("advanceMillisPerBatch", advance_ms_per_batch)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % n_users).alias("user_id"),
+        F.concat(
+            F.lit("type_"), (F.col("value") % n_event_types).cast("string")
+        ).alias("event_type"),
+        (F.col("value") % 97).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -172,3 +172,47 @@ def test_embedding_dedup_is_bucketed_not_nested_loop(spark):
         plan = format_plan(df, "physical")
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_semdedup_pairs_join_is_cluster_blocked(spark):
+    """SemDeDup's pair comparison must be an equi-join on the k-means
+    cluster key (hash-partitioned, O(n²/k) pairs) — never a cartesian
+    of the corpus. The kept/pruned decision join must also stay a hash
+    join."""
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    df = queries()["corpus_semdedup"](spark, "/root/testdata/sf0.001")
+    plan = format_plan(df, "physical")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_has_no_join(spark):
+    """Centroids ship as a broadcast literal inside one projection —
+    the assignment scan must contain NO join and NO exchange (the
+    codebook is model state, not a relation)."""
+    from spark_query_engine.operators import clustering as C
+    from spark_query_engine.plans import format_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = C._vectors(emb, "vec_id", "embedding")
+    cents = [[0.1] * 64, [0.2] * 64]
+    plan = format_plan(C.assign_to_centroids(v, cents), "physical")
+    assert "Join" not in plan
+    # widen()'s RoundRobin repartition is parallelism, not data
+    # movement keyed by the codebook — no hash-partitioned shuffle
+    assert "HashPartitioning" not in plan
+
+
+def test_repetition_metrics_single_gram_relation(spark):
+    """The three n-gram relations union BEFORE aggregation, so the
+    whole metric computes in two hash aggregations — no join between
+    per-n branches, no window over the raw gram stream."""
+    from spark_query_engine.operators.textanalysis import repetition_metrics
+    from spark_query_engine.plans import format_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = format_plan(repetition_metrics(docs, "doc_id", "text"), "physical")
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -219,3 +219,42 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream)
     # stream must find the overwhelming majority
     assert got <= want
     assert len(got) >= 0.9 * len(want)
+
+
+def test_rate_source_generator_is_deterministic(spark):
+    """The rate-micro-batch event generator: batch b carries event_ids
+    [100b, 100(b+1)) stamped start + b minutes, with every field an
+    arithmetic function of event_id — so the streaming workload is
+    exactly reproducible (no wall clock in the data path)."""
+    import datetime
+    import time
+
+    gen = ST.stream_from_rate(spark, rows_per_batch=100)
+    assert gen.isStreaming
+    # the generator feeds the same downstream operators as the parquet
+    # and (in production) kafka sources — e.g. a watermarked tumbling agg
+    assert "window_start" in ST.tumbling_counts(gen, "1 minute").columns
+
+    q = (
+        gen.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) AS c FROM rate_out").head()["c"] >= 200:
+            break
+        time.sleep(0.5)
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM rate_out WHERE event_id < 200").collect()
+    assert len(rows) == 200
+    for r in rows:
+        i = r["event_id"]
+        assert r["user_id"] == i % 50
+        assert r["event_type"] == f"type_{i % 4}"
+        assert r["value"] == float(i % 97)
+    ts = {r["event_id"]: r["ts"] for r in rows}
+    assert ts[0] == datetime.datetime(2024, 1, 1, 0, 0, 0)
+    assert ts[150] == datetime.datetime(2024, 1, 1, 0, 1, 0)
