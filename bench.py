@@ -52,6 +52,11 @@ HEADLINE = [
     "events_rollup_granularity",
     "tpch_q7",
     "tpch_q8",
+    # round 2: semantic clustering + curation additions
+    "corpus_kmeans",
+    "corpus_semdedup",
+    "corpus_repetition",
+    "corpus_dedup_keep_best",
 ]
 
 
