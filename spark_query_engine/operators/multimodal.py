@@ -43,6 +43,22 @@ META_SCHEMA = T.StructType(
 )
 
 
+def read_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Media INGESTION: Spark's built-in ``binaryFile`` source reads
+    raw files into (path, modificationTime, length, content) rows —
+    how images/audio/video enter the engine from object storage before
+    any decode. Filters on path/length push down to the file listing
+    (partition-level pruning over the manifest); content bytes stream
+    per-file into tasks, so a 100 TB media lake parallelizes by file
+    without a manifest-building preprocess. Pair with
+    ``spark.sql.files.maxPartitionBytes`` to keep task memory bounded
+    by the largest file batch."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Build a synthetic binary payload column from text (the testdata
     has no real media; this exercises the binary-column path with

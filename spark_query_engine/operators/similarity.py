@@ -300,6 +300,81 @@ def ivf_topk(
     )
 
 
+def pq_encode(
+    v: DataFrame,
+    codebooks: list[list[list[float]]],
+    sub_dim: int,
+) -> DataFrame:
+    """Product quantization encode: split each vector into ``m``
+    subvectors, quantize each to its nearest sub-centroid by squared
+    L2 (6dp-rounded, ties → lowest code). A d-dim float vector
+    compresses to m small ints — the memory step that lets a 100 TB
+    embedding corpus fit an in-RAM ANN index (64 floats → 4 bytes at
+    m=4, k=16).
+
+    The codebooks ride as literals inside the projection (same
+    codegen-loop pattern as the k-means assignment): encode is one
+    scan, zero shuffle, zero Python. Returns (id, vec, codes) with
+    ``codes[j]`` ∈ [0, k)."""
+    def d2(a, b) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(F.col("vec"), j * sub_dim + 1, sub_dim)
+        dists = F.transform(F.lit(cb), lambda c: d2(sub, c))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return v.select("id", "vec", F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    sub_dim: int,
+    k: int = 10,
+    exclude_id=None,
+) -> DataFrame:
+    """Asymmetric distance computation: estimated d²(q, x) = Σ_j
+    d²(q_sub_j, centroid_j[codes[j]]). The per-subspace lookup tables
+    are ``transform``s over LITERAL codebooks against the LITERAL
+    query — Catalyst constant-folds them at planning, so each row
+    costs m array lookups + one 4-term sum. Scan → project →
+    TakeOrderedAndProject: the PQ probe never shuffles the table."""
+    q = [float(x) for x in query_vec]
+
+    def d2(a, b) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    adc = F.lit(0.0)
+    for j, cb in enumerate(codebooks):
+        q_sub = F.array(
+            *[F.lit(x) for x in q[j * sub_dim : (j + 1) * sub_dim]]
+        )
+        lut = F.transform(F.lit(cb), lambda c: d2(q_sub, c))
+        adc = adc + F.element_at(lut, F.col("codes")[j] + 1)
+    out = encoded.select("id", F.round(adc, 6).alias("adc_dist"))
+    if exclude_id is not None:
+        out = out.where(F.col("id") != exclude_id)
+    return out.orderBy(F.col("adc_dist").asc(), F.col("id")).limit(k)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     id_col: str,

@@ -18,12 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_query_engine.operators import clustering as C
+from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators.dedup import cosine
 from spark_query_engine.queries import load, query
 
 _K = 8
 _ITERS = 2
 _THRESHOLD = 0.45
+
+#: Product quantization geometry: 64 dims → 4 subspaces × 16 dims,
+#: 16 codes per subspace (4 bytes per vector).
+_PQ_M, _PQ_K, _PQ_SUBDIM = 4, 16, 16
 
 
 def _kmeans_ctes(k: int = _K, iters: int = _ITERS) -> str:
@@ -116,6 +121,73 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
     )
     return C.semantic_dedup(assigned, _THRESHOLD)
+
+
+@query(
+    "corpus_pq_topk",
+    oracle=f"""
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings),
+        js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+        cb AS (SELECT j, id AS code,
+                      vec[j*{_PQ_SUBDIM}+1:(j+1)*{_PQ_SUBDIM}] AS c
+               FROM v, js WHERE id < {_PQ_K}),
+        subs AS (SELECT id, j,
+                        vec[j*{_PQ_SUBDIM}+1:(j+1)*{_PQ_SUBDIM}] AS s
+                 FROM v, js),
+        dists AS (
+            SELECT subs.id, subs.j, cb.code,
+                   ROUND(list_sum(list_transform(range(1, {_PQ_SUBDIM}+1),
+                         i -> (s[i]-c[i])*(s[i]-c[i]))), 6) AS d2
+            FROM subs JOIN cb ON subs.j = cb.j
+        ),
+        enc AS (
+            SELECT id, j, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id, j
+                                             ORDER BY d2, code) AS rn
+                FROM dists) WHERE rn = 1
+        ),
+        q AS (SELECT j, vec[j*{_PQ_SUBDIM}+1:(j+1)*{_PQ_SUBDIM}] AS qs
+              FROM v, js WHERE id = 0),
+        lut AS (
+            SELECT cb.j, cb.code,
+                   ROUND(list_sum(list_transform(range(1, {_PQ_SUBDIM}+1),
+                         i -> (qs[i]-c[i])*(qs[i]-c[i]))), 6) AS qd2
+            FROM cb JOIN q ON cb.j = q.j
+        )
+        SELECT enc.id, ROUND(SUM(lut.qd2), 6) AS adc_dist
+        FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+        WHERE enc.id <> 0
+        GROUP BY enc.id
+        ORDER BY adc_dist, id
+        LIMIT 10
+    """,
+)
+def corpus_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: encode every vector to {_PQ_M} sub-codes
+    (nearest sub-centroid by squared L2), then rank by asymmetric
+    distance — Σ_j d²(query_sub_j, centroid_j[code_j]). Codebooks here
+    are the id<{_PQ_K} stand-in (the trained path is ``corpus_kmeans``
+    run per subspace); what matters is the plan: encode and probe are
+    each ONE scan with literal codebooks, the ADC lookup tables
+    constant-fold at planning, and the table never shuffles. At 100 TB
+    the encoded corpus is 16× smaller than the floats — the difference
+    between an index that fits executor RAM and one that doesn't."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = C._vectors(emb, "vec_id", "embedding")
+    # model-state fetch: the PQ codebooks (k·d floats, like _query_vec)
+    rows = {int(r["id"]): list(r["vec"]) for r in
+            v.where(F.col("id") < _PQ_K).collect()}
+    codebooks = [
+        [rows[code][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM]
+         for code in sorted(rows)]
+        for j in range(_PQ_M)
+    ]
+    qvec = rows[0]
+    encoded = S.pq_encode(v, codebooks, _PQ_SUBDIM)
+    return S.pq_adc_topk(
+        encoded, codebooks, qvec, _PQ_SUBDIM, k=10, exclude_id=0
+    )
 
 
 @query(

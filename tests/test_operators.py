@@ -154,6 +154,32 @@ def test_multimodal_plumbing(spark):
     assert meta[1]["magic_ok"] and meta[2]["magic_ok"]
 
 
+def test_binary_file_ingestion(spark, tmp_path):
+    """Raw media files enter via the binaryFile source: (path, mtime,
+    length, content) rows, glob-filtered at the listing, feeding the
+    same mapInPandas decode chain as parquet-resident payloads."""
+    from spark_query_engine.operators.multimodal import MAGIC
+
+    for i in range(3):
+        body = b"\xab" * (10 + i)
+        (tmp_path / f"img_{i}.bin").write_bytes(
+            MAGIC + b"0640" + b"0480" + body
+        )
+    (tmp_path / "ignore.txt").write_text("not media")
+
+    files = MM.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = files.orderBy("path").collect()
+    assert [r["length"] for r in rows] == [22, 23, 24]
+    assert all(r["content"].startswith(MAGIC) for r in rows)
+
+    payloads = files.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.col("content").alias("payload"),
+    )
+    meta = MM.decode_metadata(payloads).collect()
+    assert all(m["magic_ok"] and m["width"] == 640 for m in meta)
+
+
 def test_decode_image_stub_contract():
     payload = b"QEIM0100" + b"0050" + b"body"
     assert MM.decode_image(payload, codec="fake") == (50, 100)

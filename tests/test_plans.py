@@ -216,3 +216,44 @@ def test_repetition_metrics_single_gram_relation(spark):
     plan = format_plan(repetition_metrics(docs, "doc_id", "text"), "physical")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    """The 100 TB fact-fact join knob: when the build side is
+    selective but too big to broadcast, Spark's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects
+    might_contain(xxhash64(key)) into the PROBE side's scan — probe
+    rows drop before the shuffle instead of after the join. The
+    sizeThresholds exist so it only fires where it pays (probe scan
+    ≥10 GB by default); zeroed here to demonstrate the rewrite on
+    test-scale data."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        from spark_query_engine.plans import format_plan
+
+        assert "might_contain" in format_plan(j, "optimized")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

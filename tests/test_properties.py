@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis): distributed operators vs pure-
+Python reference implementations on randomized inputs.
+
+Beyond the reference's test strategy (SURVEY.md §5: 14 example-based
+unit tests, no property tests): each property drives the REAL Spark
+operator — shuffles, joins, iterations and all — and asserts exact
+agreement with an obviously-correct sequential model, over inputs a
+human wouldn't write down (hub graphs, adversarial token repeats,
+zero-length docs). derandomized + bounded examples so CI is
+deterministic and Spark-job cost stays sane.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation (joins + aggregations over a
+    persisted edge relation) must equal a sequential union-find with
+    min-id labels, on any graph shape — chains, hubs, self-loops,
+    parallel edges."""
+    from spark_query_engine.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_repetition_metrics_match_counter(spark, docs):
+    """The two-shuffle n-gram aggregation must reproduce a per-doc
+    Counter over unigrams/bigrams/trigrams exactly — including the
+    adversarial all-same-token and shorter-than-n documents."""
+    from spark_query_engine.operators.textanalysis import repetition_metrics
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+
+    for i, words in enumerate(docs):
+        uni = Counter(words)
+        bi = Counter(
+            " ".join(words[j : j + 2]) for j in range(len(words) - 1)
+        )
+        tri = Counter(
+            " ".join(words[j : j + 3]) for j in range(len(words) - 2)
+        )
+        r = got[i]
+        assert r["n_tokens"] == len(words)
+        assert r["top_unigram_count"] == max(uni.values())
+        assert r["top_bigram_count"] == (max(bi.values()) if bi else None)
+        dup3 = sum(c for c in tri.values() if c >= 2)
+        assert r["dup_trigram_tokens"] == dup3
+        assert r["top_unigram_frac"] == round(
+            max(uni.values()) / len(words), 6
+        )
+
+
+@given(
+    chars=st.lists(st.integers(0, 5000), min_size=1, max_size=40),
+    budget=st.sampled_from([64, 256, 2048]),
+)
+@settings(**SETTINGS)
+def test_token_packing_matches_sequential_packer(spark, chars, budget):
+    """The windowed cumsum packer must assign every doc the chunk a
+    sequential greedy packer would — per shard, in doc_id order."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, n) for i, n in enumerate(chars)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    t = df.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["doc_id"]: r["chunk_id"]
+        for r in t.select(
+            "doc_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+            ).alias("chunk_id"),
+        ).collect()
+    }
+
+    cum: dict[int, int] = {}
+    for i, n in enumerate(chars):
+        tok = math.ceil(n / 4)
+        shard = i % 4
+        start = cum.get(shard, 0)
+        assert got[i] == start // budget, (i, n, budget)
+        cum[shard] = start + tok
