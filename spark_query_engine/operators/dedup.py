@@ -411,10 +411,12 @@ def connected_components(
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # init label = min(self, neighbors): same shuffle as the distinct()
+    # a plain init needs, but diameter-1 components (the near-dup common
+    # case: pairs and stars) converge in the FIRST confirmation round
     labels = (
-        sym.select(F.col("u").alias("n"))
-        .distinct()
-        .withColumn("label", F.col("n"))
+        sym.groupBy(F.col("u").alias("n"))
+        .agg(F.least(F.first("u"), F.min("v")).alias("label"))
         .persist()
     )
     for i in range(max_iter):

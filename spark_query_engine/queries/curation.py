@@ -310,6 +310,136 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "data_quality_checks",
+    oracle="""
+        SELECT 'completeness_orderkey' AS check_name,
+               ROUND(COUNT(l_orderkey) * 1.0 / COUNT(*), 6) AS metric,
+               COUNT(l_orderkey) = COUNT(*) AS passed
+        FROM lineitem
+        UNION ALL
+        SELECT 'uniqueness_pk',
+               ROUND((SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+                      l_linenumber FROM lineitem)) * 1.0
+                     / (SELECT COUNT(*) FROM lineitem), 6),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+                l_linenumber FROM lineitem))
+                   = (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'min_quantity_ge_1',
+               ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6),
+               MIN(l_quantity) >= 1
+        FROM lineitem
+        UNION ALL
+        SELECT 'max_quantity_le_50',
+               ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6),
+               MAX(l_quantity) <= 50
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_in_range',
+               ROUND(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
+               SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                        THEN 1 ELSE 0 END) = COUNT(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'ref_integrity_orders',
+               ROUND(SUM(CASE WHEN o.o_orderkey IS NOT NULL
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
+               SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                   = COUNT(*)
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate — the check you run
+    BEFORE a 100 TB pipeline consumes a new drop: completeness,
+    key uniqueness, value bounds, domain membership, referential
+    integrity, each as (check_name, metric, passed). All non-join
+    checks ride ONE aggregation pass over the fact table (the metrics
+    are columns of a single agg row, exploded to check rows at the
+    end); the referential check adds one broadcast-able distinct-key
+    join. Pass/fail compares INTEGER counts, so verdicts are exact on
+    any engine."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    agg = l.agg(
+        F.round(F.count("l_orderkey") / n, 6).alias("completeness_m"),
+        (F.count("l_orderkey") == n).alias("completeness_p"),
+        F.round(
+            F.countDistinct("l_orderkey", "l_linenumber") / n, 6
+        ).alias("uniq_m"),
+        (F.countDistinct("l_orderkey", "l_linenumber") == n).alias("uniq_p"),
+        F.round(F.min("l_quantity").cast("double"), 6).alias("minq_m"),
+        (F.min("l_quantity") >= 1).alias("minq_p"),
+        F.round(F.max("l_quantity").cast("double"), 6).alias("maxq_m"),
+        (F.max("l_quantity") <= 50).alias("maxq_p"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount").between(0.0, 0.1), 1).otherwise(0)
+            )
+            / n,
+            6,
+        ).alias("disc_m"),
+        (
+            F.sum(
+                F.when(F.col("l_discount").between(0.0, 0.1), 1).otherwise(0)
+            )
+            == n
+        ).alias("disc_p"),
+    )
+    ref = (
+        l.join(
+            o.select("o_orderkey").distinct(),
+            l.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.round(F.count("o_orderkey") / n, 6).alias("ref_m"),
+            (F.count("o_orderkey") == n).alias("ref_p"),
+        )
+    )
+    checks = agg.crossJoin(ref).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("completeness_orderkey").alias("check_name"),
+                    F.col("completeness_m").alias("metric"),
+                    F.col("completeness_p").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("uniqueness_pk").alias("check_name"),
+                    F.col("uniq_m").alias("metric"),
+                    F.col("uniq_p").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("min_quantity_ge_1").alias("check_name"),
+                    F.col("minq_m").alias("metric"),
+                    F.col("minq_p").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("max_quantity_le_50").alias("check_name"),
+                    F.col("maxq_m").alias("metric"),
+                    F.col("maxq_p").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("discount_in_range").alias("check_name"),
+                    F.col("disc_m").alias("metric"),
+                    F.col("disc_p").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("ref_integrity_orders").alias("check_name"),
+                    F.col("ref_m").alias("metric"),
+                    F.col("ref_p").alias("passed"),
+                ),
+            )
+        ).alias("c")
+    )
+    return checks.select("c.check_name", "c.metric", "c.passed")
+
+
 #: Probe shingles standing in for a benchmark/eval set's n-grams. At
 #: production scale this is a table (millions of eval n-grams) and the
 #: IN-list becomes a broadcast semi join on the shingle key — identical
