@@ -57,6 +57,9 @@ HEADLINE = [
     "corpus_semdedup",
     "corpus_repetition",
     "corpus_dedup_keep_best",
+    "corpus_pq_topk",
+    "corpus_curate_full",
+    "data_quality_checks",
 ]
 
 

@@ -289,3 +289,37 @@ def test_ngram_jaccard_hashed_matches_exact(spark):
         ).collect()
     }
     assert exact == hashed and len(exact) == 1
+
+
+def test_pq_encode_and_adc(spark):
+    """PQ on a hand-built 4-dim corpus (2 subspaces × 2 dims, codes
+    from ids 0-1): codes pick the nearest sub-centroid per subspace,
+    and ADC distance is the sum of query-to-chosen-centroid d² per
+    subspace."""
+    from spark_query_engine.operators import similarity as S
+
+    vecs = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [0.1, 0.0, 0.9, 1.0]),   # sub0→code0, sub1→code0
+        (3, [0.9, 1.0, 0.1, 0.0]),   # sub0→code1, sub1→code1
+    ]
+    df = spark.createDataFrame(vecs, ["id", "vec"])
+    v = df.select("id", F.transform("vec", lambda x: x.cast("double")).alias("vec"))
+    codebooks = [
+        [[0.0, 0.0], [1.0, 1.0]],  # subspace 0 (dims 0-1), codes 0,1
+        [[1.0, 1.0], [0.0, 0.0]],  # subspace 1 (dims 2-3), codes 0,1
+    ]
+    enc = {r["id"]: list(r["codes"]) for r in
+           S.pq_encode(v, codebooks, sub_dim=2).collect()}
+    assert enc[0] == [0, 0] and enc[1] == [1, 1]
+    assert enc[2] == [0, 0] and enc[3] == [1, 1]
+
+    # query = vec 0 exactly → ADC to codes [0,0] is 0; to [1,1] is 4
+    top = S.pq_adc_topk(
+        S.pq_encode(v, codebooks, sub_dim=2),
+        codebooks, [0.0, 0.0, 1.0, 1.0], sub_dim=2, k=4, exclude_id=0,
+    ).collect()
+    got = {r["id"]: r["adc_dist"] for r in top}
+    assert got[2] == 0.0  # same codes as the query
+    assert got[3] == 4.0  # opposite codes: 2.0 per subspace

@@ -257,3 +257,17 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_probe_never_shuffles_table(spark):
+    """PQ encode + ADC ranking must be scan → project →
+    TakeOrderedAndProject: codebooks and lookup tables are literals,
+    so no join and no hash-partitioned exchange of the corpus."""
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    df = queries()["corpus_pq_topk"](spark, "/root/testdata/sf0.001")
+    plan = format_plan(df, "physical")
+    assert "Join" not in plan
+    assert "HashPartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
