@@ -440,6 +440,47 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.select("c.check_name", "c.metric", "c.passed")
 
 
+@query(
+    "data_cdc_upsert",
+    oracle="""
+        WITH cur AS (
+            SELECT o_orderkey, o_orderstatus, 0 AS version, 0 AS src
+            FROM orders
+        ),
+        upd AS (
+            SELECT o_orderkey, 'X' AS o_orderstatus, 1 AS version, 1 AS src
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        merged AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                         ORDER BY version DESC, src DESC)
+                          AS rn
+            FROM (SELECT * FROM cur UNION ALL SELECT * FROM upd)
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(version AS BIGINT) AS version
+        FROM merged WHERE rn = 1
+    """,
+)
+def data_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE fold: a change batch (10% of keys flip status at
+    version 1) upserts into the version-0 snapshot; per key the
+    highest version wins. See ``maintenance.apply_cdc`` — union →
+    per-key top-1 window (WindowGroupLimit), one shuffle on the key."""
+    from spark_query_engine.operators.maintenance import apply_cdc
+
+    o = load(spark, sf_dir, "orders")
+    cur = o.select(
+        "o_orderkey", "o_orderstatus", F.lit(0).cast("bigint").alias("version")
+    )
+    upd = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(1).cast("bigint").alias("version"),
+    )
+    return apply_cdc(cur, upd, "o_orderkey", "version")
+
+
 #: Probe shingles standing in for a benchmark/eval set's n-grams. At
 #: production scale this is a table (millions of eval n-grams) and the
 #: IN-list becomes a broadcast semi join on the shingle key — identical

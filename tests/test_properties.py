@@ -149,3 +149,52 @@ def test_token_packing_matches_sequential_packer(spark, chars, budget):
         start = cum.get(shard, 0)
         assert got[i] == start // budget, (i, n, budget)
         cum[shard] = start + tok
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_semantic_dedup_matches_quadratic_model(spark, vecs):
+    """The cluster-blocked SemDeDup decision must equal the quadratic
+    sequential model WITHIN clusters: a doc is pruned iff some
+    lower-id member of its own cluster sits at (rounded) cosine ≥
+    threshold."""
+    import math
+
+    from spark_query_engine.operators import clustering as C
+
+    vecs = [v for v in vecs if any(abs(x) > 1e-3 for x in v)]
+    if len(vecs) < 2:
+        return
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned = C.kmeans_assign(
+        spark, df, "vec_id", "embedding", k=min(2, len(rows)), iters=1
+    )
+    got = {
+        r["id"]: (r["centroid"], r["is_kept"])
+        for r in C.semantic_dedup(assigned, 0.9).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    cluster = {i: got[i][0] for i, _ in rows}
+    for i, v in rows:
+        expect_kept = not any(
+            j < i and cluster[j] == cluster[i] and cos(w, v) >= 0.9
+            for j, w in rows
+        )
+        assert got[i][1] == expect_kept, (i, vecs)

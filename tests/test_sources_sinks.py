@@ -95,3 +95,24 @@ def test_orc_roundtrip(ctx, sf_dir, tmp_path):
     back = ctx.orc(out)
     assert back.count() == src.count()
     assert back.schema() == src.schema()
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    """Small-file compaction: a 40-file directory (streaming-ingest
+    shape) rewrites to the byte-sized file count with identical data."""
+    import glob
+
+    from spark_query_engine.operators.maintenance import compact_parquet
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert (
+        spark.read.parquet(dst).count() == orders.count()
+    )
