@@ -168,6 +168,45 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(featurize, out_schema)
 
 
+def extract_features_arrow(df: DataFrame, dim: int = 8) -> DataFrame:
+    """``extract_features`` on the Arrow-native boundary:
+    ``mapInArrow`` hands each partition as ``pyarrow.RecordBatch``es —
+    no Arrow→pandas→Arrow round-trip, no object-dtype materialization
+    of the binary payloads. For wide binary columns the pandas
+    conversion IS the dominant cost of a mapInPandas stage, so this is
+    the shape to use when the Python work itself is cheap relative to
+    the data volume (byte-level featurization, codec header parsing).
+    Identical output contract to ``extract_features``."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def featurize(batches):
+        import numpy as np
+
+        def hist(b: bytes) -> list[float]:
+            body = np.frombuffer(b[12:], dtype=np.uint8)
+            if body.size == 0:
+                return [0.0] * dim
+            counts = np.bincount(body % dim, minlength=dim).astype("float64")
+            return list(counts / counts.sum())
+
+        for batch in batches:
+            ids = batch.column("id")
+            feats = [hist(v.as_py()) for v in batch.column("payload")]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(feats, type=pa.list_(pa.float64()))],
+                names=["id", "features"],
+            )
+
+    return df.mapInArrow(featurize, out_schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """'Frame sampling' over the synthetic payloads: keep every n-th
     item per partition-stable ordering key — the Spark-side shape of

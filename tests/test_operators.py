@@ -323,3 +323,17 @@ def test_pq_encode_and_adc(spark):
     got = {r["id"]: r["adc_dist"] for r in top}
     assert got[2] == 0.0  # same codes as the query
     assert got[3] == 4.0  # opposite codes: 2.0 per subspace
+
+
+def test_extract_features_arrow_matches_pandas(spark):
+    """The mapInArrow featurizer must produce byte-identical features
+    to the mapInPandas one — same contract, cheaper boundary."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, "")], ["doc_id", "text"]
+    )
+    payloads = MM.attach_payload(df, "doc_id", "text")
+    a = {r["id"]: r["features"]
+         for r in MM.extract_features_arrow(payloads, dim=8).collect()}
+    p = {r["id"]: r["features"]
+         for r in MM.extract_features(payloads, dim=8).collect()}
+    assert a == p

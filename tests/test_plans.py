@@ -271,3 +271,35 @@ def test_pq_probe_never_shuffles_table(spark):
     assert "Join" not in plan
     assert "HashPartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_headline_plans_have_no_scale_killers(spark):
+    """Every bench headline query must be free of plan shapes that
+    cannot survive a 100× scale-up: no CartesianProduct ever, and
+    BroadcastNestedLoopJoin only where the broadcast side is a
+    single-row/few-row aggregate relation (percentile bounds, global
+    metric rows) — never a corpus-sized side."""
+    from bench import HEADLINE
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    # queries whose plan legitimately carries a BNLJ against a 1-row
+    # (or |langs|-row) aggregate: the cross join IS the broadcast of a
+    # scalar bound, not a data-plane join
+    one_row_bnlj_ok = {
+        "corpus_curate_full",
+        "data_quality_checks",
+        # ivf_assign scores every vector against all k centroids: the
+        # BNLJ broadcast side is the k-row codebook (model state)
+        "ann_ivf_topk",
+    }
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name in HEADLINE:
+        plan = format_plan(qs[name](spark, sf), "physical")
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in one_row_bnlj_ok:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, bad
