@@ -34,3 +34,71 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary payload → mapInPandas header decode → typed metadata."""
     docs = load(spark, sf_dir, "documents")
     return MM.decode_metadata(MM.attach_payload(docs, "doc_id", "text"))
+
+
+@query(
+    "corpus_multimodal_features",
+    oracle="""
+        WITH buckets AS (
+            SELECT doc_id, unnest(range(0, 8)) AS bucket FROM documents
+        ),
+        chars AS (
+            SELECT doc_id, ord(substr(text, i, 1)) % 8 AS bucket
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) + 1)) AS i
+                  FROM documents)
+        ),
+        h AS (SELECT doc_id, bucket, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+        j AS (SELECT b.doc_id, b.bucket, COALESCE(h.c, 0) AS c
+              FROM buckets b LEFT JOIN h
+                ON b.doc_id = h.doc_id AND b.bucket = h.bucket),
+        t AS (SELECT doc_id, SUM(c) AS s FROM j GROUP BY doc_id)
+        SELECT j.doc_id AS id,
+               list(ROUND(j.c * 1.0 / t.s, 6) ORDER BY j.bucket) AS features
+        FROM j JOIN t ON j.doc_id = t.doc_id
+        GROUP BY j.doc_id
+    """,
+)
+def corpus_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the ARROW-NATIVE Python boundary
+    (``mapInArrow`` — no pandas materialization of the binary column):
+    per-payload byte histogram, L1-normalized, 6dp-rounded. The oracle
+    recomputes the histogram character-by-character in SQL (payload
+    bodies are ASCII), so the value hash proves the Arrow batch path
+    computes exactly its declarative definition — the multimodal
+    family's feature stage graduates from pytest-only to
+    driver-verified."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    feats = MM.extract_features_arrow(
+        MM.attach_payload(docs, "doc_id", "text"), dim=8
+    )
+    return feats.select(
+        "id", F.transform("features", lambda x: F.round(x, 6)).alias("features")
+    )
+
+
+@query(
+    "corpus_multimodal_resize",
+    oracle="""
+        SELECT doc_id AS id,
+               md5('QEIM' || '0320' || '0240' || text) AS payload_md5,
+               CAST(12 + length(text) AS BIGINT) AS byte_len
+        FROM documents
+    """,
+)
+def corpus_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through the mapInPandas codec path: header rewritten to
+    320×240, body preserved byte-for-byte — verified by hashing the
+    whole output payload (md5 over VARCHAR in DuckDB == md5 over the
+    utf-8 payload bytes, since bodies are ASCII)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    resized = MM.resize(MM.attach_payload(docs, "doc_id", "text"), 320, 240)
+    return resized.select(
+        "id",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("bigint").alias("byte_len"),
+    )
