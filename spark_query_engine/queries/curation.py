@@ -481,6 +481,78 @@ def data_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc(cur, upd, "o_orderkey", "version")
 
 
+@query(
+    "corpus_lm_score",
+    oracle="""
+        WITH bi AS (
+            SELECT doc_id, substr(text, i, 2) AS bg
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text))) AS i
+                  FROM documents)
+        ),
+        counts AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+        c1 AS (SELECT substr(bg, 1, 1) AS ch, SUM(c) AS tot
+               FROM counts GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT substr(text, i, 1)) AS vocab
+              FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i
+                    FROM documents)),
+        model AS (
+            SELECT counts.bg,
+                   (counts.c + 1.0) / (c1.tot + v.vocab) AS p
+            FROM counts JOIN c1 ON substr(counts.bg, 1, 1) = c1.ch
+            CROSS JOIN v
+        )
+        SELECT bi.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               ROUND(AVG(-log2(model.p)), 6) AS bits_per_char
+        FROM bi JOIN model ON bi.bg = model.bg
+        GROUP BY bi.doc_id
+    """,
+)
+def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring — the C4/CCNet perplexity filter, as a
+    distributed train-then-score pipeline: fit an add-1-smoothed
+    char-bigram model ON the corpus (one (bigram)-keyed count with
+    map-side combine; the model relation is |alphabet|² rows), then
+    score every document's cross-entropy in bits/char against the
+    BROADCAST model. Docs whose score sits far above the corpus mode
+    are line noise; far below are degenerate repetition — both tails
+    get cut in production. Train and score are each one corpus scan;
+    nothing ever shuffles except bigram counts and the per-doc
+    average, and swapping in a real KenLM changes only the model
+    relation, not the plan."""
+    docs = load(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.substring(F.col("text"), i, 2),
+            )
+        ).alias("bg"),
+    )
+    counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    c1 = counts.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
+        F.sum("c").alias("tot")
+    )
+    vocab = docs.select(
+        F.explode(F.split("text", "")).alias("ch")
+    ).agg(F.countDistinct("ch").alias("vocab"))
+    model = (
+        counts.join(c1, F.substring(counts.bg, 1, 1) == c1.ch)
+        .crossJoin(vocab)
+        .select("bg", ((F.col("c") + 1.0) / (F.col("tot") + F.col("vocab"))).alias("p"))
+    )
+    return (
+        bi.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.round(F.avg(-F.log2("p")), 6).alias("bits_per_char"),
+        )
+    )
+
+
 #: Probe shingles standing in for a benchmark/eval set's n-grams. At
 #: production scale this is a table (millions of eval n-grams) and the
 #: IN-list becomes a broadcast semi join on the shingle key — identical
