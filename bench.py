@@ -60,6 +60,8 @@ HEADLINE = [
     "corpus_pq_topk",
     "corpus_curate_full",
     "data_quality_checks",
+    "corpus_lm_score",
+    "data_cdc_upsert",
 ]
 
 

@@ -292,6 +292,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
+        # the 1-row vocab-size aggregate crosses the |alphabet|²-row
+        # model relation — a scalar broadcast, not a data-plane join
+        "corpus_lm_score",
     }
     qs = queries()
     sf = "/root/testdata/sf0.001"
