@@ -198,3 +198,47 @@ def test_semantic_dedup_matches_quadratic_model(spark, vecs):
             for j, w in rows
         )
         assert got[i][1] == expect_kept, (i, vecs)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_pq_encode_matches_sequential_quantizer(spark, vecs):
+    """pq_encode must pick, per subspace, exactly the code a
+    sequential argmin over 6dp-rounded squared L2 would pick (ties →
+    lowest code), with codebooks taken from the first two vectors."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    from pyspark.sql import functions as F
+
+    from spark_query_engine.operators import similarity as S
+
+    df = spark.createDataFrame(rows, ["id", "raw"])
+    v = df.select(
+        "id", F.transform("raw", lambda x: x.cast("double")).alias("vec")
+    )
+    sub_dim = 2
+    codebooks = [
+        [rows[c][1][j * sub_dim : (j + 1) * sub_dim] for c in (0, 1)]
+        for j in range(2)
+    ]
+    got = {r["id"]: list(r["codes"])
+           for r in S.pq_encode(v, codebooks, sub_dim).collect()}
+
+    for i, vec in rows:
+        for j in range(2):
+            s = vec[j * sub_dim : (j + 1) * sub_dim]
+            d2s = [
+                round(sum((a - b) * (a - b) for a, b in zip(s, c)), 6)
+                for c in codebooks[j]
+            ]
+            expect = d2s.index(min(d2s))
+            assert got[i][j] == expect, (i, j, d2s)
