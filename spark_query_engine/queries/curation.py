@@ -553,6 +553,41 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_sketch_merge",
+    oracle="""
+        SELECT COUNT(DISTINCT doc_id) AS n_exact,
+               TRUE AS within_2pct
+        FROM documents
+    """,
+)
+def corpus_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes distinct-counting
+    scale: build one Apache DataSketches HLL per language (partial
+    sketches, as per-partition/per-day jobs would), union-merge them,
+    and estimate the global distinct count WITHOUT re-scanning the
+    corpus. The oracle hash-verifies the exact count and asserts the
+    merged estimate lands within 2% of it — a merged-sketch drift
+    turns this row red. At 100 TB the per-group sketches are bytes
+    persisted beside each partition; the union is O(groups), not
+    O(rows)."""
+    docs = load(spark, sf_dir, "documents")
+    partials = docs.groupBy("lang").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    )
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = docs.agg(F.countDistinct("doc_id").alias("n_exact"))
+    return exact.crossJoin(merged).select(
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.02 * F.col("n_exact")
+        ).alias("within_2pct"),
+    )
+
+
 #: Probe shingles standing in for a benchmark/eval set's n-grams. At
 #: production scale this is a table (millions of eval n-grams) and the
 #: IN-list becomes a broadcast semi join on the shingle key — identical
