@@ -306,3 +306,40 @@ def test_headline_plans_have_no_scale_killers(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in one_row_bnlj_ok:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, bad
+
+
+def test_analyze_table_feeds_optimizer_statistics(spark, sf_dir):
+    """The CBO workflow at lake scale: ANALYZE TABLE materializes
+    size/row statistics into the catalog, and the optimizer sees them
+    (logical-plan stats carry the exact row count, not a file-size
+    guess) — what drives stats-based join reordering and broadcast
+    decisions when relations are views/derived rather than raw files."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    shutil.rmtree("spark-warehouse/cbo_nation", ignore_errors=True)
+    try:
+        spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_nation")
+        spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
+        stats_row = (
+            spark.sql("DESCRIBE EXTENDED cbo_nation")
+            .where("col_name = 'Statistics'")
+            .head()
+        )
+        assert "25 rows" in stats_row["data_type"]
+        # row-count statistics surface to the optimizer under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            jstats = (
+                spark.table("cbo_nation")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert str(jstats.rowCount().get()) == "25"
+        finally:
+            spark.conf.unset("spark.sql.cbo.enabled")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")
