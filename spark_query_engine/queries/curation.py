@@ -530,7 +530,7 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.substring(F.col("text"), i, 2),
             )
         ).alias("bg"),
-    )
+    ).persist()  # read by BOTH the trainer and the scorer — one explode
     counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     c1 = counts.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
         F.sum("c").alias("tot")
