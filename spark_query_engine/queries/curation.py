@@ -588,6 +588,144 @@ def corpus_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB CTEs replicating ``dedup.minhash_signatures`` +
+    ``lsh_candidate_pairs`` bit-for-bit: same md5 base hash, same
+    affine (a, b) parameters (embedded as literals from the shared
+    seeded generator), same banded md5 keys — so the CANDIDATE set,
+    not just the verified output, is oracle-checkable."""
+    from spark_query_engine.operators.dedup import (
+        _MINHASH_PRIME,
+        _minhash_params,
+    )
+
+    params = _minhash_params(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"MIN(({a} * base + {b}) % {_MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(
+            f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, band{b} AS band_key FROM keys"
+        for b in range(bands)
+    )
+    return f"""
+        based AS (
+            SELECT doc_id AS id,
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS base
+            FROM sh
+        ),
+        sigs AS (SELECT id, {mins} FROM based GROUP BY id),
+        keys AS (SELECT id, {band_keys} FROM sigs),
+        banded AS (SELECT id, band_idx, band_key
+                   FROM ({band_union})),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.id < b.id
+        )
+    """
+
+
+@query(
+    "corpus_dedup_eval",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        {_minhash_oracle_ctes()},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+        ),
+        m AS (
+            SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+                   (SELECT COUNT(*) FROM cand) AS n_candidates,
+                   (SELECT COUNT(*) FROM exact JOIN cand USING (id_a, id_b))
+                       AS n_hits
+        )
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               ROUND(n_hits * 1.0 / n_exact, 6) AS recall,
+               ROUND(n_hits * 1.0 / n_candidates, 6) AS precision
+        FROM m
+    """,
+)
+def corpus_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH TUNING report: recall and precision of the MinHash-LSH
+    CANDIDATE set against exact-Jaccard truth (threshold 0.6) — the
+    measurement behind every (num_hashes, bands) choice the dedup
+    docstrings cite. Both sides are distributed equi-join pipelines
+    over one shared persisted shingle relation; the exact side is the
+    O(n·shingle-fanout) brute force you run on a SAMPLE at 100 TB,
+    the candidate side is the production path. The oracle replays the
+    affine-permutation signatures bit-for-bit, so even the candidate
+    counts are hash-verified, not just the final metrics."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", 3).persist()
+    sig = D.minhash_signatures(sh, 16)
+    cand = D.lsh_candidate_pairs(sig, 16, 4)
+    # exact truth via the same shingle-join brute force as the
+    # dedup_minhash oracle
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    exact = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .where(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= 0.6
+        )
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = exact.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+        )
+    )
+
+
 #: Probe shingles standing in for a benchmark/eval set's n-grams. At
 #: production scale this is a table (millions of eval n-grams) and the
 #: IN-list becomes a broadcast semi join on the shingle key — identical
