@@ -56,22 +56,34 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table; filters/projections applied by callers push
     down into this parquet scan via Catalyst.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    default: read it as long ns (legacy nanosAsLong) and convert to a
-    session-TZ-independent ``timestamp_ntz`` truncated to microseconds —
-    matching the oracle's ``date_trunc('microseconds', ts)``.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some
+    testdata generations and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    in others, so the loader adapts to what the file actually stores:
+    NANOS is read as long ns (legacy nanosAsLong) and rebuilt as
+    ``timestamp_ntz`` truncated to microseconds; MICROS already infers
+    as ``timestamp_ntz`` (truncation is a no-op). Either way callers
+    and the oracle's ``date_trunc('microseconds', ts)`` see identical
+    session-TZ-independent values.
     """
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         raw = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return raw.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ'1970-01-01 00:00:00')"
-            ),
-        )
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) via legacy long
+            return raw.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
+        if isinstance(ts_type, T.TimestampType):
+            # session is pinned UTC (get_session), so the wall values
+            # match the NTZ reading of the same micros
+            return raw.withColumn("ts", raw["ts"].cast("timestamp_ntz"))
+        return raw  # already timestamp_ntz
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -90,29 +102,40 @@ _LOADED = False
 #: Family priority for the driver-verification window. The driver's
 #: CORRECTNESS gate checks only the FIRST ~50 registry entries per
 #: round, so ordering is a verification-coverage decision: queries with
-#: no driver-green row yet go first, ranked by family value (the
-#: LLM-pipeline operators and TPC-H patterns before the long extended
-#: tail), and everything a past round already verified rotates to the
-#: back. Driven by the committed CORRECTNESS_r*.json files, so each
-#: round's greens automatically free window slots for the next round.
-_FAMILY_PRIORITY = (
-    ("dedup_", 1),
-    ("ann_", 2),
-    ("text_", 3),
-    ("sample_", 3),
-    ("multimodal_", 4),
-    ("events_", 5),
-    ("pipeline_", 6),
-    ("join_salted", 6),
-    ("tpch_", 7),
+#: no driver-green row yet go first, and everything a past round
+#: already verified rotates to the back. Within the unverified prefix
+#: the families (= registration modules) are ROUND-ROBIN interleaved —
+#: one query per family per cycle — so even when the unverified
+#: backlog exceeds the window, every family gets driver-green
+#: representatives each round instead of whole families (r01: all of
+#: dedup/ANN/text/events) waiting behind a long block. Driven by the
+#: committed CORRECTNESS_r*.json files, so each round's greens
+#: automatically free window slots for the next round.
+_MODULE_PRIORITY = (
+    "dedup",
+    "similarity",
+    "curation",
+    "semantic",
+    "text",
+    "multimodal",
+    "events",
+    "pipeline",
+    "tpch_suite",
+    "analytics",
+    "advanced",
+    "extended",
+    "parity",
+    "relational",
 )
 
 
 def _family_rank(name: str) -> int:
-    for prefix, rank in _FAMILY_PRIORITY:
-        if name.startswith(prefix):
-            return rank
-    return 8  # unverified misc (extended tail, new additions)
+    q = REGISTRY.get(name)
+    mod = (q.fn.__module__ if q else "").rsplit(".", 1)[-1]
+    try:
+        return _MODULE_PRIORITY.index(mod)
+    except ValueError:
+        return len(_MODULE_PRIORITY)  # new module: after known families
 
 
 def _driver_verified() -> set[str]:
@@ -141,14 +164,26 @@ def _driver_verified() -> set[str]:
 def _reorder_registry() -> None:
     verified = _driver_verified()
     order = list(REGISTRY.items())
-    ranked = sorted(
-        range(len(order)),
-        key=lambda i: (order[i][0] in verified, _family_rank(order[i][0]), i),
-    )
+
+    # Group the unverified names by family, families in priority order,
+    # queries within a family in registration order.
+    groups: dict[int, list[str]] = {}
+    for name, _q in order:
+        if name not in verified:
+            groups.setdefault(_family_rank(name), []).append(name)
+
+    ordered: list[str] = []
+    queues = [groups[r] for r in sorted(groups)]
+    while queues:
+        for q in queues:
+            ordered.append(q.pop(0))
+        queues = [q for q in queues if q]
+
+    ordered.extend(name for name, _q in order if name in verified)
+    by_name = dict(order)
     REGISTRY.clear()
-    for i in ranked:
-        name, q = order[i]
-        REGISTRY[name] = q
+    for name in ordered:
+        REGISTRY[name] = by_name[name]
 
 
 def _ensure_loaded() -> None:

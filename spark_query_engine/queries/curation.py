@@ -950,3 +950,102 @@ def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("component", F.col("doc_id").alias("kept_id"), "n_members")
     )
+
+
+@query(
+    "corpus_span_dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   UNNEST(CASE WHEN len(t) >= 8 THEN
+                       list_transform(range(len(t) // 8),
+                           i -> array_to_string(
+                                    list_slice(t, i*8 + 1, i*8 + 8), ' '))
+                   ELSE []::VARCHAR[] END) AS chunk
+            FROM toks
+        ),
+        dup AS (
+            SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+            FROM chunks GROUP BY 1
+        ),
+        perdoc AS (
+            SELECT c.doc_id,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks
+            FROM chunks c JOIN dup d USING (chunk)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_chunks, 0) AS n_chunks,
+               COALESCE(p.n_dup_chunks, 0) AS n_dup_chunks,
+               ROUND(CASE WHEN COALESCE(p.n_chunks, 0) > 0
+                          THEN CAST(p.n_dup_chunks AS DOUBLE) / p.n_chunks
+                          ELSE 0.0 END, 4) AS dup_fraction,
+               ROUND(CASE WHEN COALESCE(p.n_chunks, 0) > 0
+                          THEN CAST(p.n_dup_chunks AS DOUBLE) / p.n_chunks
+                          ELSE 0.0 END, 4) <= 0.5 AS keep
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (sub-document) duplication screen, the RefinedWeb /
+    massive-web-curation shape: cut each document into consecutive
+    8-token spans, count how many of a document's spans also occur in
+    OTHER documents, and gate on the duplicated-span fraction —
+    catching boilerplate-heavy pages that whole-document and
+    near-dup fingerprints both miss.
+
+    Scale: the span relation is O(tokens/8) rows; the duplicate test
+    is one hash aggregation on span text (map-side combine collapses
+    in-partition repeats) plus an equi-join back — the same blocked
+    shape as ``dedup_ngram_jaccard``, never all-pairs. The span→count
+    join key can be md5-hashed to 8 bytes at 100 TB (see
+    ``hash_shingles`` in operators/dedup.py); kept as text here so the
+    oracle replays it verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    K = 8
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) >= {K} THEN "
+                f"transform(sequence(0L, CAST(size(t) DIV {K} AS LONG) - 1), "
+                f"i -> concat_ws(' ', slice(t, CAST(i*{K} + 1 AS INT), {K}))) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("chunk"),
+    )
+    dup = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    perdoc = (
+        chunks.join(dup, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+    )
+    frac = F.round(
+        F.when(
+            F.coalesce(perdoc["n_chunks"], F.lit(0)) > 0,
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    return (
+        docs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            frac.alias("dup_fraction"),
+            (frac <= 0.5).alias("keep"),
+        )
+    )

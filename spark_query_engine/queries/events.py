@@ -291,3 +291,78 @@ def events_rollup_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        agg AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   ROUND(SUM(value), 2) AS bucket_value
+            FROM ev GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM agg GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM span
+        ),
+        filled AS (
+            SELECT g.event_type, g.bucket, a.bucket_value
+            FROM grid g LEFT JOIN agg a
+              ON g.event_type = a.event_type AND g.bucket = a.bucket
+        )
+        SELECT event_type, bucket,
+               bucket_value IS NOT NULL AS observed,
+               LAST_VALUE(bucket_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled
+        FROM filled
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (the hypertable ``time_bucket_gapfill`` + ``locf`` shape): hourly
+    per-type averages, a dense hour grid generated per series from its
+    own [min, max] span (``sequence`` + ``explode`` — no driver-side
+    range loop), a left join to mark the gaps, and an
+    ignore-nulls ``last()`` window to carry values forward.
+
+    Scale: the grid is O(series x span/bucket) — independent of the
+    raw event count, so the join's build side stays tiny while the
+    fact side aggregates map-side first. The LOCF window partitions by
+    series key; with realistic cardinality (users, devices) that is
+    the parallelism axis, not a single global sort. The rounded
+    per-bucket average is what the fill propagates, so the carried
+    values are bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.col("event_type"),
+    ).agg(F.round(F.sum("value"), 2).alias("bucket_value"))
+    span = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    filled = grid.join(agg, ["event_type", "bucket"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.col("bucket_value").isNotNull().alias("observed"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("value_filled"),
+    )

@@ -20,8 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Schema of the events stream (ts as long ns, as the driver parquet
-#: stores it; converted on read like the batch loader).
+#: Schema of the events stream when the driver parquet stores ts as
+#: TIMESTAMP(NANOS) (read as long ns, converted like the batch
+#: loader). ``stream_from_parquet_dir`` probes the actual file type
+#: and swaps in a TimestampType field when the data is MICROS.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -41,20 +43,38 @@ def stream_from_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
 
     Note: streaming reads use TimestampType (not NTZ) because
     watermarks require it; the session is pinned UTC in get_session,
-    so wall values match the batch path."""
+    so wall values match the batch path. The file-side ts type has
+    shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    testdata generations — probe one file with the batch reader
+    (file-stream sources need a user schema, so it must match what
+    the parquet actually stores) and convert accordingly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
-        "maxFilesPerTrigger", 1
-    )
     # the file-stream source requires a directory; stream a single
     # parquet file via its parent + a glob filter
     import os
 
+    glob = None
     if path.endswith(".parquet") and os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        glob = os.path.basename(path)
+        probe_path = path
         path = os.path.dirname(path)
+    else:
+        probe_path = path
+    probed = spark.read.parquet(probe_path).schema["ts"].dataType
+    nanos = isinstance(probed, T.LongType)
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", probed)
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_from_rate(
