@@ -1049,3 +1049,74 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac <= 0.5).alias("keep"),
         )
     )
+
+
+@query(
+    "corpus_sketch_quantiles",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY n_chars), 6)
+                   AS p50_exact,
+               ROUND(percentile_cont(0.90) WITHIN GROUP (ORDER BY n_chars), 6)
+                   AS p90_exact,
+               ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 6)
+                   AS p99_exact,
+               TRUE AS p50_within, TRUE AS p90_within, TRUE AS p99_within
+        FROM documents
+    """,
+)
+def corpus_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch contract, the order-statistics twin of
+    ``corpus_sketch_merge``: ``percentile_approx`` is Spark's
+    mergeable Greenwald-Khanna summary (map-side partial sketches,
+    merged at the exchange — the same partial/merge shape a per-shard
+    quantile job produces), with a published RANK guarantee: the
+    returned value's rank is within n/accuracy of the target rank.
+    The query computes the approx p50/p90/p99 of document length,
+    re-scans once to measure each approx value's TRUE rank, and emits
+    a boolean per quantile asserting the target rank p·n lies inside
+    [count(< v) - n/accuracy - 1, count(<= v) + n/accuracy + 1] — the
+    tie-safe two-sided form (a value's "rank" is an interval when the
+    column has duplicates).
+    The oracle hash-verifies the exact interpolated percentiles and
+    the contract booleans — sketch drift beyond the bound turns the
+    row red. At 100 TB the sketch state is KBs per partition and the
+    exact-rank audit pass is a single filtered count, not a sort."""
+    docs = load(spark, sf_dir, "documents")
+    acc = 10_000
+    sk = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx(
+            "n_chars", [0.5, 0.9, 0.99], acc
+        ).alias("ap"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("p90_exact"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_exact"),
+    )
+    ranks = docs.crossJoin(F.broadcast(sk)).agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("p50_exact").alias("p50_exact"),
+        F.first("p90_exact").alias("p90_exact"),
+        F.first("p99_exact").alias("p99_exact"),
+        F.sum((F.col("n_chars") < F.expr("ap[0]")).cast("long")).alias("lo50"),
+        F.sum((F.col("n_chars") <= F.expr("ap[0]")).cast("long")).alias("hi50"),
+        F.sum((F.col("n_chars") < F.expr("ap[1]")).cast("long")).alias("lo90"),
+        F.sum((F.col("n_chars") <= F.expr("ap[1]")).cast("long")).alias("hi90"),
+        F.sum((F.col("n_chars") < F.expr("ap[2]")).cast("long")).alias("lo99"),
+        F.sum((F.col("n_chars") <= F.expr("ap[2]")).cast("long")).alias("hi99"),
+    )
+    bound = F.col("n_docs") / acc + 1
+
+    def within(p: float, lo: str, hi: str):
+        target = p * F.col("n_docs")
+        return (F.col(lo) - bound <= target) & (target <= F.col(hi) + bound)
+
+    return ranks.select(
+        "n_docs",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        within(0.50, "lo50", "hi50").alias("p50_within"),
+        within(0.90, "lo90", "hi90").alias("p90_within"),
+        within(0.99, "lo99", "hi99").alias("p99_within"),
+    )

@@ -130,3 +130,107 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 0)
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     return S.cosine_range(emb, "vec_id", "embedding", qv, threshold=0.2)
+
+
+@query(
+    "ann_hybrid_search",
+    oracle="""
+        WITH qt AS (
+            SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id = 0
+        ),
+        dt AS (
+            SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id <> 0
+        ),
+        lex AS (
+            SELECT d.doc_id AS id, COUNT(*) AS lex_score
+            FROM dt d JOIN qt USING (tok) GROUP BY 1
+        ),
+        lex_top AS (
+            SELECT id, lex_score,
+                   ROW_NUMBER() OVER (ORDER BY lex_score DESC, id) AS r_lex
+            FROM lex
+            QUALIFY r_lex <= 50
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ),
+        vec AS (
+            SELECT e.vec_id AS id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+        ),
+        vec_top AS (
+            SELECT id, cos_sim,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id) AS r_vec
+            FROM vec
+            QUALIFY r_vec <= 50
+        )
+        SELECT COALESCE(l.id, v.id) AS id,
+               l.lex_score, v.cos_sim,
+               ROUND(1.0 / (60 + COALESCE(l.r_lex, 51))
+                     + 1.0 / (60 + COALESCE(v.r_vec, 51)), 8) AS rrf
+        FROM lex_top l FULL OUTER JOIN vec_top v ON l.id = v.id
+        ORDER BY rrf DESC, id
+        LIMIT 15
+    """,
+)
+def ann_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse a LEXICAL candidate list (distinct-token
+    overlap with the query document — the integer-exact core of BM25)
+    and a VECTOR candidate list (cosine top-K) by reciprocal-rank
+    fusion, RRF(d) = Σ 1/(60 + rank_m(d)) — the standard way RAG /
+    training-data retrieval stacks combine keyword and embedding
+    signals without score calibration.
+
+    Scale: each modality reduces to a per-modality top-K FIRST
+    (TakeOrderedAndProject — no global sort, no global window), and
+    ranking/fusion happen on the two K-row candidate lists, so the
+    expensive stages are exactly the ones the pure-lexical and
+    pure-vector operators already run; fusion adds one K-row outer
+    join. Docs sharing zero query tokens are lexically unreachable
+    (standard inverted-index behavior); absent ranks take the K+1
+    penalty. Integer overlap counts and 6dp-rounded cosines make both
+    rank orders — and the fused 8dp RRF — engine-exact."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    qt = docs.where(F.col("doc_id") == 0).select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    dt = docs.where(F.col("doc_id") != 0).select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    lex = (
+        dt.join(F.broadcast(qt), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("lex_score"))
+        .select(F.col("doc_id").alias("id"), "lex_score")
+    )
+    lex_top = lex.orderBy(F.desc("lex_score"), "id").limit(50).withColumn(
+        "r_lex",
+        F.row_number().over(
+            Window.orderBy(F.desc("lex_score"), "id")
+        ),
+    )
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    vec_top = S.cosine_topk(emb, "vec_id", "embedding", qv, k=50).withColumn(
+        "r_vec",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"), "id")),
+    )
+    fused = lex_top.join(vec_top, "id", "full_outer").select(
+        "id",
+        "lex_score",
+        "cos_sim",
+        F.round(
+            1.0 / (60 + F.coalesce("r_lex", F.lit(51)))
+            + 1.0 / (60 + F.coalesce("r_vec", F.lit(51))),
+            8,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "id").limit(15)
