@@ -62,6 +62,11 @@ HEADLINE = [
     "data_quality_checks",
     "corpus_lm_score",
     "data_cdc_upsert",
+    # round 2 cont.: time-series, sub-document dedup, hybrid retrieval
+    "events_gap_fill",
+    "corpus_span_dedup",
+    "ann_hybrid_search",
+    "events_downsample_ohlc",
 ]
 
 

@@ -197,3 +197,47 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(normalized).alias("md5_normalized"),
         tokset_fp.alias("token_set_fp"),
     )
+
+
+def span_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Sub-document span duplication statistics (the RefinedWeb-style
+    boilerplate screen): cut each document into consecutive
+    non-overlapping ``k``-token spans and count, per document, how
+    many of its spans also appear in at least one OTHER document.
+
+    Returns (id_col, n_chunks, n_dup_chunks) — one row per document
+    that produced at least one full span; callers left-join back to
+    the corpus to zero-fill short documents and apply a gate.
+
+    Scale: the span relation is O(tokens/k) rows; duplicate detection
+    is one hash aggregation keyed on span text (map-side combine
+    collapses in-partition repeats) plus an equi-join back — the same
+    blocked shape as n-gram Jaccard dedup, never all-pairs. At 100 TB
+    hash the span to 8 bytes (xxhash64) for the join key; kept as
+    text here so SQL oracles replay it verbatim.
+    """
+    toks = df.select(id_col, F.split(text_col, " ").alias("t"))
+    chunks = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) >= {k} THEN "
+                f"transform(sequence(0L, CAST(size(t) DIV {k} AS LONG) - 1), "
+                f"i -> concat_ws(' ', slice(t, CAST(i*{k} + 1 AS INT), {k}))) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("chunk"),
+    )
+    dup = chunks.groupBy("chunk").agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    return (
+        chunks.join(dup, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+    )

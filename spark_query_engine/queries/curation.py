@@ -1007,30 +1007,7 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hash_shingles`` in operators/dedup.py); kept as text here so the
     oracle replays it verbatim."""
     docs = load(spark, sf_dir, "documents")
-    K = 8
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    chunks = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(t) >= {K} THEN "
-                f"transform(sequence(0L, CAST(size(t) DIV {K} AS LONG) - 1), "
-                f"i -> concat_ws(' ', slice(t, CAST(i*{K} + 1 AS INT), {K}))) "
-                f"ELSE CAST(array() AS ARRAY<STRING>) END"
-            )
-        ).alias("chunk"),
-    )
-    dup = chunks.groupBy("chunk").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
-    perdoc = (
-        chunks.join(dup, "chunk")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_chunks"),
-        )
-    )
+    perdoc = T.span_dup_stats(docs, "doc_id", "text", k=8)
     frac = F.round(
         F.when(
             F.coalesce(perdoc["n_chunks"], F.lit(0)) > 0,

@@ -340,29 +340,68 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parallelism axis, not a single global sort. The rounded
     per-bucket average is what the fill propagates, so the carried
     values are bit-identical cross-engine."""
+    from spark_query_engine.operators.timeseries import gap_fill_locf
+
     ev = load(spark, sf_dir, "events")
-    agg = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket"),
-        F.col("event_type"),
-    ).agg(F.round(F.sum("value"), 2).alias("bucket_value"))
-    span = agg.groupBy("event_type").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-    )
-    grid = span.select(
+    return gap_fill_locf(ev, "event_type", "ts", "value", bucket="1 hour")
+
+
+@query(
+    "events_downsample_ohlc",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        ranked AS (
+            SELECT date_trunc('day', ts) AS bucket, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY date_trunc('day', ts), event_type
+                       ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY date_trunc('day', ts), event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM ev
+        )
+        SELECT bucket, event_type,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_events
+        FROM ranked
+        GROUP BY 1, 2
+    """,
+)
+def events_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware downsampling (the candlestick / OHLC rollup a
+    metrics store derives from raw points): per (day, type) the FIRST
+    and LAST observed value — which plain aggregation cannot express —
+    plus min/max and count. first/last are rank-1 picks from two
+    row_number windows over the SAME partitioning, tie-broken on
+    (ts, event_id) so the result is deterministic even with duplicate
+    timestamps; both window passes and the final aggregation share one
+    hash-partition of (bucket, type), so the whole query is a single
+    shuffle. Every output value is a raw stored double (picked, never
+    arithmetically combined), so no rounding is needed cross-engine."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("bucket"),
         "event_type",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
     )
-    filled = grid.join(agg, ["event_type", "bucket"], "left")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return filled.select(
-        "event_type",
+    wp = W.partitionBy("bucket", "event_type")
+    ranked = ev.select(
         "bucket",
-        F.col("bucket_value").isNotNull().alias("observed"),
-        F.last("bucket_value", ignorenulls=True).over(w).alias("value_filled"),
+        "event_type",
+        "value",
+        F.row_number().over(wp.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_d"),
+    )
+    return ranked.groupBy("bucket", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
     )

@@ -343,3 +343,34 @@ def test_analyze_table_feeds_optimizer_statistics(spark, sf_dir):
             spark.conf.unset("spark.sql.cbo.enabled")
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_ohlc_downsample_is_single_shuffle(spark):
+    """events_downsample_ohlc claims one hash-partition of
+    (bucket, type) shared by both rank windows AND the final
+    aggregation: exactly one Exchange in the physical plan — the
+    second window re-sorts but must not re-shuffle, and the groupBy
+    must reuse the window's partitioning."""
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    df = queries()["events_downsample_ohlc"](spark, "/root/testdata/sf0.001")
+    plan = format_plan(df, "physical")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hybrid_search_fuses_topk_lists_without_global_window(spark):
+    """ann_hybrid_search must (a) broadcast the query-document token
+    list into the lexical overlap join — never shuffle the corpus by
+    token against a one-document side, and (b) reduce each modality
+    via TakeOrderedAndProject (top-K), not a whole-corpus Window/Sort:
+    the only Window operators allowed are over the two K-row
+    candidate lists, which sit above the top-K limits in the plan."""
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    df = queries()["ann_hybrid_search"](spark, "/root/testdata/sf0.001")
+    plan = format_plan(df, "physical")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -245,3 +245,94 @@ def test_pq_encode_matches_sequential_quantizer(spark, vecs):
             ]
             expect = d2s.index(min(d2s))
             assert got[i][j] == expect, (i, j, d2s)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # series key
+            st.integers(0, 40),     # hour offset
+            st.integers(0, 100),    # integer-valued amount (exact floats)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_gap_fill_locf_matches_sequential(spark, events):
+    """Dense-grid LOCF gap filling (sequence/explode grid + left join
+    + ignore-nulls window) must equal a sequential per-series walk:
+    bucket sums where observed, last value carried through gaps, grid
+    exactly [first, last] per series."""
+    import datetime
+    from collections import defaultdict
+
+    from spark_query_engine.operators.timeseries import gap_fill_locf
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (s, base + datetime.timedelta(hours=h, minutes=7), float(v))
+        for s, h, v in events
+    ]
+    df = spark.createDataFrame(rows, "series int, ts timestamp, value double")
+    got = {
+        (r["series"], r["bucket"]): (r["observed"], r["value_filled"])
+        for r in gap_fill_locf(df, "series", "ts", "value").collect()
+    }
+
+    sums: dict[tuple[int, int], float] = defaultdict(float)
+    for s, h, v in events:
+        sums[(s, h)] += float(v)
+    expected = {}
+    for s in {s for s, _, _ in events}:
+        hours = [h for (s2, h) in sums if s2 == s]
+        last = None
+        for h in range(min(hours), max(hours) + 1):
+            if (s, h) in sums:
+                last = round(sums[(s, h)], 2)
+                expected[(s, base + datetime.timedelta(hours=h))] = (True, last)
+            else:
+                expected[(s, base + datetime.timedelta(hours=h))] = (False, last)
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), max_size=20),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_span_dup_stats_matches_counter(spark, docs):
+    """Span duplication stats (explode + hash agg + equi-join) must
+    equal a Counter over k-token chunks: n_chunks counts a document's
+    full spans, n_dup_chunks those whose text appears in >=2 distinct
+    documents — including repeated occurrences within one document."""
+    from spark_query_engine.operators.textanalysis import span_dup_stats
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in span_dup_stats(df, "doc_id", "text", k=k).collect()
+    }
+
+    chunks_of = {
+        i: [
+            " ".join(toks[j * k : (j + 1) * k])
+            for j in range(len(toks) // k)
+        ]
+        for i, toks in enumerate(docs)
+    }
+    owners: dict[str, set[int]] = {}
+    for i, chunks in chunks_of.items():
+        for c in chunks:
+            owners.setdefault(c, set()).add(i)
+    expected = {
+        i: (len(chunks), sum(1 for c in chunks if len(owners[c]) > 1))
+        for i, chunks in chunks_of.items()
+        if chunks
+    }
+    assert got == expected
