@@ -1,0 +1,72 @@
+"""Graph analytics over pair relations (near-dup candidate graphs,
+interaction graphs): iterative PageRank.
+
+Complements ``dedup.connected_components`` (which labels clusters)
+with a CENTRALITY signal — which node in a duplicate cluster is the
+canonical one, which document a crawl graph keeps linking back to.
+Same distributed shape as CC: a persisted symmetric edge relation,
+one equi-join + one aggregation per round, lineage truncated with
+``localCheckpoint``. No driver-side loop over data — only the scalar
+node count crosses to the driver (the damping constant's 1/N term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """PageRank on the UNDIRECTED graph of ``pairs`` (each pair
+    contributes both directions). Fixed ``iterations`` rounds of
+
+        pr'(v) = (1-d)/N + d * Σ_{u~v} pr(u)/deg(u)
+
+    with every round's ranks ROUNDed to ``round_decimals`` — the
+    repo's iterative float discipline (see kmeans_fit): rounding
+    between rounds pins the running state to values every engine
+    agrees on, so an unrolled SQL replay matches bit-for-bit.
+
+    Per round: edges ⋈ ranks (equi-join on the node id both relations
+    are already hash-partitioned by) + one sum-aggregation on the
+    destination id. Edge+degree relation persists once; each round's
+    ranks persist and the previous round unpersists; symmetric edges
+    mean every node receives a contribution, so no dangling-mass
+    term is needed.
+
+    Returns (id, pr) for every node in ``pairs``.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = sym.join(deg, "u").select("u", "v", "deg").persist()
+
+    n = deg.count()  # scalar model state, as in any iterative job
+    base = (1.0 - damping) / n
+    ranks = deg.select("u", F.lit(1.0 / n).alias("pr")).persist()
+    for i in range(iterations):
+        new = (
+            ed.join(ranks, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.sum(F.col("pr") / F.col("deg")),
+                    round_decimals,
+                ).alias("pr")
+            )
+            .persist()
+        )
+        if i % 5 == 4:
+            new = new.localCheckpoint()
+        new.count()
+        ranks.unpersist()
+        ranks = new
+    return ranks.select(F.col("u").alias("id"), "pr")

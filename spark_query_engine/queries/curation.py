@@ -1097,3 +1097,121 @@ def corpus_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(0.90, "lo90", "hi90").alias("p90_within"),
         within(0.99, "lo99", "hi99").alias("p99_within"),
     )
+
+
+def _pagerank_oracle_iters(t: int = 5) -> str:
+    """Unrolled PageRank rounds as CTEs over the replayed LSH candidate
+    graph — same per-round 9dp rounding as operators/graph.pagerank, so
+    the running state is pinned to engine-agnostic values."""
+    iters = []
+    for i in range(1, t + 1):
+        iters.append(
+            f"""r{i} AS (
+            SELECT e.dst AS id,
+                   ROUND(0.15/(SELECT n FROM nn)
+                         + 0.85*SUM(r.pr/d.deg), 9) AS pr
+            FROM pr_edges e
+            JOIN r{i-1} r ON r.id = e.src
+            JOIN pr_deg d ON d.src = e.src
+            GROUP BY e.dst
+        )"""
+        )
+    return ",\n        ".join(iters)
+
+
+@query(
+    "corpus_graph_pagerank",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        {_minhash_oracle_ctes()},
+        pr_edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cand
+            UNION ALL
+            SELECT id_b, id_a FROM cand
+        ),
+        pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM pr_deg),
+        r0 AS (
+            SELECT src AS id, 1.0/(SELECT n FROM nn) AS pr FROM pr_deg
+        ),
+        {_pagerank_oracle_iters(5)}
+        SELECT id AS doc_id, ROUND(pr, 6) AS pagerank FROM r5
+    """,
+)
+def corpus_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-duplicate CANDIDATE graph: PageRank on
+    the MinHash-LSH pair relation — the canonical-document signal (a
+    page many near-copies orbit scores high; its satellites score
+    low), and the repo's second iterative graph algorithm next to
+    connected components. Five rounds of join+sum with per-round
+    9dp-rounded state; the oracle replays the affine-permutation LSH
+    candidates AND all five unrolled rounds, so the iterative fixpoint
+    itself is hash-verified, not just the final projection.
+
+    Scale: the graph is the candidate-pair relation (|dup clusters|,
+    a vanishing fraction of the corpus); each round is one
+    hash-partitioned equi-join + aggregation, lineage truncated via
+    localCheckpoint — the CC loop's cost model with a float payload."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", 3).persist()
+    sig = D.minhash_signatures(sh, 16)
+    cand = D.lsh_candidate_pairs(sig, 16, 4)
+    from spark_query_engine.operators.graph import pagerank
+
+    pr = pagerank(cand, "id_a", "id_b", iterations=5)
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+@query(
+    "data_incremental_rollup",
+    oracle="""
+        WITH ev AS (SELECT event_id,
+                           CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+                           user_id, event_type, value, props FROM events)
+        SELECT date_trunc('hour', ts) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM ev
+        GROUP BY 1, 2
+    """,
+)
+def data_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, the continuous-
+    aggregate refresh contract: the hourly rollup is kept as stored
+    PARTIALS (count, raw sum) for history before a cutoff, and a
+    refresh folds in only the post-cutoff delta — rollup(base) ⊎
+    rollup(delta) remerged on (bucket, type). The oracle recomputes
+    the rollup from ALL raw events, so the green row proves
+    incremental-refresh ≡ full-recompute, the invariant that lets a
+    100 TB pipeline refresh a day's aggregate by scanning one day.
+
+    Float discipline: partials store UNROUNDED sums (rounding partials
+    would make the merge order observable); only the merged total is
+    rounded — the same tolerance the plain rollup queries rely on.
+    Counts merge exactly. The merge aggregation is |buckets x types|
+    rows, so refresh cost is O(delta) scan + a tiny shuffle."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp_ntz")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("pv"),
+        )
+
+    base = partials(ev.where(F.col("ts") < cutoff))  # the stored MV
+    delta = partials(ev.where(F.col("ts") >= cutoff))  # the refresh scan
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+    )

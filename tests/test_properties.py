@@ -336,3 +336,45 @@ def test_span_dup_stats_matches_counter(spark, docs):
         if chunks
     }
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_pagerank_matches_sequential(spark, edges):
+    """Distributed PageRank (per-round join+sum with 9dp-rounded
+    state) must track a sequential power iteration on any undirected
+    graph — hubs, chains, parallel edges — to within the rounding
+    granularity."""
+    from collections import defaultdict
+
+    from spark_query_engine.operators.graph import pagerank
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["pr"] for r in pagerank(df, iterations=5).collect()}
+
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    deg: dict[int, int] = defaultdict(int)
+    for u, _ in sym:
+        deg[u] += 1
+    n = len(deg)
+    pr = {u: 1.0 / n for u in deg}
+    for _ in range(5):
+        acc: dict[int, float] = defaultdict(float)
+        for u, v in sym:
+            acc[v] += pr[u] / deg[u]
+        pr = {v: round(0.15 / n + 0.85 * acc[v], 9) for v in deg}
+
+    assert set(got) == set(pr)
+    for u in pr:
+        assert abs(got[u] - pr[u]) < 2e-9, (u, got[u], pr[u])
+    # mass conservation (up to rounding): ranks sum to ~1
+    assert abs(sum(got.values()) - 1.0) < 1e-6 * n
