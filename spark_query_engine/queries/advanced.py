@@ -313,3 +313,46 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@query(
+    "variant_props_rollup",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE})
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10
+                   AS k_decile,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS BIGINT) AS sum_k,
+               ROUND(SUM(value), 2) AS total_value
+        FROM ev
+        GROUP BY 1, 2
+    """,
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup through the VARIANT type (Spark 4):
+    ``parse_json`` converts the JSON string ONCE into Spark's binary
+    variant encoding, and every subsequent ``variant_get`` is a typed
+    path read on that encoding — unlike ``get_json_object``, which
+    re-parses the string per extraction. The aggregation groups on an
+    extracted integer field, so the whole pipeline (parse → typed
+    extract → hash agg) stays in one codegen stage. At 100 TB the
+    variant column is what you'd persist (shredded storage), making
+    repeated extraction cost independent of raw JSON size. Integer
+    division for the decile keys keeps grouping engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.parse_json("props").alias("p"), "event_type", "value"
+    )
+    k = F.expr("variant_get(p, '$.k', 'int')")
+    return v.select(
+        (k / 10).cast("int").alias("k_decile"),
+        "event_type",
+        "value",
+        k.alias("k"),
+    ).groupBy("k_decile", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

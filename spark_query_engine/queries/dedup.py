@@ -359,3 +359,81 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.6)
     )
+
+
+@query(
+    "dedup_chain_recursive",
+    oracle=f"""
+        WITH RECURSIVE
+        {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        dag AS (
+            SELECT id_a AS u, id_b AS v
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+        ),
+        walk(src, cur, depth) AS (
+            SELECT u, u, 0 FROM (SELECT DISTINCT u FROM dag) s(u)
+            UNION ALL
+            SELECT w.src, d.v, w.depth + 1
+            FROM walk w JOIN dag d ON d.u = w.cur
+        )
+        SELECT src AS doc_id,
+               MAX(cur) AS furthest_dup,
+               MAX(depth) AS chain_len,
+               COUNT(DISTINCT cur) - 1 AS n_reachable
+        FROM walk
+        GROUP BY src
+    """,
+)
+def dedup_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-chain spread via a RECURSIVE CTE (Spark 4's
+    ``WITH RECURSIVE``): orient the verified near-dup pairs into a
+    DAG (id_a < id_b, the orientation the pair relation already has),
+    then walk every increasing chain — per origin document: the
+    furthest transitive duplicate, the longest chain, and how many
+    documents its duplication reaches. Chains are how template drift
+    shows up (A≈B, B≈C, but A̸≈C): pairwise dedup misses them,
+    closure-by-chain finds them — this is the declarative twin of the
+    iterative ``connected_components`` loop, expressed in ONE SQL
+    statement with the engine driving the fixpoint.
+
+    Termination/scale: every step strictly increases the node id, so
+    recursion depth is bounded by the longest increasing chain (dup
+    clusters are shallow); each recursion round is one hash equi-join
+    of the frontier against the DAG — the same shuffle shape as the
+    manual loop, but scheduled by Catalyst. UNION ALL enumerates
+    increasing paths, which is exponential on a CLIQUE — fine for
+    near-dup clusters (small, sparse after verification); for
+    adversarial graphs use the iterative operator instead."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    ).select("id_a", "id_b")
+    pairs.createOrReplaceTempView("dedup_chain_pairs")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        walk(src, cur, depth) AS (
+            SELECT u, u, 0
+            FROM (SELECT DISTINCT id_a AS u FROM dedup_chain_pairs)
+            UNION ALL
+            SELECT w.src, d.id_b, w.depth + 1
+            FROM walk w JOIN dedup_chain_pairs d ON d.id_a = w.cur
+        )
+        SELECT src AS doc_id,
+               MAX(cur) AS furthest_dup,
+               MAX(depth) AS chain_len,
+               COUNT(DISTINCT cur) - 1 AS n_reachable
+        FROM walk
+        GROUP BY src
+        """
+    )

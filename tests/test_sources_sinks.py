@@ -116,3 +116,40 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(dst).count() == orders.count()
     )
+
+
+def test_python_datasource_synth_docs(spark):
+    """The custom Python DataSource (Spark 4 DataSource API) must (a)
+    register and read through the normal reader path, (b) split into
+    the declared number of input partitions (executor-side generation,
+    nothing driver-materialized), (c) produce deterministic,
+    seed-addressed content on repeated reads, and (d) compose with
+    ordinary Catalyst ops (filter + agg) downstream."""
+    from spark_query_engine.pysource import SynthDocsDataSource, _doc
+
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (
+        spark.read.format("synth_docs")
+        .option("n", 500)
+        .option("seed", 7)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 500
+    # deterministic + pure-function contract
+    did, text, lang, n_tokens = _doc(7, 123)
+    assert rows[123]["text"] == text and rows[123]["lang"] == lang
+    again = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert again == {k: v["text"] for k, v in rows.items()}
+    # catalyst composes downstream
+    agg = (
+        df.where("n_tokens >= 30")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in agg) == sum(
+        1 for r in rows.values() if r["n_tokens"] >= 30
+    )
