@@ -1215,3 +1215,87 @@ def data_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("pv"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "data_skew_report",
+    oracle="""
+        WITH freq AS (
+            SELECT o_custkey AS key, COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   MAX(n) AS max_key_rows,
+                   ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY n), 6)
+                       AS p50_key_rows,
+                   ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n), 6)
+                       AS p99_key_rows
+            FROM freq
+        ),
+        heavy AS (
+            SELECT key, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rnk
+            FROM freq
+            QUALIFY rnk <= 5
+        )
+        SELECT s.n_keys, s.n_rows, s.max_key_rows,
+               s.p50_key_rows, s.p99_key_rows,
+               ROUND(s.max_key_rows * 1.0 * s.n_keys / s.n_rows, 6)
+                   AS skew_factor,
+               h.rnk AS heavy_rank, h.key AS heavy_key,
+               h.n AS heavy_rows
+        FROM stats s CROSS JOIN heavy h
+    """,
+)
+def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnosis that precedes every salting/AQE-skew decision:
+    per-join-key frequency distribution for orders.o_custkey — key
+    count, row count, max/p50/p99 rows-per-key, a skew factor
+    (max-key load relative to a perfectly uniform spread), and the
+    top-5 heavy hitters by (count, key) rank. One hash aggregation
+    over the fact table, then statistics over the |keys| relation —
+    the report costs one shuffle of key cardinality, never a second
+    pass over the facts, which is why it can run as a pre-flight step
+    of every production join at 100 TB. The one-row stats relation
+    cross-joins the 5-row heavy-hitter list (scalar broadcast, not a
+    data-plane join)."""
+    from pyspark.sql import Window
+
+    freq = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.expr("percentile(n, 0.50)"), 6).alias("p50_key_rows"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_key_rows"),
+    )
+    heavy = (
+        freq.orderBy(F.desc("n"), "key")
+        .limit(5)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "key"))
+            .alias("heavy_rank"),
+            F.col("key").alias("heavy_key"),
+            F.col("n").alias("heavy_rows"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(heavy)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "p50_key_rows",
+        "p99_key_rows",
+        F.round(
+            F.col("max_key_rows") * 1.0 * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("skew_factor"),
+        "heavy_rank",
+        "heavy_key",
+        "heavy_rows",
+    )

@@ -405,3 +405,54 @@ def events_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   COUNT(*) AS n
+            FROM ev GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, bucket, n,
+                   AVG(n) OVER (PARTITION BY event_type) AS mu,
+                   stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+            FROM hourly
+        )
+        SELECT event_type, bucket, n,
+               ROUND((n - mu) / sigma, 4) AS zscore
+        FROM scored
+        WHERE sigma > 0 AND ABS(ROUND((n - mu) / sigma, 4)) >= 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection, the monitoring query over event
+    streams: hourly counts per type, z-scored against that type's own
+    mean/population-stddev, keeping |z| >= 2.5 outliers. The window
+    statistics run over the AGGREGATED hourly relation (|types x
+    hours| rows), so the expensive stage is the one map-side-combined
+    count — the raw facts are never shuffled twice. Counts are
+    integers, so mu/sigma are exact rational doubles and the 4dp
+    z-score is engine-identical; at true scale the same shape keys by
+    (entity, metric) and the per-key window parallelizes across the
+    partition axis."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_pop("n").over(w).alias("sigma"),
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4)
+    return scored.where(
+        (F.col("sigma") > 0) & (F.abs(z) >= 2.5)
+    ).select("event_type", "bucket", "n", z.alias("zscore"))
