@@ -10,6 +10,7 @@ plus watermarking for late data and stateful sessionization.
 from spark_query_engine.streaming.events import (
     dedup_stream,
     interval_join_streams,
+    ohlc_stream,
     run_to_memory_sink,
     running_user_totals,
     sessionize_stream,
@@ -26,6 +27,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "sessionize_stream",
+    "ohlc_stream",
     "running_user_totals",
     "interval_join_streams",
     "dedup_stream",

@@ -137,6 +137,38 @@ def tumbling_counts(
     )
 
 
+def ohlc_stream(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming OHLC downsample — the incremental twin of the batch
+    ``events_downsample_ohlc``: open/close via ``min_by``/``max_by``
+    on a (ts, event_id) struct key (deterministic under duplicate
+    timestamps, and — unlike the batch twin's rank windows — a pure
+    aggregation, so it folds incrementally into window state instead
+    of needing a sort). Watermark bounds state: closed candles evict.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window: str = "1 hour",

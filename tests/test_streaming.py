@@ -258,3 +258,33 @@ def test_rate_source_generator_is_deterministic(spark):
     ts = {r["event_id"]: r["ts"] for r in rows}
     assert ts[0] == datetime.datetime(2024, 1, 1, 0, 0, 0)
     assert ts[150] == datetime.datetime(2024, 1, 1, 0, 1, 0)
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir, events_stream):
+    """The streaming OHLC candles (min_by/max_by incremental fold)
+    must equal the batch rank-window twin for every emitted window —
+    two different algorithms (stateful aggregation vs sort+rank) for
+    the same semantics, which is exactly what Spark's unified model
+    promises."""
+    from spark_query_engine.queries import queries
+
+    agg = ST.ohlc_stream(events_stream, "1 day", "1 hour")
+    ST.run_to_memory_sink(agg, "ohlc_out", mode="append")
+    got = {
+        (r["bucket"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in spark.sql("SELECT * FROM ohlc_out").collect()
+    }
+
+    batch = queries()["events_downsample_ohlc"](spark, sf_dir)
+    want = {
+        (r["bucket"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in batch.collect()
+    }
+    assert len(got) > 0
+    for key, val in got.items():
+        batch_key = (key[0].replace(tzinfo=None), key[1])
+        assert want[batch_key] == val, key
