@@ -67,6 +67,10 @@ HEADLINE = [
     "corpus_span_dedup",
     "ann_hybrid_search",
     "events_downsample_ohlc",
+    "data_incremental_rollup",
+    "data_skew_report",
+    "events_anomaly_zscore",
+    "variant_props_rollup",
 ]
 
 
