@@ -295,6 +295,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row vocab-size aggregate crosses the |alphabet|²-row
         # model relation — a scalar broadcast, not a data-plane join
         "corpus_lm_score",
+        # 1-row distribution stats × 5-row heavy-hitter list: both
+        # sides are aggregates of the key-frequency relation
+        "data_skew_report",
     }
     qs = queries()
     sf = "/root/testdata/sf0.001"
