@@ -20,7 +20,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -82,3 +87,36 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "SynthDocsStreamReader":
+        return SynthDocsStreamReader(self.options)
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (Spark 4 simple stream-reader
+    API): each micro-batch emits the next ``batchSize`` documents; the
+    offset is simply the next doc_id, so restarts resume exactly and
+    the stream is replayable from any committed offset — the
+    at-least-once → exactly-once contract a checkpointed source needs.
+    """
+
+    def __init__(self, options: dict):
+        self.seed = int(options.get("seed", 0))
+        self.batch_size = int(options.get("batchSize", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = lo + self.batch_size
+        return (
+            iter([_doc(self.seed, i) for i in range(lo, hi)]),
+            {"next": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            _doc(self.seed, i)
+            for i in range(int(start["next"]), int(end["next"]))
+        )
