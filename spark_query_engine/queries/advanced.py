@@ -356,3 +356,56 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "udtf_polymorphic_onehot",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+               CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS de,
+               CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS fr,
+               CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS es,
+               CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS zh
+        FROM documents
+    """,
+)
+def udtf_polymorphic_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()`): the output
+    schema — one integer column per language — is computed at PLAN
+    time from the constant category-list argument, so the same table
+    function one-hot-encodes any categorical column with any label
+    set without code changes. `udtf_bigrams` exercised the static
+    UDTF surface; this is the dynamic-schema half of §2.11.
+    (The JVM equivalent of the encoding itself is a CASE projection —
+    the UDTF exists to exercise the extension surface.)"""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class OneHot:
+        @staticmethod
+        def analyze(value: AnalyzeArgument, cats: AnalyzeArgument):
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(c, IntegerType())
+                        for c in cats.value.split(",")
+                    ]
+                )
+            )
+
+        def eval(self, value: str, cats: str):
+            yield tuple(
+                1 if value == c else 0 for c in cats.split(",")
+            )
+
+    spark.udtf.register("onehot_udtf", udtf(OneHot))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_onehot")
+    return spark.sql(
+        """
+        SELECT d.doc_id, o.*
+        FROM docs_onehot d,
+             LATERAL onehot_udtf(d.lang, 'en,de,fr,es,zh') o
+        """
+    )
