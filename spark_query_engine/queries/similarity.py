@@ -234,3 +234,116 @@ def ann_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "id").limit(15)
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+            FROM toks GROUP BY 1
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+        ),
+        df AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY 1
+        ),
+        qterms AS (
+            SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id = 0
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   COUNT(*) AS n_hit_terms,
+                   ROUND(SUM(
+                       ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                       * t.tf * 2.2
+                       / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+                   ), 6) AS score
+            FROM tf t
+            JOIN qterms q ON q.tok = t.tok
+            JOIN df f ON f.tok = t.tok
+            JOIN dl d ON d.doc_id = t.doc_id
+            CROSS JOIN corpus c
+            WHERE t.doc_id <> 0
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id AS id, n_hit_terms, score
+        FROM scored
+        ORDER BY score DESC, id
+        LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 (k1=1.2, b=0.75, Robertson +1 idf) against the query
+    document's terms — the ranked upgrade of `ann_hybrid_search`'s
+    overlap counter, completing the lexical stack: overlap → BM25 →
+    rank fusion. All statistics (tf, df, dl, avgdl, N) come from TWO
+    aggregations over one exploded token relation; the query-term and
+    df joins are equi-joins on token (the inverted-index access
+    pattern), and the 1-row corpus stats broadcast. Ranking and the
+    top-20 cut use the 6dp-ROUNDED score (+ id tiebreak) on both
+    engines, so membership at the boundary is exact; the rounding also
+    absorbs libm last-bit ln() differences and summation order.
+
+    Scale: token relation is O(total tokens); everything downstream is
+    keyed aggregation/equi-join — at 100 TB you'd persist tf/df/dl as
+    the inverted index and this query becomes its probe."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    qterms = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    )
+    scored = (
+        tf.where(F.col("doc_id") != 0)
+        .join(F.broadcast(qterms), "tok")
+        .join(df, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                    * F.col("tf")
+                    * 2.2
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.select(F.col("doc_id").alias("id"), "n_hit_terms", "score")
+        .orderBy(F.desc("score"), "id")
+        .limit(20)
+    )
