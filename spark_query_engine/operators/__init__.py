@@ -39,11 +39,26 @@ def widen(df: DataFrame, min_factor: int = 1) -> DataFrame:
 
 
 from spark_query_engine.operators import (  # noqa: E402
+    clustering,
     dedup,
+    graph,
+    maintenance,
     multimodal,
     similarity,
     skew,
     textanalysis,
+    timeseries,
 )
 
-__all__ = ["dedup", "multimodal", "similarity", "skew", "textanalysis", "widen"]
+__all__ = [
+    "clustering",
+    "dedup",
+    "graph",
+    "maintenance",
+    "multimodal",
+    "similarity",
+    "skew",
+    "textanalysis",
+    "timeseries",
+    "widen",
+]
