@@ -180,11 +180,14 @@ def test_binary_file_ingestion(spark, tmp_path):
     assert all(m["magic_ok"] and m["width"] == 640 for m in meta)
 
 
-def test_decode_image_stub_contract():
+def test_decode_image_codec_contract():
     payload = b"QEIM0100" + b"0050" + b"body"
     assert MM.decode_image(payload, codec="fake") == (50, 100)
+    assert MM.decode_image(payload) == (50, 100)  # auto sniffs QEIM
     with pytest.raises(NotImplementedError):
-        MM.decode_image(payload)  # real codec absent by design
+        MM.decode_image(payload, codec="real")  # compressed formats
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\xff\xd8jpegdata")  # auto → unknown → gated
     with pytest.raises(ValueError):
         MM.decode_image(b"XXXX00100050", codec="fake")
 
