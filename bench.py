@@ -71,6 +71,9 @@ HEADLINE = [
     "data_skew_report",
     "events_anomaly_zscore",
     "variant_props_rollup",
+    "text_bm25_search",
+    "multimodal_ppm_roundtrip",
+    "corpus_sketch_quantiles",
 ]
 
 

@@ -44,7 +44,12 @@ def pagerank(
     Returns (id, pr) for every node in ``pairs``.
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # persist the symmetric edges FIRST: pairs is usually a lazy
+    # candidate-generation DAG (shingles → signatures → band join), and
+    # without this both deg and ed would re-run that whole pipeline
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ed = sym.join(deg, "u").select("u", "v", "deg").persist()
 
@@ -69,4 +74,5 @@ def pagerank(
         new.count()
         ranks.unpersist()
         ranks = new
+    sym.unpersist()
     return ranks.select(F.col("u").alias("id"), "pr")

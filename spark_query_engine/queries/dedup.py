@@ -418,6 +418,10 @@ def dedup_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
         threshold=0.6,
     ).select("id_a", "id_b")
+    # materialize: each recursion round re-reads this relation, and an
+    # unpersisted view would re-run the whole LSH pipeline per round
+    pairs = pairs.persist()
+    pairs.count()
     pairs.createOrReplaceTempView("dedup_chain_pairs")
     return spark.sql(
         """
