@@ -408,3 +408,48 @@ def ann_topk_lsh(
         .orderBy(F.col("cos_sim").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def ann_topk_lsh_multiprobe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 5,
+    max_flips: int = 1,
+    exclude_id=None,
+) -> DataFrame:
+    """Multi-probe LSH top-k: probe the query's bucket AND every
+    bucket within ``max_flips`` sign-bit flips (Hamming ball), then
+    rank by exact cosine over the union. A vector near a hyperplane
+    falls on the wrong side with probability ∝ its margin; probing
+    1-flip neighbors recovers exactly those borderline misses —
+    recall rises from the single-probe (1-p)^planes at the cost of
+    1 + n_planes buckets instead of one (still ~(1+n)/2^n of the
+    table; partition pruning still applies because the probe set is
+    a literal list at plan time, not a runtime predicate)."""
+    q = [float(x) for x in query_vec]
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        dot = 0.0
+        for x, w in zip(q, plane):
+            dot += x * w
+        if dot > 0:
+            qbucket |= 1 << p
+    bucketed = lsh_bucket(df, id_col, vec_col, planes).where(
+        F.bit_count(
+            F.col("bucket").bitwiseXOR(F.lit(qbucket))
+        )
+        <= max_flips
+    )
+    if exclude_id is not None:
+        bucketed = bucketed.where(F.col("id") != exclude_id)
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        bucketed.select(
+            "id", F.round(cosine(F.col("vec"), qlit), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )

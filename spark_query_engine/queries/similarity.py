@@ -347,3 +347,50 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "id")
         .limit(20)
     )
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+        WITH planes(p, d, w) AS (VALUES {_planes_values_sql()}),
+        dots AS (
+            SELECT e.vec_id, pl.p,
+                   SUM(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dot
+            FROM embeddings e, planes pl
+            GROUP BY e.vec_id, pl.p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id AS id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cos_sim
+        FROM embeddings e
+        JOIN buckets b ON b.vec_id = e.vec_id
+        JOIN qb ON bit_count(xor(b.bucket, qb.bucket)) <= 1
+        CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, id
+        LIMIT 5
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query bucket plus all 1-bit-flip
+    neighbors (9 of 256 buckets at 8 planes) — the standard recall
+    repair for vectors that fall just past a hyperplane, at ~9/256 of
+    the table instead of 1/256, with the probe set still a plan-time
+    constant (partition pruning intact). Exact cosine ranks the union;
+    same fixed-seed planes as ``ann_lsh_topk``, replayed literally in
+    the oracle down to the bucket bits."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh_multiprobe(
+        emb, "vec_id", "embedding", qv, _PLANES, k=5, max_flips=1,
+        exclude_id=0,
+    )
