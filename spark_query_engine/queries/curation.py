@@ -1299,3 +1299,45 @@ def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "heavy_key",
         "heavy_rows",
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   ROUND(
+                       -ln((('0x' || substr(md5('wrs:' || doc_id), 1, 8))::BIGINT
+                            + 1.0) / 4294967297.0)
+                       / n_chars, 9) AS wkey
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, wkey
+        FROM keyed
+        ORDER BY wkey, doc_id
+        LIMIT 100
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): each document draws key = -ln(u)/w with u a uniform from
+    md5(doc_id) and weight w = n_chars; the k SMALLEST keys are an
+    exact weighted sample — the quality-weighted subset selection
+    step of corpus curation (sampling ∝ any score column swaps one
+    expression). Deterministic end to end: u is hash-derived (the
+    repo's seeded-sampling discipline, reproducible run to run and
+    engine to engine), the key is 9dp-rounded before ranking with a
+    doc_id tiebreak, and selection is TakeOrderedAndProject — top-k
+    streaming over the scan, no global sort materialization."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("wrs:"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("long")
+        + 1.0
+    ) / 4294967297.0
+    wkey = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "lang", "n_chars", wkey.alias("wkey"))
+        .orderBy("wkey", "doc_id")
+        .limit(100)
+    )

@@ -334,3 +334,50 @@ def test_python_datasource_stream_reader(spark, tmp_path):
             assert rows[i] == _doc(7, i)[1]
     finally:
         q.stop()
+
+
+def test_stream_static_dimension_join(spark, sf_dir, events_stream):
+    """Stream-STATIC join — the enrich-events-with-a-dimension shape
+    (the most common production join): the static side broadcasts
+    into every micro-batch with no state store involvement (unlike
+    stream-stream joins), so results must equal the batch join
+    exactly for all emitted rows."""
+    from spark_query_engine.queries import load
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    enriched = (
+        events_stream.join(F.broadcast(dim), "event_type")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("wv"),
+        )
+        .select(
+            F.col("window.start").alias("ws"), "event_type", "n", "wv"
+        )
+    )
+    ST.run_to_memory_sink(enriched, "stream_static_out", mode="append")
+    got = {
+        (r["ws"], r["event_type"]): (r["n"], r["wv"])
+        for r in spark.sql("SELECT * FROM stream_static_out").collect()
+    }
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("wv"),
+        )
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "wv")
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["wv"]) for r in batch.collect()}
+    assert len(got) > 0
+    for key, val in got.items():
+        assert want[(key[0].replace(tzinfo=None), key[1])] == val, key
