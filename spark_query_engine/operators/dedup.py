@@ -484,3 +484,93 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold via PREFIX FILTERING
+    (the PPJoin family): order every document's shingles by global
+    rarity (df asc, shingle) and join only each document's first
+    |d| - ⌈t·|d|⌉ + 1 shingles — the prefix-filter lemma guarantees
+    any pair with J ≥ t shares a prefix shingle under a common global
+    order, so the candidate set is LOSSLESS while the join touches a
+    small slice of the shingle relation (and the rarest shingles at
+    that, which is exactly where Σ C(df,2) fan-out is cheapest).
+    Candidates then verify by exact intersection counting restricted
+    to the candidate pairs.
+
+    ⌈t·|d|⌉ is computed in INTEGER arithmetic (t as a /1000 rational):
+    float ceil noise (0.6·5 → 3.0000000000000004 → ⌈⌉ = 4) would
+    shorten the prefix and silently drop true pairs.
+
+    Compared to ``ngram_jaccard_pairs`` (all-shingle join), this adds
+    a df aggregation and a per-doc rank window but shrinks the
+    pair-generating join by the prefix ratio (~(1-t)) AND skips the
+    hottest shingles — the asymptotic fix for the documented fan-out
+    blocker. MEASURED trade at sf0.1 (5000 docs, ~30-word vocab,
+    identical 256 output pairs): all-shingle 3.1 s vs prefix 7.6 s —
+    on THIS corpus the shingle space is tiny (≤27k distinct 3-grams),
+    so Σ C(df,2) is already benign and the extra stages dominate.
+    Prefix filtering pays off where the blocker actually bites:
+    long documents over an open vocabulary (real web corpora), where
+    per-shingle df is near 1 for the prefix slice and the all-shingle
+    join's fan-out is the quadratic term. Both paths stay registered;
+    pick by corpus shape."""
+    num = int(round(threshold * 1000))
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("sdf", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n_sh")
+            - F.floor((num * F.col("n_sh") + 999) / 1000).cast("long")
+            + 1
+        )
+        .select("id", "shingle")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.id") < F.col("pb.id")),
+        )
+        .select(
+            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.id") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.id") == F.col("id_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -441,3 +441,37 @@ def dedup_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY src
         """
     )
+
+
+@query(
+    "dedup_ngram_prefix",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.6
+    """,
+)
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (PPJoin-style): the oracle is the
+    FULL all-shingle brute force, so a green row is a losslessness
+    proof — the rarity-ordered prefix join (each doc contributes only
+    its |d| - ⌈0.6·|d|⌉ + 1 globally-rarest shingles to the pair
+    generation) finds exactly the pairs the exhaustive join finds,
+    while joining a (1-t)-sized, hot-shingle-free slice of the
+    shingle relation. See operators/dedup.ngram_jaccard_prefix_pairs
+    for the integer-arithmetic prefix bound."""
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6
+    )

@@ -298,6 +298,10 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row distribution stats × 5-row heavy-hitter list: both
         # sides are aggregates of the key-frequency relation
         "data_skew_report",
+        # 1-row corpus stats (N, avgdl) broadcast into the scoring agg
+        "text_bm25_search",
+        # 1-row sketch/percentile aggregate crossed with the rank audit
+        "corpus_sketch_quantiles",
     }
     qs = queries()
     sf = "/root/testdata/sf0.001"
