@@ -456,3 +456,72 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(
         (F.col("sigma") > 0) & (F.abs(z) >= 2.5)
     ).select("event_type", "bucket", "n", z.alias("zscore"))
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        firstact AS (
+            SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+            FROM ev GROUP BY 1
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM ev
+        ),
+        cell AS (
+            SELECT f.cohort,
+                   CAST(date_diff('day', f.cohort, a.d) AS BIGINT)
+                       AS day_offset,
+                   COUNT(DISTINCT a.user_id) AS n_active
+            FROM activity a JOIN firstact f USING (user_id)
+            GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT cohort, n_active AS cohort_size
+            FROM cell WHERE day_offset = 0
+        )
+        SELECT c.cohort, c.day_offset, c.n_active, b.cohort_size,
+               ROUND(c.n_active * 1.0 / b.cohort_size, 6) AS retention
+        FROM cell c JOIN base b ON b.cohort = c.cohort
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-retention triangle: users grouped by first-activity
+    day, each later active day binned by offset from that cohort —
+    the (cohort, offset) matrix every growth dashboard draws
+    (events_retention is its two-point D1/D7 summary). Two
+    aggregations over the events scan (first-activity and distinct
+    daily activity) meet in ONE equi-join on user_id; cells and
+    cohort sizes are then |days x offsets| rows, so the ratio join is
+    negligible. Long form (cohort, offset) rather than a pivoted
+    triangle keeps the relation schema-stable as time grows — pivot
+    at presentation, not storage. Integer counts make every retention
+    ratio engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    cell = (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff("d", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = cell.where(F.col("day_offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return cell.join(base, "cohort").select(
+        "cohort",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
