@@ -525,3 +525,59 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        seq AS (
+            SELECT event_type, date_trunc('day', ts) AS bucket, value,
+                   CAST(date_diff('microsecond', ts,
+                       LEAD(ts) OVER (
+                           PARTITION BY event_type, date_trunc('day', ts)
+                           ORDER BY ts, event_id)) AS BIGINT) AS dur_us
+            FROM ev
+        )
+        SELECT event_type, bucket,
+               COUNT(*) AS n_intervals,
+               ROUND(SUM(value * dur_us) / SUM(dur_us), 4) AS twa
+        FROM seq
+        WHERE dur_us IS NOT NULL AND dur_us > 0
+        GROUP BY 1, 2
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average over irregular samples — the hypertable
+    ``time_weighted`` aggregate: each observation holds until the next
+    one, so its weight is the µs until its successor (lead window,
+    tie-broken on event_id), and the per-(type, day) average weights
+    long-held values accordingly — a plain AVG over-counts bursts.
+    Durations stay INTEGER microseconds (no /1e6 float step), so only
+    the final weighted ratio needs the 4dp rounding tolerance. One
+    window + one aggregation over the same (type, day) partitioning —
+    a single shuffle; zero-length intervals (duplicate timestamps)
+    carry no weight and drop from both sums identically."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy(
+        "event_type", F.date_trunc("day", "ts")
+    ).orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("bucket"),
+        "value",
+        (
+            F.unix_micros(F.lead("ts", 1).over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    )
+    return (
+        seq.where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twa"),
+        )
+    )
