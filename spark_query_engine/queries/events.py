@@ -581,3 +581,56 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa"),
         )
     )
+
+
+@query(
+    "events_heartbeat_gaps",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        seq AS (
+            SELECT event_type, ts,
+                   LAG(ts) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id) AS prev_ts
+            FROM ev
+        )
+        SELECT event_type,
+               prev_ts AS gap_start, ts AS gap_end,
+               CAST(date_diff('microsecond', prev_ts, ts) // 1000000
+                    AS BIGINT) AS gap_seconds
+        FROM seq
+        WHERE prev_ts IS NOT NULL
+          AND date_diff('microsecond', prev_ts, ts) // 1000000 >= 3600
+    """,
+)
+def events_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence detection — the dead-man's-switch query of stream
+    monitoring: per event type, every gap of >= 1 hour between
+    consecutive events, with its endpoints and integer length
+    (anomaly_zscore flags too-much volume; this flags too-little).
+    One lag window per type ordered by (ts, event_id) — a single
+    shuffle — and integer arithmetic end to end: both engines truncate
+    the µs difference (DuckDB's date_diff('second') counts BOUNDARY
+    crossings, which disagrees with truncated duration on sub-second
+    fractions), so gap membership needs no float tolerance. At scale the same shape keys
+    by (source, device): the window partitions by the monitored
+    entity and the alert relation is tiny."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lag("ts", 1).over(w).alias("prev_ts"),
+    ).withColumn(
+        "gap_seconds",
+        ((sec("ts") - sec("prev_ts")) / F.lit(1_000_000)).cast("long"),
+    )
+    return seq.where(
+        F.col("prev_ts").isNotNull() & (F.col("gap_seconds") >= 3600)
+    ).select(
+        "event_type",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        "gap_seconds",
+    )

@@ -247,3 +247,66 @@ def distinct_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority"
     ).distinct()
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey AS custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT custkey, frequency, monetary,
+                   NTILE(4) OVER (ORDER BY last_order, custkey) AS r,
+                   NTILE(4) OVER (ORDER BY frequency, custkey) AS f,
+                   NTILE(4) OVER (ORDER BY monetary, custkey) AS m
+            FROM rfm
+        )
+        SELECT r, f, m,
+               CONCAT(CAST(r AS VARCHAR), CAST(f AS VARCHAR),
+                      CAST(m AS VARCHAR)) AS segment,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(monetary), 2) AS segment_value
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value analysis: per
+    customer recency (last order date), frequency (order count), and
+    monetary (total spend), each quartiled with NTILE over a TOTAL
+    order (metric, custkey — ties on the metric would otherwise make
+    quartile membership engine-dependent), then rolled up per
+    (r, f, m) segment. The windows run over the per-customer
+    aggregate (|customers| rows, not orders), and the final rollup is
+    |4³| rows; at scale the global NTILE becomes a percentile-bound
+    broadcast + bucket join, same decision layer."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    ).select("r", "f", "m", "segment", "n_customers", "segment_value")
