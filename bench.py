@@ -74,6 +74,11 @@ HEADLINE = [
     "text_bm25_search",
     "multimodal_ppm_roundtrip",
     "corpus_sketch_quantiles",
+    "events_cohort_retention",
+    "events_time_weighted_avg",
+    "events_heartbeat_gaps",
+    "customer_rfm_segments",
+    "sample_weighted",
 ]
 
 
