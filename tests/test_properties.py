@@ -378,3 +378,62 @@ def test_pagerank_matches_sequential(spark, edges):
         assert abs(got[u] - pr[u]) < 2e-9, (u, got[u], pr[u])
     # mass conservation (up to rounding): ranks sum to ~1
     assert abs(sum(got.values()) - 1.0) < 1e-6 * n
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_bm25_matches_sequential(spark, docs):
+    """The distributed BM25 pipeline (token explode → tf/df/dl aggs →
+    equi-joins → scored agg) must match a straightforward sequential
+    BM25 (k1=1.2, b=0.75, Robertson +1 idf) on arbitrary tiny corpora,
+    with doc 0 as the query — scores to 1e-9, ranking exactly."""
+    import math
+    from collections import Counter
+
+    from spark_query_engine.queries import queries
+
+    import tempfile, os
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r["id"]: (r["n_hit_terms"], r["score"])
+            for r in queries()["text_bm25_search"](spark, td).collect()
+        }
+
+    n = len(docs)
+    dls = {i: len(toks) for i, toks in enumerate(docs)}
+    avgdl = sum(dls.values()) / n
+    dfreq = Counter()
+    for toks in docs:
+        for t in set(toks):
+            dfreq[t] += 1
+    qterms = set(docs[0])
+    want = {}
+    for i, toks in enumerate(docs):
+        if i == 0:
+            continue
+        tf = Counter(toks)
+        hit = [t for t in tf if t in qterms]
+        if not hit:
+            continue
+        score = sum(
+            math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            * tf[t] * 2.2
+            / (tf[t] + 1.2 * (0.25 + 0.75 * dls[i] / avgdl))
+            for t in sorted(hit)
+        )
+        want[i] = (len(hit), round(score, 6))
+    # top-20 cut: compare the intersection (all docs here, n <= 10)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (i, got, want)
+        assert abs(got[i][1] - want[i][1]) < 2e-6, (i, got[i], want[i])
