@@ -310,3 +310,87 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("segment_value"),
     ).select("r", "f", "m", "segment", "n_customers", "segment_value")
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem
+        ),
+        norders AS (SELECT COUNT(DISTINCT okey) AS n FROM items),
+        pairs AS (
+            SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS c
+            FROM items a JOIN items b
+              ON a.okey = b.okey AND a.part < b.part
+            GROUP BY 1, 2
+        ),
+        counts AS (SELECT part, COUNT(*) AS cnt FROM items GROUP BY 1)
+        SELECT p.part_a, p.part_b, p.c AS pair_orders,
+               ROUND(p.c * 1.0 / n.n, 6) AS support,
+               ROUND(p.c * 1.0 / ca.cnt, 6) AS confidence,
+               ROUND(p.c * 1.0 * n.n / (ca.cnt * cb.cnt), 6) AS lift
+        FROM pairs p
+        JOIN counts ca ON ca.part = p.part_a
+        JOIN counts cb ON cb.part = p.part_b
+        CROSS JOIN norders n
+        WHERE p.c >= 3
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT 50
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (the frequent-itemset / market-basket
+    family): for part pairs co-occurring in >= 3 orders — support,
+    confidence(a→b), and lift, top-50 by lift. The pair join is keyed
+    on the ORDER (bounded fan-out: C(items-per-order, 2), a handful —
+    never a part-pair cross product), item counts broadcast back, and
+    the single order count is a scalar broadcast. Rule membership
+    gates on the INTEGER co-occurrence count and ranking uses the
+    6dp-rounded lift with (part_a, part_b) tiebreaks, so both the set
+    and its order are engine-exact. At 100 TB this is one shuffle of
+    the item relation on order key plus |parts|-sized joins — the A
+    in Apriori without candidate explosion, because pair generation
+    stays within baskets."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    norders = items.agg(F.countDistinct("okey").alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+    )
+    counts = items.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    ca = counts.select(F.col("part").alias("part_a"), F.col("cnt").alias("ca"))
+    cb = counts.select(F.col("part").alias("part_b"), F.col("cnt").alias("cb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c").alias("pair_orders"),
+            F.round(F.col("c") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(F.col("c") * 1.0 / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("c") * 1.0 * F.col("n") / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
