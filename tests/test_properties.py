@@ -437,3 +437,65 @@ def test_bm25_matches_sequential(spark, docs):
     for i in want:
         assert got[i][0] == want[i][0], (i, got, want)
         assert abs(got[i][1] - want[i][1]) < 2e-6, (i, got[i], want[i])
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 1),        # event_type index
+            st.integers(0, 5000),     # minute offset (can cross days)
+            st.integers(0, 50),       # integer value
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_time_weighted_avg_matches_sequential(spark, events):
+    """The registered time-weighted-average query must match a
+    sequential walk over arbitrary irregular event sets: per (type,
+    day), each value weighted by the µs until its successor, last
+    value of each partition carrying no weight."""
+    import datetime
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from spark_query_engine.queries import queries
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), i, f"t{k}", float(v), "{}")
+        for i, (k, m, v) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        got = {
+            (r["event_type"], r["bucket"]): (r["n_intervals"], r["twa"])
+            for r in queries()["events_time_weighted_avg"](spark, td).collect()
+        }
+
+    series = defaultdict(list)
+    for i, (k, m, v) in enumerate(events):
+        ts = base + datetime.timedelta(minutes=m)
+        day = datetime.datetime(ts.year, ts.month, ts.day)
+        series[(f"t{k}", day)].append((ts, i, float(v)))
+    want = {}
+    for key, obs in series.items():
+        obs.sort()
+        num = den = 0.0
+        cnt = 0
+        for (t0, _, v), (t1, _, _) in zip(obs, obs[1:]):
+            dur = int((t1 - t0).total_seconds() * 1_000_000)
+            if dur > 0:
+                num += v * dur
+                den += dur
+                cnt += 1
+        if cnt:
+            want[key] = (cnt, round(num / den, 4))
+    assert got == want
