@@ -1341,3 +1341,83 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("wkey", "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "data_snapshot_diff",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+            FROM orders WHERE o_orderkey % 97 <> 3
+        ),
+        new AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS tp
+            FROM orders WHERE o_orderkey % 89 <> 7
+        )
+        SELECT CASE WHEN o.k IS NULL THEN 'added'
+                    WHEN n.k IS NULL THEN 'removed'
+                    WHEN o.st <> n.st OR o.tp <> n.tp THEN 'modified'
+                    ELSE 'unchanged' END AS change_type,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(ABS(COALESCE(n.tp, 0) - COALESCE(o.tp, 0))), 2)
+                   AS total_drift
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+        GROUP BY 1
+    """,
+)
+def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF — the inverse of ``data_cdc_upsert``: given two
+    table versions, derive the change set (added / removed / modified
+    / unchanged) with row counts and total value drift — how you
+    generate CDC from full snapshots when the source system has no
+    changelog, and the audit behind any table-format time travel.
+    One full outer equi-join on the key (both sides hash-partitioned
+    once), classification and drift are row-local expressions, and
+    the output aggregates to |change types| rows. The two snapshots
+    here derive deterministically from orders (drop-by-modulus +
+    price-bump-by-modulus — the bumped price stays an UNROUNDED
+    product: per-row decimal ROUND of a float lands on boundaries
+    where engines disagree, while the raw IEEE multiply is identical
+    everywhere), so the oracle replays them exactly."""
+    orders = load(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    new = orders.where(F.col("o_orderkey") % 89 != 7).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("tp"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    change = (
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(
+            (F.col("o.st") != F.col("n.st"))
+            | (F.col("o.tp") != F.col("n.tp")),
+            "modified",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("n.tp"), F.lit(0.0))
+                    - F.coalesce(F.col("o.tp"), F.lit(0.0))
+                )
+            ),
+            2,
+        ).alias("total_drift"),
+    )
