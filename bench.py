@@ -79,6 +79,8 @@ HEADLINE = [
     "events_heartbeat_gaps",
     "customer_rfm_segments",
     "sample_weighted",
+    "basket_association_rules",
+    "data_snapshot_diff",
 ]
 
 
