@@ -9,6 +9,7 @@ checks that the scale path loses nothing at this threshold.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.queries import load, query
@@ -475,3 +476,68 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_prefix_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        directed AS (
+            SELECT id_a AS contained, id_b AS container,
+                   ROUND(n_inter * 1.0 / za.n_sh, 6) AS containment
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            UNION ALL
+            SELECT id_b, id_a, ROUND(n_inter * 1.0 / zb.n_sh, 6)
+            FROM inter
+            JOIN sizes zb ON zb.doc_id = id_b
+        )
+        SELECT contained, container, containment
+        FROM directed
+        WHERE containment >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT detection — the asymmetric cousin of Jaccard dedup:
+    |A∩B| / |A| >= 0.8 flags documents mostly INCLUDED in another
+    (quotes, excerpts, page-in-page boilerplate) that symmetric
+    similarity misses whenever the container is much longer (J =
+    |∩|/|∪| collapses as |B| grows, containment does not). Same
+    blocked shingle equi-join as the Jaccard path — one extra
+    projection per direction, no new shuffle — and the directed gate
+    uses the 6dp-rounded ratio, so pair membership is engine-exact.
+    This is the dedup decision behind "drop the snippet, keep the
+    source" in corpus curation."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", 3).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    both = inter.join(za, "id_a").join(zb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("contained"),
+        F.col("id_b").alias("container"),
+        F.round(F.col("n_inter") / F.col("na"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("contained"),
+        F.col("id_a").alias("container"),
+        F.round(F.col("n_inter") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= 0.8)
