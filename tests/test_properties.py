@@ -499,3 +499,66 @@ def test_time_weighted_avg_matches_sequential(spark, events):
         if cnt:
             want[key] = (cnt, round(num / den, 4))
     assert got == want
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(0, 400),            # order key
+            st.sampled_from("OFP"),         # status
+            st.integers(100, 9999),         # price (int-valued, exact)
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda o: o[0],
+    )
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_dict_model(spark, orders):
+    """The snapshot-diff query (full outer key join + row-local
+    classification) must match a dict-based sequential diff under the
+    same modulus-derived old/new snapshots, for any key set — added,
+    removed, modified, unchanged, and the value drift."""
+    import datetime
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from spark_query_engine.queries import queries
+
+    rows = [
+        (k, k, st_, float(p), datetime.datetime(2024, 1, 1), "x")
+        for k, st_, p in orders
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(os.path.join(td, "orders.parquet"))
+        got = {
+            r["change_type"]: (r["n_rows"], r["total_drift"])
+            for r in queries()["data_snapshot_diff"](spark, td).collect()
+        }
+
+    old = {k: (s_, float(p)) for k, s_, p in orders if k % 97 != 3}
+    new = {
+        k: (s_, float(p) * 1.1 if k % 13 == 0 else float(p))
+        for k, s_, p in orders
+        if k % 89 != 7
+    }
+    agg = defaultdict(lambda: [0, 0.0])
+    for k in set(old) | set(new):
+        if k not in old:
+            ct = "added"
+        elif k not in new:
+            ct = "removed"
+        elif old[k] != new[k]:
+            ct = "modified"
+        else:
+            ct = "unchanged"
+        drift = abs(new.get(k, (None, 0.0))[1] - old.get(k, (None, 0.0))[1])
+        agg[ct][0] += 1
+        agg[ct][1] += drift
+    want = {ct: (n, round(d, 2)) for ct, (n, d) in agg.items()}
+    assert got == want
