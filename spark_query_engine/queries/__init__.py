@@ -161,18 +161,49 @@ def _driver_verified() -> set[str]:
     return verified
 
 
+#: Names the round-2 verdict called out by name as must-verify this
+#: round. They are pinned to the very front of the unverified prefix
+#: (in this order) so the ~50-entry driver window cannot round-robin
+#: them out; once a name earns a green CORRECTNESS row it leaves the
+#: unverified set and this pin becomes a no-op.
+_WINDOW_FIRST = (
+    "corpus_multimodal_features",  # r2's one red row — re-check post-fix
+    "corpus_dedup_keep_best",
+    "corpus_lm_score",
+    "corpus_graph_pagerank",
+    "dedup_chain_recursive",
+    "dedup_embedding_cosine",
+    "data_cdc_upsert",
+    "data_incremental_rollup",
+    "data_snapshot_diff",
+    "data_skew_report",
+    "data_quality_checks",
+    "events_retention",
+    "events_rollup_granularity",
+    "events_downsample_ohlc",
+    "events_gap_fill",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+)
+
+
 def _reorder_registry() -> None:
     verified = _driver_verified()
     order = list(REGISTRY.items())
 
-    # Group the unverified names by family, families in priority order,
-    # queries within a family in registration order.
+    pinned = [n for n in _WINDOW_FIRST if n in REGISTRY and n not in verified]
+
+    # Group the remaining unverified names by family, families in
+    # priority order, queries within a family in registration order.
     groups: dict[int, list[str]] = {}
     for name, _q in order:
-        if name not in verified:
+        if name not in verified and name not in pinned:
             groups.setdefault(_family_rank(name), []).append(name)
 
-    ordered: list[str] = []
+    ordered: list[str] = list(pinned)
     queues = [groups[r] for r in sorted(groups)]
     while queues:
         for q in queues:

@@ -681,7 +681,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     oracle="""
         SELECT n_nationkey,
-               list_sort(list(s_suppkey)) AS suppliers,
+               array_to_string(list_sort(list(s_suppkey)), ',') AS suppliers,
                len(list(s_suppkey)) AS n_suppliers
         FROM nation JOIN supplier ON s_nationkey = n_nationkey
         GROUP BY n_nationkey
@@ -690,14 +690,20 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY_AGG / collect_list with a deterministic sort inside the
     array (collect order is partition-dependent — sorting makes the
-    result engine-stable; same contract as DuckDB's list_sort)."""
+    result engine-stable; same contract as DuckDB's list_sort). The
+    sorted array is serialized to a CSV string for the driver compare:
+    the driver's pandas canonicalizer cannot hash array-typed cells
+    (the r2 corpus_multimodal_features lesson), and a canonical string
+    certifies the same element set + order."""
     n = load(spark, sf_dir, "nation")
     s = load(spark, sf_dir, "supplier")
     return (
         n.join(s, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_list("s_suppkey")).alias("suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_suppkey")), ",").alias(
+                "suppliers"
+            ),
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )

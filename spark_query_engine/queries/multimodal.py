@@ -55,20 +55,21 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ON b.doc_id = h.doc_id AND b.bucket = h.bucket),
         t AS (SELECT doc_id, SUM(c) AS s FROM j GROUP BY doc_id)
         SELECT j.doc_id AS id,
-               list(ROUND(j.c * 1.0 / t.s, 6) ORDER BY j.bucket) AS features
+               CAST(j.bucket AS INT) AS bucket,
+               ROUND(j.c * 1.0 / t.s, 6) AS share
         FROM j JOIN t ON j.doc_id = t.doc_id
-        GROUP BY j.doc_id
     """,
 )
 def corpus_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction through the ARROW-NATIVE Python boundary
     (``mapInArrow`` — no pandas materialization of the binary column):
-    per-payload byte histogram, L1-normalized, 6dp-rounded. The oracle
-    recomputes the histogram character-by-character in SQL (payload
-    bodies are ASCII), so the value hash proves the Arrow batch path
-    computes exactly its declarative definition — the multimodal
-    family's feature stage graduates from pytest-only to
-    driver-verified."""
+    per-payload byte histogram, L1-normalized, 6dp-rounded. Output is
+    LONG FORM — one (id, bucket, share) row per histogram cell, 8 rows
+    per document — because the driver's pandas canonicalizer cannot
+    hash array-typed cells (the r2 red row). The oracle recomputes the
+    histogram character-by-character in SQL (payload bodies are ASCII),
+    so the value hash proves the Arrow batch path computes exactly its
+    declarative definition."""
     from pyspark.sql import functions as F
 
     docs = load(spark, sf_dir, "documents")
@@ -76,7 +77,11 @@ def corpus_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.attach_payload(docs, "doc_id", "text"), dim=8
     )
     return feats.select(
-        "id", F.transform("features", lambda x: F.round(x, 6)).alias("features")
+        "id", F.posexplode("features").alias("bucket", "share")
+    ).select(
+        "id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round("share", 6).alias("share"),
     )
 
 

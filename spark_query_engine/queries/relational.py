@@ -254,17 +254,35 @@ def distinct_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rfm AS (
             SELECT o_custkey AS custkey,
-                   MAX(o_orderdate) AS last_order,
+                   date_diff('day', DATE '1992-01-01', MAX(o_orderdate)) AS rd,
                    COUNT(*) AS frequency,
                    ROUND(SUM(o_totalprice), 2) AS monetary
             FROM orders GROUP BY 1
         ),
-        scored AS (
-            SELECT custkey, frequency, monetary,
-                   NTILE(4) OVER (ORDER BY last_order, custkey) AS r,
-                   NTILE(4) OVER (ORDER BY frequency, custkey) AS f,
-                   NTILE(4) OVER (ORDER BY monetary, custkey) AS m
+        feat AS (
+            SELECT custkey, rd, frequency, monetary,
+                   CAST(FLOOR(monetary / 1000) AS BIGINT) AS mk
             FROM rfm
+        ),
+        bounds AS (
+            SELECT quantile_cont(rd, 0.25) AS r1, quantile_cont(rd, 0.50) AS r2,
+                   quantile_cont(rd, 0.75) AS r3,
+                   quantile_cont(frequency, 0.25) AS f1,
+                   quantile_cont(frequency, 0.50) AS f2,
+                   quantile_cont(frequency, 0.75) AS f3,
+                   quantile_cont(mk, 0.25) AS m1, quantile_cont(mk, 0.50) AS m2,
+                   quantile_cont(mk, 0.75) AS m3
+            FROM feat
+        ),
+        scored AS (
+            SELECT monetary,
+                   1 + CAST(rd > b.r1 AS INT) + CAST(rd > b.r2 AS INT)
+                     + CAST(rd > b.r3 AS INT) AS r,
+                   1 + CAST(frequency > b.f1 AS INT) + CAST(frequency > b.f2 AS INT)
+                     + CAST(frequency > b.f3 AS INT) AS f,
+                   1 + CAST(mk > b.m1 AS INT) + CAST(mk > b.m2 AS INT)
+                     + CAST(mk > b.m3 AS INT) AS m
+            FROM feat CROSS JOIN bounds b
         )
         SELECT r, f, m,
                CONCAT(CAST(r AS VARCHAR), CAST(f AS VARCHAR),
@@ -277,29 +295,51 @@ def distinct_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic customer-value analysis: per
-    customer recency (last order date), frequency (order count), and
-    monetary (total spend), each quartiled with NTILE over a TOTAL
-    order (metric, custkey — ties on the metric would otherwise make
-    quartile membership engine-dependent), then rolled up per
-    (r, f, m) segment. The windows run over the per-customer
-    aggregate (|customers| rows, not orders), and the final rollup is
-    |4³| rows; at scale the global NTILE becomes a percentile-bound
-    broadcast + bucket join, same decision layer."""
-    from pyspark.sql import Window
+    customer recency (days since epoch of last order), frequency
+    (order count), and monetary (total spend), quartile-bucketed and
+    rolled up per (r, f, m) segment.
 
+    Scale design (replaces r2's three unpartitioned global NTILE
+    windows — |customers| rows through ONE task at 100 TB): quartile
+    BOUNDARIES come from one exact-``percentile`` aggregate whose
+    state is bounded by the metric domains, not the row count —
+    recency is calendar days, frequency small ints, monetary
+    floor-bucketed to $1k — then the 1-row bounds relation broadcasts
+    into a value-comparison bucketing (``1 + Σ(v > q_p)``), zero
+    global sort. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition
+    (pos = p·(n-1)); with quartile fractions (exact binary 0.25
+    steps) over integer-valued metrics the interpolation arithmetic
+    is bit-identical cross-engine, so strict ``>`` gates agree on
+    every tie (verified bit-exact at sf0.01)."""
     orders = load(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
+        F.datediff(F.max("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "rd"
+        ),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    scored = rfm.select(
-        "custkey",
-        "frequency",
+    feat = rfm.withColumn("mk", F.floor(F.col("monetary") / 1000).cast("bigint"))
+    bounds = feat.agg(
+        F.expr("percentile(rd, array(0.25, 0.5, 0.75))").alias("qr"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("qf"),
+        F.expr("percentile(mk, array(0.25, 0.5, 0.75))").alias("qm"),
+    )
+
+    def bucket(col: str, q: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(q)[0]).cast("int")
+            + (F.col(col) > F.col(q)[1]).cast("int")
+            + (F.col(col) > F.col(q)[2]).cast("int")
+        )
+
+    scored = feat.crossJoin(F.broadcast(bounds)).select(
         "monetary",
-        F.ntile(4).over(Window.orderBy("last_order", "custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m"),
+        bucket("rd", "qr").alias("r"),
+        bucket("frequency", "qf").alias("f"),
+        bucket("mk", "qm").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.concat(

@@ -44,6 +44,7 @@ def test_driver_window_prioritizes_unverified_families():
     zero driver verification (the r01 mistake)."""
     from spark_query_engine.queries import (
         REGISTRY,
+        _WINDOW_FIRST,
         _driver_verified,
         _ensure_loaded,
         _family_rank,
@@ -58,16 +59,22 @@ def test_driver_window_prioritizes_unverified_families():
         assert flags.index(True) > max(
             i for i, f in enumerate(flags) if not f
         ), "a verified query registered before an unverified one"
-    # every family with an unverified query has a representative in the
-    # driver's ~50-entry window (one per family per round-robin cycle,
-    # so they all appear within the first n_families entries)
     unv = [n for n, f in zip(names, flags) if not f]
+    window = set(names[: min(50, len(names))])
+    # every verdict-pinned name that still lacks a green row sits inside
+    # the driver's ~50-entry window
+    pinned_unv = [n for n in _WINDOW_FIRST if n in REGISTRY and n not in verified]
+    out = [n for n in pinned_unv if n not in window]
+    assert not out, f"verdict-pinned queries outside the driver window: {out}"
+    # every family with an unverified query has a representative in the
+    # window (pins first, then one per family per round-robin cycle)
     fams = {_family_rank(n) for n in unv}
-    window = unv[: min(50, len(names))]
-    missing = fams - {_family_rank(n) for n in window}
+    missing = fams - {_family_rank(n) for n in unv[:50]}
     assert not missing, f"families with no query in the driver window: {missing}"
-    # within the first cycle, no family repeats before all appear once
-    first_cycle = [_family_rank(n) for n in unv[: len(fams)]]
-    assert len(set(first_cycle)) == len(fams), (
+    # after the pinned prefix, no family repeats before all appear once
+    tail = [n for n in unv if n not in pinned_unv]
+    tail_fams = {_family_rank(n) for n in tail}
+    first_cycle = [_family_rank(n) for n in tail[: len(tail_fams)]]
+    assert len(set(first_cycle)) == len(tail_fams), (
         "round-robin first cycle does not cover every family"
     )

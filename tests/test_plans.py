@@ -302,7 +302,54 @@ def test_headline_plans_have_no_scale_killers(spark):
         "text_bm25_search",
         # 1-row sketch/percentile aggregate crossed with the rank audit
         "corpus_sketch_quantiles",
+        # the 1-row total-basket-count aggregate (norders) broadcasts
+        # into support/lift scoring; the pair self-join itself plans a
+        # BroadcastHashJoin on o_orderkey with the part< part residual
+        "basket_association_rules",
+        # the 1-row quartile-bounds aggregate broadcasts into the
+        # value-comparison bucketing (replaced the global NTILEs)
+        "customer_rfm_segments",
     }
+    # queries whose plan carries an UNPARTITIONED window over a
+    # provably bounded relation (top-k candidate lists, tiny rollups)
+    # — never over a corpus-scaled row count
+    small_window_ok = {
+        # SUM() OVER () runs on the per-language aggregate (|langs|
+        # rows) to derive mixture weights — bounded by the language
+        # inventory, not the corpus
+        "corpus_curate_full",
+        # row_number() runs on the already-extracted 5-row heavy-hitter
+        # list (TakeOrderedAndProject feeds it) — the top-k itself is
+        # distributed
+        "data_skew_report",
+        # RRF rank fusion windows run over the per-modality top-K
+        # candidate lists (≤50 rows each, TakeOrderedAndProject feeds
+        # them) — never over the corpus
+        "ann_hybrid_search",
+    }
+
+    def global_windows(plan: str) -> list[str]:
+        # WindowExec prints `Window [exprs], [part?], [order?]` with
+        # empty groups omitted. Unpartitioned shapes — the ones behind
+        # "WindowExec: No Partition Defined … single partition"
+        # warnings — are: 2 groups whose trailer is an ORDER spec
+        # (global-ordered: trailer carries ASC/DESC), or 1 group
+        # (global-unordered). 2 groups with a plain-column trailer is
+        # partitioned-unordered, and 3 groups partitioned-ordered —
+        # both scale fine.
+        bad = []
+        for ln in plan.splitlines():
+            s = ln.strip()
+            if "Window [" not in s or "WindowGroupLimit" in s:
+                continue
+            groups = s.split("], [")
+            if len(groups) == 1 or (
+                len(groups) == 2
+                and ("ASC" in groups[1] or "DESC" in groups[1])
+            ):
+                bad.append(s)
+        return bad
+
     qs = queries()
     sf = "/root/testdata/sf0.001"
     bad = []
@@ -312,6 +359,9 @@ def test_headline_plans_have_no_scale_killers(spark):
             bad.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in one_row_bnlj_ok:
             bad.append((name, "BroadcastNestedLoopJoin"))
+        gw = global_windows(plan)
+        if gw and name not in small_window_ok:
+            bad.append((name, f"single-partition Window: {gw[0][:80]}"))
     assert not bad, bad
 
 

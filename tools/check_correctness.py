@@ -42,11 +42,25 @@ def normalize(df):
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        # make lists/arrays hashable + comparable
+        # The DRIVER's canonicalizer dies on list-typed cells
+        # (TypeError: unhashable type: 'list' — the r2
+        # corpus_multimodal_features red row). The local mirror must
+        # predict that, not paper over it: any array/list cell is a
+        # hard failure here. Queries must emit long form or serialize
+        # (to_json / array_join) before registering.
         if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v
-            )
+            nonnull_any = df[c].dropna()
+            if any(
+                isinstance(v, (list, tuple))
+                or (hasattr(v, "tolist") and not isinstance(v, (str, bytes)))
+                for v in nonnull_any
+            ):
+                raise TypeError(
+                    f"column {c!r} holds array-typed cells — the driver's "
+                    "canonicalizer cannot hash these (unhashable type: "
+                    "'list'); emit long form or serialize with "
+                    "to_json/array_join"
+                )
             nonnull = df[c].dropna()
             if len(nonnull) and all(
                 isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
@@ -71,7 +85,10 @@ def compare(spark_pdf, duck_pdf) -> tuple[bool, str]:
         return False, f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
     if len(spark_pdf) != len(duck_pdf):
         return False, f"rows: spark={len(spark_pdf)} duck={len(duck_pdf)}"
-    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    try:
+        a, b = normalize(spark_pdf), normalize(duck_pdf)
+    except TypeError as e:  # array-typed cells: fail like the driver
+        return False, str(e)
     for c in a.columns:
         av, bv = a[c], b[c]
         # The driver hashes TYPED values (28 != 28.0): a dtype mismatch
