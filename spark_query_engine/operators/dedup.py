@@ -350,7 +350,10 @@ def ngram_jaccard_pairs(
         sh = char_shingles(df, id_col, text_col, n)
     if hash_shingles:
         sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
-    sh = sh.persist()  # referenced by sizes + both sides of the pair join
+    # referenced by sizes + both sides of the pair join; the cache
+    # backs the RETURNED lazy plan, so the release point is the
+    # caller's (bench.py clears cache between queries)
+    sh = sh.persist()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -437,7 +440,12 @@ def connected_components(
             .persist()
         )
         if i % 5 == 4:
-            new = new.localCheckpoint()
+            # eager localCheckpoint materializes first, then the
+            # pre-checkpoint persist handle can drop — reassigning
+            # without unpersisting would strand those cached blocks
+            cp = new.localCheckpoint()
+            new.unpersist()
+            new = cp
         changed = new.where(F.col("label") < F.col("old_label")).count()
         labels.unpersist()
         labels = new.select("n", "label")
@@ -504,9 +512,14 @@ def ngram_jaccard_prefix_pairs(
     Candidates then verify by exact intersection counting restricted
     to the candidate pairs.
 
-    ⌈t·|d|⌉ is computed in INTEGER arithmetic (t as a /1000 rational):
-    float ceil noise (0.6·5 → 3.0000000000000004 → ⌈⌉ = 4) would
-    shorten the prefix and silently drop true pairs.
+    ⌈t·|d|⌉ is computed in INTEGER arithmetic with t rationalized
+    DOWNWARD: ``num = ⌊1000·t⌋`` via exact Fraction arithmetic, so
+    num/1000 ≤ t always and the integer bound ⌈num·n/1000⌉ ≤ ⌈t·n⌉ —
+    the prefix can only be LONGER than the lemma requires, never
+    shorter (a round() there, e.g. t=2/3 → 0.667 > t, would shorten
+    the prefix below the lossless bound while the final filter still
+    used the true t). Float ceil noise (0.6·5 → 3.0000000000000004 →
+    ⌈⌉ = 4) is avoided the same way.
 
     Compared to ``ngram_jaccard_pairs`` (all-shingle join), this adds
     a df aggregation and a per-doc rank window but shrinks the
@@ -521,7 +534,10 @@ def ngram_jaccard_prefix_pairs(
     per-shingle df is near 1 for the prefix slice and the all-shingle
     join's fan-out is the quadratic term. Both paths stay registered;
     pick by corpus shape."""
-    num = int(round(threshold * 1000))
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    num = (1000 * frac.numerator) // frac.denominator  # ⌊1000·t⌋, exact
     sh = word_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))

@@ -54,7 +54,11 @@ def pagerank(
     ed = sym.join(deg, "u").select("u", "v", "deg").persist()
 
     n = deg.count()  # scalar model state, as in any iterative job
-    base = (1.0 - damping) / n
+    # derive (1-d)/N from the same /1000 rational the SQL oracle
+    # writes literally: (1.0-0.85)/n is 0.15000000000000002/n, one ULP
+    # above the oracle's 0.15/n — a divergence feeding the per-round
+    # rounded state (the repo's pinned-state float discipline)
+    base = round(1000.0 - damping * 1000.0) / 1000.0 / n
     ranks = deg.select("u", F.lit(1.0 / n).alias("pr")).persist()
     for i in range(iterations):
         new = (
@@ -67,12 +71,18 @@ def pagerank(
                     round_decimals,
                 ).alias("pr")
             )
-            .persist()
         )
-        if i % 5 == 4:
+        if i % 5 == 4 or i == iterations - 1:
+            # eager localCheckpoint stores the round's blocks AND
+            # truncates lineage — no extra persist() handle to leak
+            # (the final round always checkpoints, so every cache
+            # below can be dropped before returning)
             new = new.localCheckpoint()
-        new.count()
+        else:
+            new = new.persist()
+            new.count()
         ranks.unpersist()
         ranks = new
     sym.unpersist()
+    ed.unpersist()
     return ranks.select(F.col("u").alias("id"), "pr")

@@ -107,16 +107,23 @@ def decode_ppm(payload: bytes):
     """REAL image decode, zero external deps: binary PPM (P6) parses
     with numpy alone (ascii header: magic, width height, maxval; then
     w*h*3 raw bytes). Returns an (h, w, 3) uint8 array."""
+    import re
+
     import numpy as np
 
-    if payload[:2] != b"P6":
+    # Per the P6 spec the header's three numeric fields are separated
+    # by whitespace RUNS, but exactly ONE whitespace byte follows
+    # maxval before the raster. A plain split(maxsplit=4) would eat a
+    # whole whitespace run there and corrupt any image whose first
+    # pixel bytes are ASCII whitespace (9-13, 32) — so consume exactly
+    # one byte after maxval.
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
         raise ValueError("not a P6 PPM payload")
-    # header = 3 whitespace-separated fields after the magic
-    parts = payload.split(maxsplit=4)
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
-    body = parts[4][: w * h * 3]
+    body = payload[m.end() : m.end() + w * h * 3]
     return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
 
 

@@ -40,9 +40,34 @@ def gap_fill_locf(
     one LOCF window partitioned by series — series cardinality is the
     parallelism axis.
     """
-    unit = bucket.split()[-1].rstrip("s")  # "1 hour" -> date_trunc unit
+    count_s, _, unit_s = bucket.strip().partition(" ")
+    count, unit = int(count_s), unit_s.strip().rstrip("s")
+    if count == 1:
+        # calendar truncation — also handles variable-width units
+        bucket_expr = F.date_trunc(unit, ts_col)
+    else:
+        # true width-bucketing: date_trunc('minute') under a
+        # "15 minutes" bucket would truncate to the bare unit while
+        # the grid steps by the full interval — buckets that never
+        # join. Fixed-width units floor on epoch seconds instead.
+        widths = {
+            "second": 1,
+            "minute": 60,
+            "hour": 3600,
+            "day": 86400,
+            "week": 604800,
+        }
+        if unit not in widths:
+            raise ValueError(
+                f"multi-count bucket {bucket!r} needs a fixed-width unit "
+                f"({sorted(widths)}); calendar units support count=1 only"
+            )
+        width = count * widths[unit]
+        bucket_expr = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / width) * width
+        ).cast(df.schema[ts_col].dataType)
     agg = df.groupBy(
-        F.date_trunc(unit, ts_col).alias("bucket"),
+        bucket_expr.alias("bucket"),
         F.col(series_col),
     ).agg(F.round(F.sum(value_col), value_decimals).alias("bucket_value"))
     span = agg.groupBy(series_col).agg(

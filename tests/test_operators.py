@@ -384,3 +384,50 @@ def test_ppm_codec_real_decode_roundtrip(spark, sf_dir):
     assert MM.decode_image(MM.MAGIC + b"00100020rest") == (20, 10)
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG....")
+
+
+def test_ppm_decode_whitespace_leading_pixels():
+    """Regression: the P6 header ends with exactly ONE whitespace byte
+    before the raster, so images whose first pixel bytes are ASCII
+    whitespace (9-13, 32) must decode losslessly — a greedy
+    split(maxsplit=4) would swallow them and shift every pixel."""
+    import numpy as np
+
+    for lead in (0x20, 0x09, 0x0A, 0x0D):
+        pixels = np.full((2, 2, 3), lead, dtype=np.uint8)
+        pixels[1, 1] = (1, 2, 3)
+        payload = MM.encode_ppm(2, 2, pixels)
+        out = MM.decode_ppm(payload)
+        assert (out == pixels).all(), f"lost leading byte 0x{lead:02x}"
+
+
+def test_gap_fill_locf_multi_count_bucket(spark):
+    """Regression: '15 minutes' must width-bucket on epoch floors —
+    date_trunc('minute') would shrink buckets to 1 minute while the
+    grid steps 15, producing grid rows that never join an observation
+    (every bucket 'missing'). Also pins the filled-grid semantics."""
+    import datetime as dt
+
+    from spark_query_engine.operators.timeseries import gap_fill_locf
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("s1", t0, 10.0),
+        ("s1", t0 + dt.timedelta(minutes=14), 5.0),
+        ("s1", t0 + dt.timedelta(minutes=31), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp_ntz, v double")
+    out = {
+        r["bucket"]: (r["observed"], r["value_filled"])
+        for r in gap_fill_locf(df, "series", "ts", "v", "15 minutes").collect()
+    }
+    assert out == {
+        t0: (True, 15.0),
+        t0 + dt.timedelta(minutes=15): (False, 15.0),
+        t0 + dt.timedelta(minutes=30): (True, 7.0),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gap_fill_locf(df, "series", "ts", "v", "3 months")
