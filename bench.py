@@ -83,6 +83,20 @@ HEADLINE = [
     "data_snapshot_diff",
 ]
 
+#: The 27 queries benched in round 1 — reported as a separate subtotal
+#: each round so round-over-round deltas aren't confounded by headline
+#: set growth (the full-set total grows every round by construction).
+R1_SUBSET = [
+    "tpch_q1", "tpch_q5", "tpch_q18", "filter_eq_project",
+    "agg_group_minmax", "limit_topk", "join_broadcast_dims",
+    "join_shuffle_revenue", "window_topk_per_group", "agg_count_distinct",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "ann_bruteforce_topk", "text_quality", "text_fingerprint",
+    "events_tumbling_window", "events_sessionize", "events_retention",
+    "ann_ivf_topk", "pipeline_curate", "tpch_q4", "tpch_q13", "tpch_q17",
+    "events_rollup_granularity", "tpch_q7", "tpch_q8",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,6 +140,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r1_subset_total": round(
+                    sum(timings[n] for n in R1_SUBSET if n in timings), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
