@@ -161,10 +161,23 @@ def decode_image(payload: bytes, codec: str = "auto"):
         if payload[:4] != MAGIC:
             raise ValueError("bad magic")
         return (int(payload[8:12].decode()), int(payload[4:8].decode()))
-    raise NotImplementedError(
-        "compressed-image decoding requires an image library not present "
-        "in this environment; use PPM payloads or install Pillow"
-    )
+    # compressed formats (JPEG/PNG/...): Pillow-gated — import probed
+    # at call time so installing Pillow swaps this branch in without
+    # touching any Spark plan (same mapInPandas shape either way)
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        raise NotImplementedError(
+            "compressed-image decoding requires an image library not "
+            "present in this environment; use PPM payloads or install "
+            "Pillow"
+        )
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
 def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

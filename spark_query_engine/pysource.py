@@ -120,3 +120,121 @@ class SynthDocsStreamReader(SimpleDataSourceStreamReader):
             _doc(self.seed, i)
             for i in range(int(start["next"]), int(end["next"]))
         )
+
+
+# --- REST-paginated connector shape ------------------------------------------
+
+PAGED_SCHEMA_DDL = "doc_id bigint, text string, lang string, n_tokens int, page int"
+
+
+def _fetch_page(endpoint: str, page: int, page_size: int) -> list[tuple]:
+    """Fetch one page of records from ``endpoint``.
+
+    ``synthetic:<seed>`` serves the deterministic generator corpus
+    in-process (tests, CI, load experiments — no network). An
+    ``http(s)://`` endpoint takes the urllib branch: GET
+    ``{endpoint}?page={page}&page_size={page_size}`` expecting a JSON
+    array of {doc_id, text, lang, n_tokens} objects — the standard
+    page-number pagination contract. Executor-side only: the driver
+    never fetches data, it only plans page ranges.
+    """
+    if endpoint.startswith("synthetic:"):
+        seed = int(endpoint.split(":", 1)[1] or 0)
+        lo = page * page_size
+        return [
+            (*_doc(seed, i), page) for i in range(lo, lo + page_size)
+        ]
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"{endpoint}?page={page}&page_size={page_size}"
+    ) as resp:
+        rows = _json.loads(resp.read())
+    return [
+        (r["doc_id"], r["text"], r["lang"], r["n_tokens"], page) for r in rows
+    ]
+
+
+class _PageRangePartition(InputPartition):
+    def __init__(self, start_page: int, end_page: int):
+        self.start_page, self.end_page = start_page, end_page
+
+
+class PagedApiReader(DataSourceReader):
+    """Batch half: page-NUMBER addressing makes pagination parallel —
+    each input partition owns a contiguous page range and fetches its
+    pages independently (the scale shape for offset-addressable APIs;
+    a cursor-chained API degrades to one partition by construction,
+    which is a property of the API, not the connector)."""
+
+    def __init__(self, options: dict):
+        self.endpoint = options.get("endpoint", "synthetic:0")
+        self.pages = int(options.get("pages", 10))
+        self.page_size = int(options.get("pageSize", 100))
+        self.num_partitions = int(options.get("numPartitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = max(1, -(-self.pages // self.num_partitions))
+        return [
+            _PageRangePartition(p, min(p + step, self.pages))
+            for p in range(0, self.pages, step)
+        ]
+
+    def read(self, partition: _PageRangePartition) -> Iterator[tuple]:
+        for page in range(partition.start_page, partition.end_page):
+            yield from _fetch_page(self.endpoint, page, self.page_size)
+
+
+class PagedApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half: the offset is the next page index — committed
+    offsets replay exactly (page contents are immutable under the
+    pagination contract), so restarts resume mid-stream without
+    duplicates."""
+
+    def __init__(self, options: dict):
+        self.endpoint = options.get("endpoint", "synthetic:0")
+        self.page_size = int(options.get("pageSize", 100))
+        self.pages_per_batch = int(options.get("pagesPerBatch", 1))
+
+    def initialOffset(self) -> dict:
+        return {"next_page": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next_page"])
+        hi = lo + self.pages_per_batch
+        rows = [
+            r
+            for page in range(lo, hi)
+            for r in _fetch_page(self.endpoint, page, self.page_size)
+        ]
+        return iter(rows), {"next_page": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            r
+            for page in range(int(start["next_page"]), int(end["next_page"]))
+            for r in _fetch_page(self.endpoint, page, self.page_size)
+        )
+
+
+class PagedApiDataSource(DataSource):
+    """REST-paginated connector shape (§2.1's second custom source):
+    ``spark.dataSource.register(PagedApiDataSource)`` then
+    ``spark.read.format("paged_api").option("endpoint", "synthetic:7")
+    .option("pages", 20).option("pageSize", 50).load()`` — or
+    ``spark.readStream`` with the same options for page-cursor
+    micro-batches."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_api"
+
+    def schema(self) -> str:
+        return PAGED_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> PagedApiReader:
+        return PagedApiReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PagedApiStreamReader:
+        return PagedApiStreamReader(self.options)

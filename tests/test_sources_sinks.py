@@ -153,3 +153,100 @@ def test_python_datasource_synth_docs(spark):
     assert sum(r["count"] for r in agg) == sum(
         1 for r in rows.values() if r["n_tokens"] >= 30
     )
+
+
+def test_python_datasource_paged_api(spark):
+    """The REST-paginated connector shape: page-number addressing
+    parallelizes into page-range partitions, each page fetch happens
+    executor-side, the synthetic endpoint serves the deterministic
+    generator corpus, and Catalyst composes downstream."""
+    from spark_query_engine.pysource import PagedApiDataSource, _doc
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (
+        spark.read.format("paged_api")
+        .option("endpoint", "synthetic:7")
+        .option("pages", 8)
+        .option("pageSize", 25)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 8 * 25
+    # page assignment is doc_id // pageSize; content matches the
+    # generator pure function
+    did, text, lang, n_tokens = _doc(7, 123)
+    assert rows[123]["text"] == text and rows[123]["page"] == 123 // 25
+    # filters compose (and would prune pages server-side in a real
+    # connector via options)
+    assert df.where("page = 3").count() == 25
+
+
+def test_python_datasource_paged_api_stream(spark, tmp_path):
+    """Streaming half of the paged connector: the page index is the
+    offset, micro-batches advance it, and the committed offset log
+    makes replays exact — reading 3 batches of 2 pages covers exactly
+    pages 0-5 with no gaps or duplicates."""
+    from spark_query_engine.pysource import PagedApiDataSource
+
+    spark.dataSource.register(PagedApiDataSource)
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("endpoint", "synthetic:3")
+        .option("pageSize", 10)
+        .option("pagesPerBatch", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paged_api_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) c FROM paged_api_sink").head()["c"]
+            if n >= 60:
+                break
+            _t.sleep(0.5)
+        got = spark.sql(
+            "SELECT doc_id, page FROM paged_api_sink ORDER BY doc_id"
+        ).collect()
+    finally:
+        q.stop()
+    ids = [r["doc_id"] for r in got[:60]]
+    assert ids == list(range(60)), "pages replayed with gaps or dups"
+    assert all(r["page"] == r["doc_id"] // 10 for r in got[:60])
+
+
+def test_decode_image_pillow_branch():
+    """Compressed-codec tier: with Pillow absent the branch refuses
+    with NotImplementedError (documented environment gate); with
+    Pillow present it decodes a real PNG. Skips rather than fakes —
+    the assertion matches whichever environment runs it."""
+    import importlib.util
+
+    from spark_query_engine.operators import multimodal as MM
+
+    if importlib.util.find_spec("PIL") is None:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            MM.decode_image(b"\x89PNG\r\n\x1a\n....")
+    else:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        img[0, 0] = (255, 0, 0)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        out = MM.decode_image(buf.getvalue())
+        assert (out == img).all()
