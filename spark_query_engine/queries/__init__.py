@@ -237,6 +237,7 @@ def _ensure_loaded() -> None:
         events,
         curation,
         semantic,
+        training,
     )
 
     _reorder_registry()
