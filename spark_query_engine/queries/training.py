@@ -315,3 +315,403 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+@query(
+    "corpus_dsir_select",
+    oracle="""
+        WITH bi AS (
+            SELECT doc_id, substr(text, i, 2) AS bg
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text))) AS i
+                  FROM documents)
+        ),
+        raw AS (SELECT bg, COUNT(*) AS cr FROM bi GROUP BY bg),
+        tgt AS (
+            SELECT bg, COUNT(*) AS ct
+            FROM bi JOIN documents USING (doc_id)
+            WHERE source = 'src0'
+            GROUP BY bg
+        ),
+        tot AS (
+            SELECT (SELECT SUM(ct) FROM tgt) AS nt,
+                   (SELECT SUM(cr) FROM raw) AS nr,
+                   (SELECT COUNT(*) FROM raw) AS v
+        ),
+        model AS (
+            SELECT raw.bg,
+                   ROUND(log2((COALESCE(tgt.ct, 0) + 1.0) / (tot.nt + tot.v))
+                         - log2((raw.cr + 1.0) / (tot.nr + tot.v)), 6) AS lr
+            FROM raw LEFT JOIN tgt USING (bg) CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_features,
+               ROUND(SUM(model.lr), 4) AS log_weight
+        FROM bi JOIN model USING (bg)
+        GROUP BY doc_id
+        ORDER BY log_weight DESC, doc_id
+        LIMIT 100
+    """,
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every document by how much more likely its hashed
+    n-gram features are under a TARGET distribution (here: the
+    ``source='src0'`` slice, standing in for a high-quality seed like
+    Wikipedia) than under the raw-corpus proposal, then keep the
+    top-N. Features are char bigrams with add-1 smoothing over the
+    corpus bigram vocabulary; the doc score is
+    Σ_features [log p_target(f) − log p_raw(f)].
+
+    Scale: ONE persisted bigram explode feeds the target counter, the
+    proposal counter, and the scorer (the same shared-scan discipline
+    as ``corpus_lm_score``); both models are |alphabet|²-row
+    relations that BROADCAST to the scorer; totals are a 1-row
+    cross-joined aggregate. Nothing shuffles except bigram counts and
+    the per-doc sum — at 100 TB the selection is two corpus scans
+    regardless of corpus size. Per-term log-ratios round at 6dp and
+    the doc sum at 4dp on both engines (float discipline)."""
+    docs = load(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.substring(F.col("text"), i, 2),
+            )
+        ).alias("bg"),
+    ).persist()  # shared by the proposal counter, target counter, scorer
+    raw = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        bi.join(
+            docs.where(F.col("source") == "src0").select("doc_id"), "doc_id"
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = (
+        raw.agg(
+            F.sum("cr").alias("nr"), F.count(F.lit(1)).alias("v")
+        ).crossJoin(tgt.agg(F.sum("ct").alias("nt")))
+    )
+    lr = F.round(
+        F.log2((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v")))
+        - F.log2((F.col("cr") + 1.0) / (F.col("nr") + F.col("v"))),
+        6,
+    )
+    model = raw.join(tgt, "bg", "left").crossJoin(tot).select("bg", lr.alias("lr"))
+    return (
+        bi.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.round(F.sum("lr"), 4).alias("log_weight"),
+        )
+        .orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+
+
+#: Winnowing geometry: char 5-grams, window of 4 consecutive hashes.
+_WK, _WW = 5, 4
+
+
+@query(
+    "corpus_winnow_fingerprint",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, i AS pos, md5(substr(text, i, {_WK})) AS h,
+                   length(text) - {_WK - 1} AS nk
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) - {_WK - 2})) AS i
+                  FROM documents
+                  WHERE length(text) >= {_WK})
+        ),
+        w AS (
+            SELECT doc_id, pos, h,
+                   unnest(range(greatest(1, pos - {_WW - 1}),
+                                least(pos, nk - {_WW - 1}) + 1)) AS win
+            FROM g
+            WHERE nk >= {_WW}
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, win, pos,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, win
+                                          ORDER BY h, pos DESC) AS rn
+                FROM w) WHERE rn = 1
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY 1)
+        SELECT d.doc_id,
+               GREATEST(length(d.text) - {_WK - 1}, 0) AS n_kgrams,
+               COALESCE(c.n_fp, 0) AS n_fingerprints,
+               ROUND(CASE WHEN length(d.text) >= {_WK}
+                          THEN CAST(COALESCE(c.n_fp, 0) AS DOUBLE)
+                               / (length(d.text) - {_WK - 1})
+                          ELSE 0.0 END, 4) AS density
+        FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def corpus_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003) — the
+    robust local fingerprinting behind MOSS: hash every char
+    {_WK}-gram, slide a window of {_WW} consecutive hashes, and select
+    each window's minimum (ties → rightmost). The selected-position
+    SET is what matters: any shared substring of length ≥
+    {_WK + _WW - 1} between two documents is GUARANTEED to share a
+    fingerprint, with expected density 2/(w+1) — a guarantee mod-p
+    sampling (``text_fingerprint``) cannot give.
+
+    Implementation: a position p is selected iff it is the
+    rightmost-minimum of SOME window, so each hash row expands to the
+    ≤ {_WW} window ids containing it (explode of a clamped sequence,
+    a bounded narrow fan-out, never a self-join), and a rank-1 window
+    per (doc, win) picks the winner — Spark rewrites it to
+    WindowGroupLimit, keeping one row per window before the distinct.
+
+    Scale: rows ≈ chars × {_WW}; everything keys on (doc_id, win) so
+    the shuffle is uniform; no state, no Python, no driver data.
+    Output verifies the per-doc fingerprint count and density against
+    the oracle's identical construction."""
+    docs = load(spark, sf_dir, "documents")
+    nk = F.length("text") - (_WK - 1)
+    g = (
+        docs.where(F.length("text") >= _WK)
+        .select(
+            "doc_id",
+            nk.alias("nk"),
+            F.explode(F.sequence(F.lit(1), nk)).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "nk",
+            "pos",
+            F.md5(F.expr(f"substr(text, pos, {_WK})")).alias("h"),
+        )
+    )
+    w = g.where(F.col("nk") >= _WW).select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("pos") - (_WW - 1)),
+                F.least(F.col("pos"), F.col("nk") - (_WW - 1)),
+            )
+        ).alias("win"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "win").orderBy(
+            F.col("h").asc(), F.col("pos").desc()
+        )
+    )
+    sel = (
+        w.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    cnt = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    n_kgrams = F.greatest(F.length("text") - (_WK - 1), F.lit(0))
+    density = F.round(
+        F.when(
+            F.length("text") >= _WK,
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("double")
+            / (F.length("text") - (_WK - 1)),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    return (
+        docs.join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_kgrams.alias("n_kgrams"),
+            F.coalesce(F.col("n_fp"), F.lit(0)).alias("n_fingerprints"),
+            density.alias("density"),
+        )
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    """Composed-oracle builder: the k-means CTE chain from
+    ``queries/semantic.py`` (coarse quantizer, yields ``v``, ``c2``,
+    ``a_final``) + the PQ encode/ADC CTEs from ``corpus_pq_topk``,
+    with the candidate set restricted to the query's 2 nearest
+    inverted lists."""
+    from spark_query_engine.queries.semantic import (
+        _ITERS,
+        _K,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        _kmeans_ctes,
+    )
+
+    return f"""
+        {_kmeans_ctes(_K, _ITERS)},
+        qv AS (SELECT vec AS qvec FROM v WHERE id = 0),
+        qc AS (
+            SELECT c.centroid
+            FROM c{_ITERS} c, qv
+            ORDER BY ROUND(list_cosine_similarity(c.cvec, qv.qvec), 6)
+                     DESC, c.centroid
+            LIMIT 2
+        ),
+        cand AS (
+            SELECT f.id, f.vec FROM a_final f JOIN qc USING (centroid)
+            WHERE f.id <> 0
+        ),
+        js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+        cb AS (SELECT j, id AS code,
+                      vec[j*{_PQ_SUBDIM}+1:(j+1)*{_PQ_SUBDIM}] AS c
+               FROM v, js WHERE id < {_PQ_K}),
+        subs AS (SELECT id, j,
+                        vec[j*{_PQ_SUBDIM}+1:(j+1)*{_PQ_SUBDIM}] AS s
+                 FROM cand, js),
+        dists AS (
+            SELECT subs.id, subs.j, cb.code,
+                   ROUND(list_sum(list_transform(range(1, {_PQ_SUBDIM}+1),
+                         i -> (s[i]-c[i])*(s[i]-c[i]))), 6) AS d2
+            FROM subs JOIN cb ON subs.j = cb.j
+        ),
+        enc AS (
+            SELECT id, j, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id, j
+                                             ORDER BY d2, code) AS rn
+                FROM dists) WHERE rn = 1
+        ),
+        q AS (SELECT j, qvec[j*{_PQ_SUBDIM}+1:(j+1)*{_PQ_SUBDIM}] AS qs
+              FROM qv, js),
+        lut AS (
+            SELECT cb.j, cb.code,
+                   ROUND(list_sum(list_transform(range(1, {_PQ_SUBDIM}+1),
+                         i -> (qs[i]-c[i])*(qs[i]-c[i]))), 6) AS qd2
+            FROM cb JOIN q ON cb.j = q.j
+        )
+        SELECT enc.id, ROUND(SUM(lut.qd2), 6) AS adc_dist
+        FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+        GROUP BY enc.id
+        ORDER BY adc_dist, id
+        LIMIT 10
+    """
+
+
+@query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed index every billion-vector ANN system
+    (FAISS IVFPQ, SCaNN) actually ships: a LEARNED coarse quantizer
+    (k-means, ``corpus_kmeans``'s trainer) partitions the corpus into
+    inverted lists; the probe visits only the query's nprobe=2
+    nearest lists; within them, ranking is PQ asymmetric distance
+    (``corpus_pq_topk``'s ADC) over 4-byte codes instead of 256-byte
+    floats.
+
+    Scale: probe cost = (nprobe/k) of the corpus × ADC's constant-
+    folded lookup adds. The inverted lists ARE a partitioning
+    (`partitionBy(centroid)` on write), so list probes become
+    partition pruning at the parquet scan; model state on the driver
+    is k·dim centroids + m·k·subdim codebooks — kilobytes. The
+    nearest-list selection runs as a k-row Spark job with the same
+    rounded-cosine discipline as the oracle (never NumPy, whose SIMD
+    summation order could flip a 6dp boundary)."""
+    from spark_query_engine.queries.semantic import (
+        _ITERS,
+        _K,
+        _PQ_K,
+        _PQ_SUBDIM,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = C._vectors(emb, "vec_id", "embedding")
+    cents = C.kmeans_fit(spark, v, k=_K, iters=_ITERS)
+    assigned = C.assign_to_centroids(v, cents)
+
+    # model-state fetches (k-row / 1-row jobs, like corpus_pq_topk)
+    rows = {
+        int(r["id"]): list(r["vec"])
+        for r in v.where(F.col("id") < _PQ_K).collect()
+    }
+    codebooks = [
+        [rows[code][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM]
+         for code in sorted(rows)]
+        for j in range(len(rows[0]) // _PQ_SUBDIM)
+    ]
+    qvec = rows[0]
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid int, cvec array<double>",
+    )
+    probes = [
+        int(r["centroid"])
+        for r in cdf.select(
+            "centroid",
+            F.round(cosine(F.col("cvec"), F.lit(qvec)), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("centroid"))
+        .limit(2)
+        .collect()
+    ]
+
+    cand = assigned.where(
+        F.col("centroid").isin(probes) & (F.col("id") != 0)
+    ).select("id", "vec")
+    encoded = S.pq_encode(cand, codebooks, _PQ_SUBDIM)
+    return S.pq_adc_topk(encoded, codebooks, qvec, _PQ_SUBDIM, k=10)
+
+
+#: Bloom-prefilter geometry: bucket count for the hashed-key filter.
+_BLOOM_M = 8192
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total_rev
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+        GROUP BY 1, 2
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: before shuffling the fact table into a
+    selective join, semi-join it against the BROADCAST set of hashed
+    key buckets from the (filtered) build side — a hand-rolled Bloom
+    filter (one hash function, {_BLOOM_M} buckets) with the exact
+    join after it guaranteeing zero false positives in the result.
+    This is the pattern Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects
+    automatically; spelled out here so the plan is pinned and
+    portable.
+
+    Scale: the build side (a selective dimension slice) may be too
+    big to broadcast as ROWS, but its bucket set is at most
+    {_BLOOM_M} ints no matter how many rows hash into it — the
+    broadcast is O(m), not O(|build|). The fact scan drops
+    non-matching rows map-side BEFORE the shuffle, so shuffle volume
+    tracks the join selectivity (~0.6% of customers here) instead of
+    the fact cardinality. The oracle is the plain exact join — the
+    bloom stage must be semantically invisible."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    build = cust.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey", "c_name")
+    buckets = build.select(
+        F.pmod(F.xxhash64("c_custkey"), F.lit(_BLOOM_M)).alias("bkt")
+    ).distinct()
+    probe = orders.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64("o_custkey"), F.lit(_BLOOM_M)) == F.col("bkt"),
+        "leftsemi",
+    )
+    return (
+        probe.join(build, probe.o_custkey == build.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+        )
+    )
