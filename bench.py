@@ -81,6 +81,15 @@ HEADLINE = [
     "sample_weighted",
     "basket_association_rules",
     "data_snapshot_diff",
+    # round 3: training-set assembly additions
+    "corpus_chunk_sliding",
+    "corpus_ngram_topk",
+    "ann_batch_topk",
+    "text_pii_redact",
+    "corpus_dsir_select",
+    "corpus_winnow_fingerprint",
+    "ann_ivf_pq_topk",
+    "join_bloom_prefilter",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

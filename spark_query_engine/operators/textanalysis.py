@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_query_engine.operators import widen
 
@@ -240,4 +241,71 @@ def span_dup_stats(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_chunks"),
         )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash
+    every char ``k``-gram, slide a window of ``w`` consecutive
+    hashes, select each window's minimum hash (ties → rightmost
+    position). Returns (id, pos, h): the selected fingerprint
+    positions with their k-gram hashes — one row per selected
+    position, 1-based ``pos``.
+
+    Guarantee: two documents sharing any substring of length ≥
+    k + w - 1 share at least one selected fingerprint VALUE, with
+    expected density 2/(w+1) — the property mod-p sampling lacks
+    (a match can fall between samples there).
+
+    Distributed shape: a position p is selected iff it is the
+    rightmost-minimum of SOME window, so each hash row expands to
+    the ≤ w window ids containing it (a clamped ``sequence`` explode
+    — bounded narrow fan-out, never a self-join); a rank-1 window per
+    (doc, window-id) picks each winner (Spark rewrites it to
+    WindowGroupLimit, one surviving row per window pre-shuffle), and
+    a distinct collapses multi-window winners. Rows ≈ chars × w,
+    keyed on (doc, win) — uniform shuffle, no state, no Python."""
+    nk = F.length(text_col) - (k - 1)
+    g = (
+        df.where(F.length(text_col) >= k + w - 1)
+        .select(
+            F.col(id_col).alias("id"),
+            nk.alias("nk"),
+            F.explode(F.sequence(F.lit(1), nk)).alias("pos"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            "id",
+            "nk",
+            "pos",
+            F.md5(F.expr(f"substr(__t, pos, {k})")).alias("h"),
+        )
+    )
+    win_ids = g.select(
+        "id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("pos") - (w - 1)),
+                F.least(F.col("pos"), F.col("nk") - (w - 1)),
+            )
+        ).alias("win"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id", "win").orderBy(
+            F.col("h").asc(), F.col("pos").desc()
+        )
+    )
+    return (
+        win_ids.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("id", "pos", "h")
+        .distinct()
     )

@@ -473,46 +473,14 @@ def corpus_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle is uniform; no state, no Python, no driver data.
     Output verifies the per-doc fingerprint count and density against
     the oracle's identical construction."""
+    from spark_query_engine.operators import textanalysis as T
+
     docs = load(spark, sf_dir, "documents")
-    nk = F.length("text") - (_WK - 1)
-    g = (
-        docs.where(F.length("text") >= _WK)
-        .select(
-            "doc_id",
-            nk.alias("nk"),
-            F.explode(F.sequence(F.lit(1), nk)).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "nk",
-            "pos",
-            F.md5(F.expr(f"substr(text, pos, {_WK})")).alias("h"),
-        )
+    sel = T.winnow_fingerprints(docs, "doc_id", "text", k=_WK, w=_WW)
+    cnt = (
+        sel.groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_fp"))
     )
-    w = g.where(F.col("nk") >= _WW).select(
-        "doc_id",
-        "pos",
-        "h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(1), F.col("pos") - (_WW - 1)),
-                F.least(F.col("pos"), F.col("nk") - (_WW - 1)),
-            )
-        ).alias("win"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("doc_id", "win").orderBy(
-            F.col("h").asc(), F.col("pos").desc()
-        )
-    )
-    sel = (
-        w.withColumn("rn", rn)
-        .where(F.col("rn") == 1)
-        .select("doc_id", "pos")
-        .distinct()
-    )
-    cnt = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     n_kgrams = F.greatest(F.length("text") - (_WK - 1), F.lit(0))
     density = F.round(
         F.when(

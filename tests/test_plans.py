@@ -309,6 +309,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row quartile-bounds aggregate broadcasts into the
         # value-comparison bucketing (replaced the global NTILEs)
         "customer_rfm_segments",
+        # the BNLJ broadcast side is the 8-row query-vector batch —
+        # the batch is the small side by construction
+        "ann_batch_topk",
+        # 1-row totals (N_target, N_raw, |vocab|) cross the bigram
+        # model relation — scalar broadcast, same shape as lm_score
+        "corpus_dsir_select",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)

@@ -1,0 +1,210 @@
+"""Round-3 training-set assembly operators: property tests against
+sequential reference implementations, direct semantic checks, and
+plan-shape assertions (scale guarantees).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- winnowing
+def _winnow_sequential(text: str, k: int, w: int) -> set[tuple[int, str]]:
+    """Direct transcription of the SIGMOD'03 algorithm: slide a window
+    of w consecutive k-gram hashes, record each window's minimum
+    (ties → rightmost). Returns {(1-based pos, hash)}."""
+    nk = len(text) - (k - 1)
+    if nk < w:
+        return set()
+    hashes = [
+        hashlib.md5(text[i : i + k].encode()).hexdigest() for i in range(nk)
+    ]
+    out: set[tuple[int, str]] = set()
+    for start in range(nk - w + 1):
+        win = hashes[start : start + w]
+        m = min(win)
+        # rightmost occurrence of the minimum
+        idx = start + max(j for j, h in enumerate(win) if h == m)
+        out.add((idx + 1, hashes[idx]))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_winnow_matches_sequential(spark, docs):
+    """The distributed winnowing operator (explode + rank window +
+    distinct) selects exactly the positions the paper's sequential
+    algorithm selects — tiny alphabet so hash ties and repeated
+    k-grams are actually exercised."""
+    from spark_query_engine.operators.textanalysis import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, text string"
+    )
+    got = {
+        (r["id"], r["pos"], r["h"])
+        for r in winnow_fingerprints(df, "id", "text", k=3, w=3).collect()
+    }
+    want = {
+        (i, pos, h)
+        for i, d in enumerate(docs)
+        for (pos, h) in _winnow_sequential(d, k=3, w=3)
+    }
+    assert got == want
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing contract: documents sharing a substring of length
+    ≥ k + w - 1 share at least one fingerprint VALUE."""
+    from spark_query_engine.operators.textanalysis import winnow_fingerprints
+
+    shared = "the quick brown fox"
+    docs = [
+        (0, "AAA " + shared + " BBB"),
+        (1, "xyzzy" + shared + "qq"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    rows = winnow_fingerprints(df, "id", "text", k=5, w=4).collect()
+    h0 = {r["h"] for r in rows if r["id"] == 0}
+    h1 = {r["h"] for r in rows if r["id"] == 1}
+    assert h0 & h1, "shared substring must yield a shared fingerprint"
+
+
+# ----------------------------------------------------------------- chunking
+def test_chunk_sliding_covers_and_reconstructs(spark):
+    """Every chunk is ≤ CHUNK tokens; consecutive chunks overlap by
+    CHUNK-STRIDE; the chunk set covers every token; fingerprints match
+    a sequential chunker."""
+    from spark_query_engine.queries import queries
+    from spark_query_engine.queries.training import _CHUNK, _STRIDE
+
+    out = queries()["corpus_chunk_sliding"](spark, SF)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_fp"])
+        for r in out.collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    for d in docs:
+        toks = d["text"].split(" ")
+        starts = list(range(0, len(toks), _STRIDE))
+        covered: set[int] = set()
+        for ci, st_ in enumerate(starts):
+            chunk = toks[st_ : st_ + _CHUNK]
+            covered.update(range(st_, st_ + len(chunk)))
+            fp = hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            assert got[(d["doc_id"], ci)] == (len(chunk), fp)
+        assert covered == set(range(len(toks)))
+    # row count: exactly one row per (doc, start offset)
+    assert len(got) == sum(
+        len(range(0, len(d["text"].split(" ")), _STRIDE)) for d in docs
+    )
+
+
+# -------------------------------------------------------------------- PII
+def test_pii_redact_removes_every_pattern(spark):
+    """After redaction no pattern matches remain, and counts follow
+    the deterministic injection schedule (doc_id % 4)."""
+    from spark_query_engine.queries import queries
+    from spark_query_engine.queries.training import (
+        _RE_EMAIL,
+        _RE_IP,
+        _RE_PHONE,
+    )
+
+    out = queries()["text_pii_redact"](spark, SF).collect()
+    for r in out:
+        m = r["doc_id"] % 4
+        assert r["n_emails"] == (1 if m in (1, 3) else 0)
+        assert r["n_phones"] == (1 if m == 2 else 0)
+        assert r["n_ips"] == (1 if m == 3 else 0)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # no organic PII in the corpus: battery finds zero matches pre-injection
+    organic = docs.select(
+        F.sum(F.regexp_count("text", F.lit(_RE_EMAIL))).alias("e"),
+        F.sum(F.regexp_count("text", F.lit(_RE_IP))).alias("i"),
+        F.sum(F.regexp_count("text", F.lit(_RE_PHONE))).alias("p"),
+    ).first()
+    assert (organic["e"], organic["i"], organic["p"]) == (0, 0, 0)
+
+
+# ------------------------------------------------------------------- DSIR
+def test_dsir_prefers_target_slice(spark):
+    """Importance weights must rank the target slice (source='src0')
+    above its base rate: the top-100 selection is enriched in src0
+    relative to the corpus share."""
+    from spark_query_engine.queries import queries
+
+    sel = queries()["corpus_dsir_select"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    joined = sel.join(docs, "doc_id")
+    n_sel = joined.count()
+    n_sel_tgt = joined.where(F.col("source") == "src0").count()
+    n = docs.count()
+    n_tgt = docs.where(F.col("source") == "src0").count()
+    assert n_sel_tgt / n_sel > n_tgt / n
+
+
+# ------------------------------------------------------------- plan shapes
+def test_chunk_sliding_is_zero_shuffle(spark):
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    plan = format_plan(queries()["corpus_chunk_sliding"](spark, SF), "physical")
+    assert "Exchange" not in plan
+
+
+def test_batch_ann_uses_window_group_limit(spark):
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    plan = format_plan(queries()["ann_batch_topk"](spark, SF), "physical")
+    assert "WindowGroupLimit" in plan
+    # the only join is the broadcast of the 8-row query batch
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_semijoin_precedes_join(spark):
+    """The hashed-bucket runtime filter must appear as a broadcast
+    LeftSemi on pmod(xxhash64(...)) BELOW the exact join."""
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    plan = format_plan(queries()["join_bloom_prefilter"](spark, SF), "physical")
+    assert "LeftSemi" in plan
+    assert "xxhash64" in plan
+    semi_pos = plan.index("LeftSemi")
+    inner_pos = plan.index("Inner")
+    assert inner_pos < semi_pos  # plan prints top-down: semi is deeper
+
+
+def test_ivf_pq_probe_has_no_scale_killers(spark):
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    plan = format_plan(queries()["ann_ivf_pq_topk"](spark, SF), "physical")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
