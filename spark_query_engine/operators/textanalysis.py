@@ -309,3 +309,81 @@ def winnow_fingerprints(
         .select("id", "pos", "h")
         .distinct()
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, rounds: int = 3
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): build
+    the word-frequency table, split words to characters, then per
+    round (a) count adjacent token pairs weighted by word frequency,
+    (b) take the most frequent pair (ties → lexicographic (a, b)),
+    (c) apply the merge to every word left-to-right non-overlapping —
+    exactly the classic algorithm over a frequency dict.
+
+    Returns (tokens, merges): ``tokens`` = (w, f, t[array<string>])
+    after all rounds; ``merges`` = [(round, left, right, pair_count)].
+
+    Distributed shape: the unit of work is the WORD TYPE relation
+    (|vocab| rows — millions at 100 TB, never corpus-scale), built by
+    one map-side-combined count over the corpus. Per round: pair
+    counts are a (a, b)-keyed hash aggregation; the winning pair is a
+    1-row TakeOrdered (the only driver state, like a k-means
+    centroid); the merge applies as an ``aggregate`` fold INSIDE
+    codegen — a narrow per-row transform, no shuffle. Rounds are
+    inherently sequential (each merge changes the pair distribution);
+    production runs batch non-conflicting merges per round to cut
+    round count ~10× — same plan per round either way."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    toks = words.select(
+        "w",
+        "f",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("t"),
+    ).persist()
+    merges: list[tuple[int, str, str, int]] = []
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    for r in range(1, rounds + 1):
+        pairs = toks.where(F.size("t") >= 2).select(
+            "f",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS a, t[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        m = a + b
+        merges.append((r, a, b, c))
+        new = toks.withColumn(
+            "t",
+            F.expr(
+                f"aggregate(slice(t, 2, size(t) - 1), array(t[0]), "
+                f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{esc(a)}' "
+                f"AND x = '{esc(b)}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array('{esc(m)}')) "
+                f"ELSE concat(acc, array(x)) END)"
+            ),
+        ).persist()
+        toks.unpersist()
+        toks = new
+    return toks, merges

@@ -683,3 +683,141 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
         )
     )
+
+
+def _bpe_round_ctes(r: int, prev: str) -> str:
+    """One BPE round as DuckDB CTEs: pair counts → winning merge →
+    recursive left-to-right fold applying it (the merge rule rides as
+    fold state so it evaluates once, not per recursion step)."""
+    return f"""
+        p{r} AS (
+            SELECT t.a, t.b, SUM(f) AS c FROM (
+                SELECT f, unnest(list_transform(range(1, len(t)), i ->
+                    struct_pack(a := t[i], b := t[i+1]))) AS t
+                FROM {prev} WHERE len(t) >= 2)
+            GROUP BY 1, 2
+        ),
+        best{r} AS (SELECT a, b, a || b AS m, c FROM p{r}
+                    ORDER BY c DESC, a, b LIMIT 1),
+        fold{r}(w, f, i, acc, a, b, m) AS (
+            SELECT c.w, c.f, 1, [c.t[1]], bb.a, bb.b, bb.m
+            FROM {prev} c CROSS JOIN best{r} bb
+            UNION ALL
+            SELECT c.w, c.f, fd.i + 1,
+                   CASE WHEN fd.acc[-1] = fd.a AND c.t[fd.i+1] = fd.b
+                        THEN list_slice(fd.acc, 1, len(fd.acc)-1) || [fd.m]
+                        ELSE fd.acc || [c.t[fd.i+1]] END,
+                   fd.a, fd.b, fd.m
+            FROM fold{r} fd JOIN {prev} c USING (w, f)
+            WHERE fd.i < len(c.t)
+        ),
+        tok{r} AS (SELECT fd.w, fd.f, fd.acc AS t
+                   FROM fold{r} fd JOIN {prev} c USING (w, f)
+                   WHERE fd.i = len(c.t))
+    """
+
+
+_BPE_ROUNDS = 3
+
+_BPE_ORACLE = (
+    """
+    WITH RECURSIVE words AS (
+        SELECT w, COUNT(*) AS f FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w
+    ),
+    tok0 AS (SELECT w, f,
+                    list_transform(range(1, length(w)+1), i -> w[i]) AS t
+             FROM words),
+    """
+    + ",\n".join(_bpe_round_ctes(r, f"tok{r-1}") for r in range(1, _BPE_ROUNDS + 1))
+    + f"""
+    SELECT w AS word, f AS freq, len(t) AS n_tokens,
+           array_to_string(t, '|') AS seg
+    FROM tok{_BPE_ROUNDS}
+    """
+)
+
+
+@query("corpus_bpe_train", oracle=_BPE_ORACLE)
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    step that turns a curated corpus into a tokenizer: {_BPE_ROUNDS}
+    merge rounds over the word-frequency table, then every word's
+    final segmentation. The oracle replays ALL rounds — pair counting,
+    the (count desc, pair asc) winner, and the exact left-to-right
+    non-overlapping merge fold — as recursive CTEs, so the iterative
+    trainer is hash-verified end to end, not just row-counted.
+
+    Scale: see ``operators/textanalysis.bpe_train`` — work is keyed on
+    the word-TYPE relation (|vocab|, not corpus size), pair counting
+    is a map-side-combined hash agg, the winning pair is the only
+    driver state (1 row/round), and merge application is a codegen'd
+    ``aggregate`` fold with zero shuffle."""
+    from spark_query_engine.operators.textanalysis import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    toks, _merges = bpe_train(docs, "text", rounds=_BPE_ROUNDS)
+    return toks.select(
+        F.col("w").alias("word"),
+        F.col("f").alias("freq"),
+        F.size("t").alias("n_tokens"),
+        F.array_join("t", "|").alias("seg"),
+    )
+
+
+@query(
+    "corpus_eval_split",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS norm_fp
+            FROM documents
+        ),
+        assigned AS (
+            SELECT doc_id, source,
+                   CASE ('0x' || substr(md5(norm_fp), 1, 8))::BIGINT % 100
+                        WHEN 0 THEN 'test'
+                        WHEN 1 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM fp
+        )
+        SELECT source, split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT doc_id) AS n_distinct
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def corpus_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split key is the
+    NORMALIZED-TEXT fingerprint, not the doc id — exact and
+    near-layout duplicates land in the SAME split by construction, so
+    an eval example can never have a twin in train (the dedup-leakage
+    failure mode behind inflated benchmark numbers). Assignment is a
+    deterministic md5 bucket (98/1/1), reproducible across engines,
+    runs and partitionings; output is the per-(source, split) census
+    used to audit the mix.
+
+    Scale: two codegen'd hash expressions and one grouped count —
+    zero joins, one map-side-combined shuffle on (source, split). The
+    same ``split`` expression tags the full corpus on write
+    (``partitionBy(split)``); extending the key from exact-normalized
+    to MinHash-cluster id (``dedup_cluster_components``) upgrades the
+    guarantee to near-dup-free at one extra join."""
+    docs = load(spark, sf_dir, "documents")
+    norm_fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    )
+    bucket = F.conv(F.substring(F.md5(norm_fp), 1, 8), 16, 10).cast("long") % 100
+    split = (
+        F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train")
+    )
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+        )
+    )

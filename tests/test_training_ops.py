@@ -208,3 +208,109 @@ def test_ivf_pq_probe_has_no_scale_killers(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# -------------------------------------------------------------------- BPE
+def _bpe_sequential(word_freq: dict[str, int], rounds: int):
+    """Classic BPE trainer over a frequency dict (Sennrich et al.
+    2016): count adjacent pairs weighted by frequency, merge the most
+    frequent (ties → lexicographic), apply left-to-right
+    non-overlapping."""
+    segs = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for _ in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for w, toks in segs.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + word_freq[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merges.append((a, b, c))
+        for w, toks in segs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            segs[w] = out
+    return segs, merges
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_bpe_train_matches_sequential(spark, docs):
+    """The distributed BPE trainer (pair-count agg + 1-row argmax +
+    codegen'd merge fold) reproduces the classic sequential algorithm
+    — tiny alphabet so overlapping-run merges ('aaa' under rule a+a)
+    and pair-count ties are exercised."""
+    from collections import Counter
+
+    from spark_query_engine.operators.textanalysis import bpe_train
+
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    toks, merges = bpe_train(df, "text", rounds=3)
+    got = {r["w"]: list(r["t"]) for r in toks.collect()}
+
+    wf = Counter(w for d in docs for w in d.split(" ") if w)
+    want_segs, want_merges = _bpe_sequential(dict(wf), rounds=3)
+    assert got == want_segs
+    assert [(a, b, c) for (_r, a, b, c) in merges] == want_merges
+
+
+def test_eval_split_no_duplicate_leakage(spark):
+    """The split invariant: two docs with the same normalized text can
+    never land in different splits."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    norm_fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(norm_fp), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train")
+    )
+    per_fp = (
+        docs.select(norm_fp.alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_fp.where(F.col("n_splits") > 1).count() == 0
+
+    # non-vacuous variant: plant near-layout duplicates (case and
+    # whitespace skew) and require identical split assignment
+    planted = spark.createDataFrame(
+        [
+            (i * 3 + 0, f"some document number {i}"),
+            (i * 3 + 1, f"  Some   document NUMBER {i} "),
+            (i * 3 + 2, f"SOME DOCUMENT NUMBER {i}"),
+        ][j]
+        for i in range(50)
+        for j in range(3)
+    ).toDF("doc_id", "text")
+    got = (
+        planted.select(norm_fp.alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    rows = got.collect()
+    assert all(r["n"] == 3 for r in rows) and len(rows) == 50
+    assert all(r["n_splits"] == 1 for r in rows)
