@@ -263,51 +263,60 @@ def winnow_fingerprints(
     expected density 2/(w+1) — the property mod-p sampling lacks
     (a match can fall between samples there).
 
-    Distributed shape: a position p is selected iff it is the
-    rightmost-minimum of SOME window, so each hash row expands to
-    the ≤ w window ids containing it (a clamped ``sequence`` explode
-    — bounded narrow fan-out, never a self-join); a rank-1 window per
-    (doc, window-id) picks each winner (Spark rewrites it to
-    WindowGroupLimit, one surviving row per window pre-shuffle), and
-    a distinct collapses multi-window winners. Rows ≈ chars × w,
-    keyed on (doc, win) — uniform shuffle, no state, no Python."""
-    nk = F.length(text_col) - (k - 1)
+    Distributed shape — run-length selection, ONE shuffle, no
+    fan-out: p is the rightmost-minimum of some window iff
+    ``r_run(p) + l_run(p) ≥ w - 1``, where r_run counts how many
+    IMMEDIATELY following hashes are strictly greater (capped at
+    w-1; strict, because an equal hash to the right would win the
+    tie) and l_run counts how many immediately preceding hashes are
+    ≥ (weak: rightmost-preference lets p beat equal hashes on its
+    left). Both runs come from w-1 ``lead``/``lag`` columns over one
+    (doc)-partitioned ordered window — a single hash-partitioned
+    shuffle on doc id, nested-CASE run arithmetic in codegen, and a
+    filter; no (doc, window-id) blow-up, no rank, no distinct.
+    Equivalence with the paper's per-window algorithm is
+    property-tested against a sequential implementation
+    (tests/test_training_ops.py::test_winnow_matches_sequential);
+    boundary windows fall out automatically because a run cannot
+    extend past the document's last k-gram."""
     g = (
         df.where(F.length(text_col) >= k + w - 1)
         .select(
             F.col(id_col).alias("id"),
-            nk.alias("nk"),
-            F.explode(F.sequence(F.lit(1), nk)).alias("pos"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (k - 1))
+            ).alias("pos"),
             F.col(text_col).alias("__t"),
         )
         .select(
             "id",
-            "nk",
             "pos",
             F.md5(F.expr(f"substr(__t, pos, {k})")).alias("h"),
         )
     )
-    win_ids = g.select(
-        "id",
-        "pos",
-        "h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(1), F.col("pos") - (w - 1)),
-                F.least(F.col("pos"), F.col("nk") - (w - 1)),
+    ordw = Window.partitionBy("id").orderBy("pos")
+
+    def run_len(cols: list[Column], strict: bool) -> Column:
+        # consecutive-run length via nested CASE: level j counts only
+        # if every earlier level matched; NULL (past the boundary)
+        # takes the otherwise-branch and stops the run
+        e: Column | None = None
+        for depth in range(len(cols), 0, -1):
+            c = (
+                cols[depth - 1] > F.col("h")
+                if strict
+                else cols[depth - 1] >= F.col("h")
             )
-        ).alias("win"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("id", "win").orderBy(
-            F.col("h").asc(), F.col("pos").desc()
-        )
-    )
+            inner = F.lit(depth) if e is None else e
+            e = F.when(c, inner).otherwise(F.lit(depth - 1))
+        return e if e is not None else F.lit(0)
+
+    r_run = run_len([F.lead("h", j).over(ordw) for j in range(1, w)], True)
+    l_run = run_len([F.lag("h", j).over(ordw) for j in range(1, w)], False)
     return (
-        win_ids.withColumn("rn", rn)
-        .where(F.col("rn") == 1)
+        g.withColumn("__sel", r_run + l_run >= w - 1)
+        .where(F.col("__sel"))
         .select("id", "pos", "h")
-        .distinct()
     )
 
 
