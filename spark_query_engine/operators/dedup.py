@@ -590,3 +590,67 @@ def ngram_jaccard_prefix_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dup_span_removal(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2022):
+    slide a ``k``-token window over every document, mark windows whose
+    text occurs in more than one document, erase every token covered
+    by a marked window, and return the cleaned documents:
+    (id, n_tokens, n_removed, cleaned_text).
+
+    Shuffle ledger (all keyed + map-side combinable, never all-pairs):
+    gram distinct-doc count, semi join back, (doc, pos) anti join,
+    per-doc reassembly via array_sort(collect_list(struct(pos, tok)))
+    — per-doc lists bounded by the longest document, the repo-wide
+    per-doc bound. The gram key md5-compresses to 8 bytes at scale."""
+    toks = df.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("t"))
+    wins = toks.where(F.size("t") >= k).select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}), "
+                f"i -> struct(i AS s, concat_ws(' ', slice(t, i + 1, {k})) AS g))"
+            )
+        ).alias("w"),
+    ).select("id", "w.s", "w.g")
+    dupg = (
+        wins.groupBy("g")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    cov = (
+        wins.join(dupg, "g", "leftsemi")
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    tokpos = toks.select("id", F.posexplode("t").alias("pos", "tok"))
+    kept = tokpos.join(cov, ["id", "pos"], "left_anti")
+    cleaned = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("ctext"),
+    )
+    n_tokens = F.size(F.split(text_col, " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .join(cleaned, "id", "left")
+        .select(
+            "id",
+            F.size(F.split("__txt", " ")).alias("n_tokens"),
+            (F.size(F.split("__txt", " ")) - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce("ctext", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -821,3 +821,83 @@ def corpus_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_distinct"),
         )
     )
+
+
+#: Duplicated-span removal geometry: sliding 8-token windows.
+_SPAN_K = 8
+
+
+@query(
+    "corpus_dup_span_removal",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, i AS s,
+                   array_to_string(
+                       list_slice(tk, i + 1, i + {_SPAN_K}), ' ') AS g
+            FROM (SELECT doc_id, tk,
+                         unnest(range(0, len(tk) - {_SPAN_K - 1})) AS i
+                  FROM t WHERE len(tk) >= {_SPAN_K})
+        ),
+        dupg AS (
+            SELECT g FROM wins GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, s + u AS pos
+            FROM wins JOIN dupg USING (g),
+                 UNNEST(range(0, {_SPAN_K})) AS r(u)
+        ),
+        tokpos AS (
+            SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+            FROM t, UNNEST(range(1, len(tk) + 1)) AS r(i)
+        ),
+        kept AS (
+            SELECT doc_id, pos, tok FROM tokpos
+            ANTI JOIN cov USING (doc_id, pos)
+        ),
+        cleaned AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   array_to_string(list(tok ORDER BY pos), ' ') AS ctext
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(string_split(d.text, ' ')) AS n_tokens,
+               len(string_split(d.text, ' ')) - COALESCE(c.n_kept, 0)
+                   AS n_removed,
+               md5(COALESCE(c.ctext, '')) AS cleaned_fp
+        FROM documents d LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def corpus_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better' — the ExactSubstr
+    dedup): slide a {_SPAN_K}-token window over every document, mark
+    windows whose text occurs in MORE THAN ONE document, erase every
+    token covered by a marked window, and emit the cleaned document —
+    not just a flag. Whole-doc and fixed-block screens
+    (``corpus_span_dedup``) can't produce this output: here the
+    boilerplate is cut while the unique remainder survives.
+
+    Scale: five keyed, map-side-combinable shuffles — the sliding
+    8-gram relation (narrow explode), a (gram)-keyed distinct-doc
+    count, a semi join back (the gram key md5-compresses to 8 bytes
+    at 100 TB), a (doc, pos)-keyed anti join to drop covered tokens,
+    and one per-doc reassembly aggregation whose
+    ``array_sort(collect_list(struct(pos, tok)))`` rebuilds token
+    order without a sort-merge (per-doc lists are document-sized,
+    bounded by the longest doc — the same bound every per-doc op in
+    the repo carries). Nothing is ever all-pairs; the duplicated-gram
+    relation is the only state and it broadcasts if small."""
+    from spark_query_engine.operators.dedup import dup_span_removal
+
+    docs = load(spark, sf_dir, "documents")
+    out = dup_span_removal(docs, "doc_id", "text", k=_SPAN_K)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_removed",
+        F.md5("cleaned_text").alias("cleaned_fp"),
+    )

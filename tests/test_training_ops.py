@@ -314,3 +314,63 @@ def test_eval_split_no_duplicate_leakage(spark):
     rows = got.collect()
     assert all(r["n"] == 3 for r in rows) and len(rows) == 50
     assert all(r["n_splits"] == 1 for r in rows)
+
+
+# ------------------------------------------------------- dup-span removal
+def _dup_span_sequential(docs: list[str], k: int):
+    """Direct implementation: mark k-token windows occurring in >1 doc,
+    erase covered tokens."""
+    toks = [d.split(" ") for d in docs]
+    owners: dict[str, set[int]] = {}
+    for di, t in enumerate(toks):
+        for s in range(len(t) - k + 1):
+            owners.setdefault(" ".join(t[s : s + k]), set()).add(di)
+    dup = {g for g, ds in owners.items() if len(ds) > 1}
+    out = []
+    for di, t in enumerate(toks):
+        cov: set[int] = set()
+        for s in range(len(t) - k + 1):
+            if " ".join(t[s : s + k]) in dup:
+                cov.update(range(s, s + k))
+        kept = [tok for i, tok in enumerate(t) if i not in cov]
+        out.append((di, len(t), len(t) - len(kept), " ".join(kept)))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_dup_span_removal_matches_sequential(spark, docs):
+    """The distributed ExactSubstr-style span removal reproduces the
+    sequential mark-and-erase — 2-letter alphabet so cross-doc window
+    collisions and overlapping covered spans actually occur."""
+    from spark_query_engine.operators.dedup import dup_span_removal
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, text string"
+    )
+    got = sorted(
+        (r["id"], r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in dup_span_removal(df, "id", "text", k=3).collect()
+    )
+    assert got == _dup_span_sequential(docs, k=3)
+
+
+def test_dup_span_removal_is_nonvacuous_on_corpus(spark):
+    """The synthetic corpus plants near-duplicates, so the sliding
+    8-gram screen must actually remove spans somewhere — and cleaned
+    docs must never gain tokens."""
+    from spark_query_engine.queries import queries
+
+    out = queries()["corpus_dup_span_removal"](spark, SF)
+    agg = out.agg(
+        F.sum((F.col("n_removed") > 0).cast("int")).alias("docs_touched"),
+        F.sum((F.col("n_removed") < 0).cast("int")).alias("negative"),
+    ).first()
+    assert agg["docs_touched"] > 0
+    assert agg["negative"] == 0
