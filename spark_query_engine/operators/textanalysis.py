@@ -396,3 +396,38 @@ def bpe_train(
         toks.unpersist()
         toks = new
     return toks, merges
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window chunker: ``size``-token windows advancing by
+    ``stride`` tokens. Returns (id, chunk_idx, n_tokens, chunk_fp).
+
+    Pure narrow transformation (split → offset ``sequence`` →
+    ``explode``): zero shuffles, zero Python, so it applies unchanged
+    to a STREAMING DataFrame — stateless row-local transforms are the
+    one class Structured Streaming runs with no watermark, no state
+    store, and exactly the batch semantics (asserted in
+    tests/test_streaming.py::test_chunk_stream_matches_batch)."""
+    toks = F.split(F.col(text_col), " ")
+    chunk = F.expr(f"slice(__tk, __st + 1, {size})")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__tk"),
+            F.explode(
+                F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+            ).alias("__st"),
+        )
+        .select(
+            "id",
+            (F.col("__st") / stride).cast("bigint").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+        )
+    )

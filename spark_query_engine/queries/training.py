@@ -68,24 +68,12 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     can stream straight to a partitioned parquet sink. The md5 chunk
     fingerprint doubles as the key for cross-chunk exact dedup
     (``dedup_exact`` on chunks instead of documents)."""
+    from spark_query_engine.operators.textanalysis import chunk_sliding
+
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    chunk = F.expr(f"slice(tk, st + 1, {_CHUNK})")
-    return (
-        docs.select(
-            "doc_id",
-            toks.alias("tk"),
-            F.explode(
-                F.sequence(F.lit(0), F.size(toks) - 1, F.lit(_STRIDE))
-            ).alias("st"),
-        )
-        .select(
-            "doc_id",
-            (F.col("st") / _STRIDE).cast("bigint").alias("chunk_idx"),
-            F.size(chunk).alias("n_tokens"),
-            F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
-        )
-    )
+    return chunk_sliding(
+        docs, "doc_id", "text", size=_CHUNK, stride=_STRIDE
+    ).withColumnRenamed("id", "doc_id")
 
 
 @query(

@@ -381,3 +381,64 @@ def test_stream_static_dimension_join(spark, sf_dir, events_stream):
     assert len(got) > 0
     for key, val in got.items():
         assert want[(key[0].replace(tzinfo=None), key[1])] == val, key
+
+
+def test_chunk_stream_matches_batch(spark, tmp_path):
+    """Training-set assembly in streaming: the sliding-window chunker
+    is a stateless narrow transform, so the SAME operator applies to a
+    streaming source unchanged (no watermark, no state store) and must
+    emit exactly the rows the batch run emits over the covered docs —
+    the unified-model contract for the chunking stage of a continuous
+    ingestion pipeline."""
+    import time
+
+    from spark_query_engine.operators.textanalysis import chunk_sliding
+    from spark_query_engine.pysource import SynthDocsDataSource, _doc
+
+    spark.dataSource.register(SynthDocsDataSource)
+    stream = (
+        spark.readStream.format("synth_docs")
+        .option("seed", 11)
+        .option("batchSize", 40)
+        .load()
+    )
+    chunked = chunk_sliding(stream, "doc_id", "text", size=16, stride=12)
+    assert chunked.isStreaming
+    q = (
+        chunked.writeStream.format("memory")
+        .queryName("chunk_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql(
+                "SELECT COUNT(DISTINCT id) c FROM chunk_stream_out"
+            ).head()["c"]
+            if n >= 80:
+                break
+            time.sleep(1)
+        assert n >= 80, n
+        got = {
+            (r["id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_fp"])
+            for r in spark.sql(
+                "SELECT * FROM chunk_stream_out WHERE id < 80"
+            ).collect()
+        }
+        # batch twin over the same synthetic docs
+        batch = spark.createDataFrame(
+            [(i, _doc(11, i)[1]) for i in range(80)],
+            "doc_id long, text string",
+        )
+        want = {
+            (r["id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_fp"])
+            for r in chunk_sliding(
+                batch, "doc_id", "text", size=16, stride=12
+            ).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
