@@ -1000,3 +1000,91 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+def _zorder_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    """DuckDB bit-interleave: z = Σ_i ((x>>i & 1) << 2i) | ((y>>i & 1)
+    << (2i+1)) unrolled to a literal sum (constant-folds at plan
+    time, same as the Spark expression)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_col(xcol, ycol, bits: int = 16):
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(xcol, i) % 2, 2 * i)
+        z = z + F.shiftleft(F.shiftright(ycol, i) % 2, 2 * i + 1)
+    return z
+
+
+@query(
+    "data_zorder_layout",
+    oracle=f"""
+        WITH q AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey % 65536 AS BIGINT) AS xq,
+                   CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                        % 65536 AS BIGINT) AS yq
+            FROM orders
+        ),
+        z AS (
+            SELECT o_orderkey, xq, yq,
+                   {_zorder_sql('xq', 'yq')} AS zval
+            FROM q
+        ),
+        b AS (SELECT *, zval // 4194304 AS zbucket FROM z)
+        SELECT zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(xq) AS x_min, MAX(xq) AS x_max,
+               MIN(yq) AS y_min, MAX(yq) AS y_max,
+               MIN(zval) AS z_min, MAX(zval) AS z_max
+        FROM b GROUP BY 1
+    """,
+)
+def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout: interleave the bits of two
+    16-bit-quantized dimensions (customer, order-day) into one sort
+    key, bucket by z-range, and report per-bucket row counts and
+    per-dimension min/max envelopes — the data-skipping statistics a
+    lakehouse writes per file. Because z-order preserves locality in
+    BOTH dimensions, every bucket's (x, y) envelope is tight, so a
+    predicate on EITHER column prunes buckets/files — the property a
+    single-column sort gives only its leading column. This is the
+    layout step behind OPTIMIZE ZORDER BY in lakehouse table formats;
+    writing the table ordered by ``zval`` (repartitionByRange + local
+    sort) turns the envelopes into real parquet row-group pruning.
+
+    Scale: the z-value is 32 shift-and-add terms in whole-stage
+    codegen (zero Python, zero shuffle); the bucket census is one
+    map-side-combined aggregation keyed on z-bucket — uniform by
+    construction since z-space is balanced."""
+    o = load(spark, sf_dir, "orders")
+    xq = (F.col("o_custkey") % 65536).cast("long")
+    yq = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 65536
+    ).cast("long")
+    q = o.select(
+        "o_orderkey", xq.alias("xq"), yq.alias("yq")
+    )
+    z = q.select(
+        "o_orderkey",
+        "xq",
+        "yq",
+        _zorder_col(F.col("xq"), F.col("yq")).alias("zval"),
+    )
+    b = z.withColumn(
+        "zbucket", F.floor(F.col("zval") / 4194304).cast("long")
+    )
+    return b.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("xq").alias("x_min"),
+        F.max("xq").alias("x_max"),
+        F.min("yq").alias("y_min"),
+        F.max("yq").alias("y_max"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+    )
