@@ -204,11 +204,21 @@ def _reorder_registry() -> None:
             groups.setdefault(_family_rank(name), []).append(name)
 
     ordered: list[str] = list(pinned)
-    queues = [groups[r] for r in sorted(groups)]
-    while queues:
-        for q in queues:
-            ordered.append(q.pop(0))
-        queues = [q for q in queues if q]
+    # Two phases: the KNOWN families (the round-2 backlog the verdict
+    # ordered verified first) round-robin into the window; modules
+    # outside _MODULE_PRIORITY (this round's additions) append AFTER —
+    # new work must not displace the older never-driver-checked
+    # queries from the ~50-entry window.
+    known_rank = len(_MODULE_PRIORITY)
+    for phase in (
+        sorted(r for r in groups if r < known_rank),
+        sorted(r for r in groups if r >= known_rank),
+    ):
+        queues = [groups[r] for r in phase]
+        while queues:
+            for q in queues:
+                ordered.append(q.pop(0))
+            queues = [q for q in queues if q]
 
     ordered.extend(name for name, _q in order if name in verified)
     by_name = dict(order)

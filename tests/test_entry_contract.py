@@ -66,15 +66,34 @@ def test_driver_window_prioritizes_unverified_families():
     pinned_unv = [n for n in _WINDOW_FIRST if n in REGISTRY and n not in verified]
     out = [n for n in pinned_unv if n not in window]
     assert not out, f"verdict-pinned queries outside the driver window: {out}"
-    # every family with an unverified query has a representative in the
-    # window (pins first, then one per family per round-robin cycle)
-    fams = {_family_rank(n) for n in unv}
+    # Two-phase policy: every KNOWN family (the pre-round-3 backlog)
+    # with an unverified query has a representative in the window;
+    # modules outside _MODULE_PRIORITY (this round's additions) queue
+    # BEHIND that backlog so new work cannot displace the older
+    # never-driver-checked queries from the ~50-entry window.
+    from spark_query_engine.queries import _MODULE_PRIORITY
+
+    known_rank = len(_MODULE_PRIORITY)
+    fams = {_family_rank(n) for n in unv if _family_rank(n) < known_rank}
     missing = fams - {_family_rank(n) for n in unv[:50]}
     assert not missing, f"families with no query in the driver window: {missing}"
-    # after the pinned prefix, no family repeats before all appear once
-    tail = [n for n in unv if n not in pinned_unv]
+    # no unknown-family (new-module) query registers before any
+    # known-family unverified query
+    ranks = [_family_rank(n) for n in unv if n not in pinned_unv]
+    if any(r >= known_rank for r in ranks) and any(r < known_rank for r in ranks):
+        first_new = ranks.index(next(r for r in ranks if r >= known_rank))
+        last_old = max(i for i, r in enumerate(ranks) if r < known_rank)
+        assert first_new > last_old, (
+            "a new-module query registered before the older unverified backlog"
+        )
+    # within the known-family phase, no family repeats before all
+    # appear once (round-robin fairness)
+    tail = [
+        n for n in unv
+        if n not in pinned_unv and _family_rank(n) < known_rank
+    ]
     tail_fams = {_family_rank(n) for n in tail}
     first_cycle = [_family_rank(n) for n in tail[: len(tail_fams)]]
     assert len(set(first_cycle)) == len(tail_fams), (
-        "round-robin first cycle does not cover every family"
+        "round-robin first cycle does not cover every known family"
     )
