@@ -90,6 +90,11 @@ HEADLINE = [
     "corpus_winnow_fingerprint",
     "ann_ivf_pq_topk",
     "join_bloom_prefilter",
+    "corpus_bpe_train",
+    "corpus_eval_split",
+    "corpus_dup_span_removal",
+    "ann_recall_eval",
+    "data_zorder_layout",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

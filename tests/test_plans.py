@@ -315,6 +315,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row totals (N_target, N_raw, |vocab|) cross the bigram
         # model relation — scalar broadcast, same shape as lm_score
         "corpus_dsir_select",
+        # ground-truth pass scores the corpus against the broadcast
+        # 8-row query batch (same bounded build side as ann_batch_topk)
+        "ann_recall_eval",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)

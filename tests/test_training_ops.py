@@ -54,10 +54,10 @@ def _winnow_sequential(text: str, k: int, w: int) -> set[tuple[int, str]]:
 )
 @settings(**SETTINGS)
 def test_winnow_matches_sequential(spark, docs):
-    """The distributed winnowing operator (explode + rank window +
-    distinct) selects exactly the positions the paper's sequential
-    algorithm selects — tiny alphabet so hash ties and repeated
-    k-grams are actually exercised."""
+    """The distributed winnowing operator (run-length lead/lag
+    selection) selects exactly the positions the paper's per-window
+    sequential algorithm selects — tiny alphabet so hash ties and
+    repeated k-grams are actually exercised."""
     from spark_query_engine.operators.textanalysis import winnow_fingerprints
 
     df = spark.createDataFrame(
