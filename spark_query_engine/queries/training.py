@@ -1088,3 +1088,107 @@ def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").alias("z_min"),
         F.max("zval").alias("z_max"),
     )
+
+
+#: Count-min sketch geometry: 4 hash rows × 256 buckets.
+_CMS_D, _CMS_W = 4, 256
+
+
+@query(
+    "corpus_sketch_cms",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        ds AS (SELECT unnest(range(0, {_CMS_D})) AS d),
+        cells AS (
+            SELECT d,
+                   ('0x' || substr(md5(d::VARCHAR || ':' || word), 1, 8))
+                       ::BIGINT % {_CMS_W} AS bucket,
+                   COUNT(*) AS c
+            FROM words CROSS JOIN ds
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT word, COUNT(*) AS exact_n FROM words GROUP BY 1
+        ),
+        top AS (
+            SELECT word, exact_n FROM exact
+            ORDER BY exact_n DESC, word LIMIT 10
+        ),
+        probes AS (
+            SELECT t.word, t.exact_n, d.d,
+                   ('0x' || substr(md5(d.d::VARCHAR || ':' || t.word), 1, 8))
+                       ::BIGINT % {_CMS_W} AS bucket
+            FROM top t CROSS JOIN ds d
+        )
+        SELECT p.word, p.exact_n,
+               MIN(c.c) AS est_n,
+               MIN(c.c) - p.exact_n AS overestimate,
+               MIN(c.c) >= p.exact_n AS bound_holds
+        FROM probes p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+        GROUP BY 1, 2
+    """,
+)
+def corpus_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimation — the third mergeable sketch next to HLL
+    (``corpus_sketch_merge``) and GK quantiles
+    (``corpus_sketch_quantiles``): hash every token into
+    {_CMS_D} rows × {_CMS_W} buckets of counters, estimate a token's
+    frequency as the MIN over its {_CMS_D} cells, and audit the CMS
+    contract — estimates NEVER undercount (``bound_holds`` must be
+    true for every probe; the driver hash-verifies the audit).
+
+    Scale: the sketch build is one (d, bucket)-keyed aggregation with
+    map-side combine — the sketch is {_CMS_D}·{_CMS_W} cells TOTAL
+    regardless of corpus size, and per-shard sketches merge by cell
+    addition (same partial-aggregate mergeability as the HLL path).
+    Probing broadcasts the {_CMS_D}·{_CMS_W}-cell relation. The exact
+    side exists only to audit the bound; production reads the sketch
+    alone."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    ds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+
+    def bucket(dcol, wcol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(dcol.cast("string"), F.lit(":"), wcol)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cells = (
+        words.crossJoin(F.broadcast(ds))
+        .groupBy("d", bucket(F.col("d"), F.col("word")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "word").limit(10)
+    probes = top.crossJoin(F.broadcast(ds)).select(
+        "word",
+        "exact_n",
+        "d",
+        bucket(F.col("d"), F.col("word")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "word",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+            (F.col("est_n") >= F.col("exact_n")).alias("bound_holds"),
+        )
+    )
