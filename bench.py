@@ -95,6 +95,7 @@ HEADLINE = [
     "corpus_dup_span_removal",
     "ann_recall_eval",
     "data_zorder_layout",
+    "corpus_sketch_cms",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal
