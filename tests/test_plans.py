@@ -318,6 +318,10 @@ def test_headline_plans_have_no_scale_killers(spark):
         # ground-truth pass scores the corpus against the broadcast
         # 8-row query batch (same bounded build side as ann_batch_topk)
         "ann_recall_eval",
+        # the token stream crosses the broadcast 4-row hash-function
+        # dimension (d = 0..3) — a constant-width fan-out, the CMS
+        # sketch's definition, never a data-plane join
+        "corpus_sketch_cms",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
