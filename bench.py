@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_recall_eval",
     "data_zorder_layout",
     "corpus_sketch_cms",
+    "pipeline_pretraining_full",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -814,11 +814,11 @@ def corpus_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Duplicated-span removal geometry: sliding 8-token windows.
 _SPAN_K = 8
 
-
-@query(
-    "corpus_dup_span_removal",
-    oracle=f"""
-        WITH t AS (
+#: The ExactSubstr CTE chain (t → wins → dupg → cov → tokpos → kept →
+#: cleaned), shared by corpus_dup_span_removal and the
+#: pipeline_pretraining_full capstone oracle.
+_DUP_SPAN_CTES = f"""
+        t AS (
             SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         ),
         wins AS (
@@ -851,6 +851,13 @@ _SPAN_K = 8
                    array_to_string(list(tok ORDER BY pos), ' ') AS ctext
             FROM kept GROUP BY doc_id
         )
+"""
+
+
+@query(
+    "corpus_dup_span_removal",
+    oracle=f"""
+        WITH {_DUP_SPAN_CTES.strip()}
         SELECT d.doc_id,
                len(string_split(d.text, ' ')) AS n_tokens,
                len(string_split(d.text, ' ')) - COALESCE(c.n_kept, 0)
@@ -1192,3 +1199,94 @@ def corpus_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") >= F.col("exact_n")).alias("bound_holds"),
         )
     )
+
+
+_DUP_SPAN_CTES_STRIPPED = _DUP_SPAN_CTES.strip()
+
+
+@query(
+    "pipeline_pretraining_full",
+    oracle=f"""
+        WITH {_DUP_SPAN_CTES_STRIPPED},
+        gated AS (
+            SELECT d.doc_id,
+                   COALESCE(c.ctext, '') AS ctext,
+                   len(string_split(d.text, ' ')) AS nt,
+                   COALESCE(c.n_kept, 0) AS nk,
+                   md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+                       AS nfp
+            FROM documents d LEFT JOIN cleaned c USING (doc_id)
+        ),
+        keepers AS (
+            SELECT doc_id, ctext,
+                   CASE ('0x' || substr(md5(nfp), 1, 8))::BIGINT % 100
+                        WHEN 0 THEN 'test'
+                        WHEN 1 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM gated
+            WHERE (nt - nk) * 10 <= nt * 3 AND nk >= {_CHUNK // 2}
+        ),
+        ck AS (
+            SELECT doc_id, split, string_split(ctext, ' ') AS tk
+            FROM keepers
+        ),
+        chunks AS (
+            SELECT doc_id, split, tk,
+                   unnest(range(0, len(tk), {_STRIDE})) AS st
+            FROM ck
+        )
+        SELECT doc_id, split,
+               st // {_STRIDE} AS chunk_idx,
+               len(list_slice(tk, st + 1, st + {_CHUNK})) AS n_tokens,
+               md5(array_to_string(
+                   list_slice(tk, st + 1, st + {_CHUNK}), ' ')) AS chunk_fp
+        FROM chunks
+    """,
+)
+def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 capstone: documents → training examples in ONE
+    Catalyst plan. Stages: (1) ExactSubstr duplicated-span removal
+    (``corpus_dup_span_removal``) produces cleaned text; (2) a gate
+    keeps documents that lost ≤30% of their tokens and retained ≥
+    {_CHUNK // 2}; (3) the survivors chunk into {_CHUNK}-token
+    windows at stride {_STRIDE}; (4) every chunk carries its
+    leakage-free split label (keyed on the ORIGINAL normalized text,
+    so near-layout duplicates — even ones the span cut diverged on —
+    still share a split). Output: (doc_id, split, chunk_idx,
+    n_tokens, chunk_fp) — the relation a pretraining loader reads.
+
+    Scale: the union of its stages' ledgers — the span stages' five
+    keyed shuffles, then gate/split/chunk all narrow; composing them
+    in one plan lets Catalyst pipeline the gate into the span
+    reassembly and the chunker into the same stage as the split
+    expression, with nothing materialized in between (the same
+    single-plan-funnel discipline as ``corpus_curate_full``)."""
+    from spark_query_engine.operators.dedup import dup_span_removal
+    from spark_query_engine.operators.textanalysis import chunk_sliding
+
+    docs = load(spark, sf_dir, "documents")
+    spans = dup_span_removal(docs, "doc_id", "text", k=_SPAN_K)
+    norm_fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(norm_fp), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train")
+    )
+    gated = (
+        docs.select("doc_id", split.alias("split"))
+        .join(spans.withColumnRenamed("id", "doc_id"), "doc_id")
+        .where(
+            (F.col("n_removed") * 10 <= F.col("n_tokens") * 3)
+            & (F.col("n_tokens") - F.col("n_removed") >= _CHUNK // 2)
+        )
+        .select("doc_id", "split", "cleaned_text")
+    )
+    chunks = chunk_sliding(
+        gated, "doc_id", "cleaned_text", size=_CHUNK, stride=_STRIDE
+    ).withColumnRenamed("id", "doc_id")
+    return chunks.join(
+        gated.select("doc_id", "split"), "doc_id"
+    ).select("doc_id", "split", "chunk_idx", "n_tokens", "chunk_fp")
