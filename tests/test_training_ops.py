@@ -374,3 +374,21 @@ def test_dup_span_removal_is_nonvacuous_on_corpus(spark):
     ).first()
     assert agg["docs_touched"] > 0
     assert agg["negative"] == 0
+
+
+def test_cms_never_undercounts_and_is_tight_for_heavy_hitters(spark):
+    """The count-min contract on the real corpus: every probe estimate
+    ≥ its exact count (bound_holds everywhere), and for the top-10
+    heavy hitters the overestimate is small relative to their counts
+    (heavy hitters dominate their cells, so collisions add little)."""
+    from spark_query_engine.queries import queries
+
+    rows = queries()["corpus_sketch_cms"](spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r["bound_holds"] for r in rows)
+    assert all(r["est_n"] >= r["exact_n"] for r in rows)
+    # tightness: total overestimate under 20% of total exact mass for
+    # the heavy hitters (4x256 cells vs a ~31-word vocabulary)
+    tot_exact = sum(r["exact_n"] for r in rows)
+    tot_over = sum(r["overestimate"] for r in rows)
+    assert tot_over <= 0.2 * tot_exact, (tot_over, tot_exact)
