@@ -1290,3 +1290,56 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.join(
         gated.select("doc_id", "split"), "doc_id"
     ).select("doc_id", "split", "chunk_idx", "n_tokens", "chunk_fp")
+
+
+def _ivf_occupancy_oracle() -> str:
+    from spark_query_engine.queries.semantic import _ITERS, _K, _kmeans_ctes
+
+    return f"""
+        {_kmeans_ctes(_K, _ITERS)},
+        occ AS (
+            SELECT centroid, COUNT(*) AS n_vectors
+            FROM a_final GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_vectors) AS n, COUNT(*) AS k FROM occ)
+        SELECT o.centroid, o.n_vectors,
+               ROUND(o.n_vectors * 1.0 / tot.n, 6) AS share,
+               ROUND(o.n_vectors * 1.0 * tot.k / tot.n, 6) AS balance
+        FROM occ o CROSS JOIN tot
+    """
+
+
+@query("corpus_ivf_occupancy", oracle=_ivf_occupancy_oracle())
+def corpus_ivf_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: per-inverted-list occupancy from the
+    LEARNED coarse quantizer — vector count, corpus share, and a
+    balance factor (occupancy relative to perfectly uniform lists).
+    Probe latency at scale is governed by the FATTEST list a query
+    touches, so a balance factor ≫ 1 on any list is the signal to
+    re-train with more centroids or split hot lists — the ANN
+    analogue of ``data_skew_report``'s pre-join diagnosis.
+
+    Scale: the audit itself is one (centroid)-keyed count over the
+    assignment relation (map-side combine; k output rows) crossed
+    with a 1-row total — negligible next to the assignment scan it
+    reuses."""
+    from spark_query_engine.queries.semantic import _ITERS, _K
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = C.kmeans_assign(
+        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    )
+    occ = assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = occ.agg(
+        F.sum("n_vectors").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "centroid",
+        "n_vectors",
+        F.round(F.col("n_vectors") * 1.0 / F.col("n"), 6).alias("share"),
+        F.round(
+            F.col("n_vectors") * 1.0 * F.col("k") / F.col("n"), 6
+        ).alias("balance"),
+    )
