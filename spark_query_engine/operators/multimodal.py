@@ -339,3 +339,92 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     item per partition-stable ordering key — the Spark-side shape of
     video frame subsampling (a filter, no shuffle)."""
     return df.where(F.col("id") % every_n == 0)
+
+
+# ---------------------------------------------------------------- WAV codec
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """REAL WAV (RIFF/PCM) encoder, pure numpy+struct: 16-bit mono
+    little-endian PCM with canonical RIFF/fmt/data chunks — byte-
+    compatible with any WAV reader (the stdlib ``wave`` module parses
+    these payloads in tests/test_operators.py)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes):
+    """REAL WAV decoder: walk the RIFF chunk list (not fixed offsets —
+    encoders may emit LIST/fact chunks before data), validate PCM
+    16-bit mono, and return (sample_rate, int16 numpy array)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported wav format {(fmt, ch, bits)}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+#: Deterministic text→PCM synthesis: 256 samples, each
+#: (charcode·231 mod 4001) − 2000 over the cycled document bytes —
+#: SQL-replayable arithmetic, like the PPM tile.
+WAV_N, WAV_RATE = 256, 8000
+
+
+def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build REAL WAV payloads deterministically from text (the audio
+    twin of ``attach_ppm_payload``): cycle the document's bytes into
+    WAV_N 16-bit samples via (c·231 mod 4001) − 2000."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def mk(text: str) -> bytes:
+            raw = np.frombuffer(text.encode(), dtype=np.uint8)
+            if raw.size == 0:
+                raw = np.zeros(1, dtype=np.uint8)
+            c = np.resize(raw.astype(np.int64), WAV_N)
+            samples = (c * 231) % 4001 - 2000
+            return encode_wav(WAV_RATE, samples.astype("<i2"))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "payload": pdf[text_col].map(mk)}
+            )
+
+    narrow = widen(df).select(F.col(id_col), F.col(text_col))
+    return narrow.mapInPandas(build, out_schema)

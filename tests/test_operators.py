@@ -431,3 +431,46 @@ def test_gap_fill_locf_multi_count_bucket(spark):
 
     with _pytest.raises(ValueError):
         gap_fill_locf(df, "series", "ts", "v", "3 months")
+
+
+def test_wav_codec_real_roundtrip_and_stdlib_parse():
+    """The WAV encoder emits canonical RIFF/PCM bytes: our decoder
+    roundtrips exactly, the STDLIB ``wave`` module (an independent
+    implementation) parses the same payload to identical frames, and
+    the chunk-walking decoder survives an interposed LIST chunk the
+    fixed-offset parsers choke on."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from spark_query_engine.operators.multimodal import decode_wav, encode_wav
+
+    s = ((np.arange(333) * 97) % 4001 - 2000).astype("<i2")
+    payload = encode_wav(8000, s)
+
+    rate, got = decode_wav(payload)
+    assert rate == 8000 and (got == s).all()
+
+    w = wave.open(io.BytesIO(payload))
+    assert (
+        w.getframerate(),
+        w.getnchannels(),
+        w.getsampwidth(),
+        w.getnframes(),
+    ) == (8000, 1, 2, 333)
+    frames = np.frombuffer(w.readframes(333), dtype="<i2")
+    assert (frames == s).all()
+
+    # interpose a LIST chunk between fmt and data: still decodes
+    fmt_end = 12 + 8 + 16
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = payload[:fmt_end] + lst + payload[fmt_end:]
+    patched = (
+        patched[:4]
+        + struct.pack("<I", len(patched) - 8)
+        + patched[8:]
+    )
+    rate2, got2 = decode_wav(patched)
+    assert rate2 == 8000 and (got2 == s).all()
