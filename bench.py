@@ -97,6 +97,8 @@ HEADLINE = [
     "data_zorder_layout",
     "corpus_sketch_cms",
     "pipeline_pretraining_full",
+    "corpus_ivf_occupancy",
+    "multimodal_wav_roundtrip",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

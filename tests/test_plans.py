@@ -322,6 +322,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # dimension (d = 0..3) — a constant-width fan-out, the CMS
         # sketch's definition, never a data-plane join
         "corpus_sketch_cms",
+        # the k-row occupancy relation crosses its own 1-row total —
+        # scalar broadcast over an aggregate, like data_skew_report
+        "corpus_ivf_occupancy",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
