@@ -428,3 +428,71 @@ def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     narrow = widen(df).select(F.col(id_col), F.col(text_col))
     return narrow.mapInPandas(build, out_schema)
+
+
+def attach_video_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a REAL multi-frame 'video' container per document: 1 +
+    (id mod 5) concatenated binary PPM frames, frame f's 192 pixel
+    bytes drawn from the document's cycled utf-8 bytes starting at
+    offset f·192 — a deterministic, SQL-replayable moving image.
+    Returns (id, n_frames, payload); the container is just
+    back-to-back P6 images, so any PPM reader can split it on the
+    headers."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def mk(doc_id: int, text: str) -> tuple[int, bytes]:
+            raw = np.frombuffer(text.encode(), dtype=np.uint8)
+            if raw.size == 0:
+                raw = np.zeros(1, dtype=np.uint8)
+            k = 1 + int(doc_id) % 5
+            frames = []
+            for f in range(k):
+                idx = (np.arange(192) + f * 192) % raw.size
+                frames.append(encode_ppm(8, 8, raw[idx].reshape(8, 8, 3)))
+            return k, b"".join(frames)
+
+        for pdf in batches:
+            built = [
+                mk(i, t) for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_frames": [b[0] for b in built],
+                    "payload": [b[1] for b in built],
+                }
+            )
+
+    narrow = widen(df).select(F.col(id_col), F.col(text_col))
+    return narrow.mapInPandas(build, out_schema)
+
+
+def split_frames(payload: bytes) -> list:
+    """Split a concatenated-PPM container into decoded frames by
+    walking the stream with the real codec (each decode_ppm consumes
+    exactly one header + 192 pixel bytes at these dimensions)."""
+    b = bytes(payload)
+    frames = []
+    pos = 0
+    while pos < len(b):
+        # find this frame's pixel start via the same header scan the
+        # codec uses, then advance by header + payload
+        import re
+
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b[pos:])
+        if not m:
+            raise ValueError(f"bad frame header at offset {pos}")
+        w, h = int(m.group(1)), int(m.group(2))
+        size = m.end() + w * h * 3
+        frames.append(decode_ppm(b[pos : pos + size]))
+        pos += size
+    return frames

@@ -266,3 +266,74 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(stats, out_schema)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH k AS (
+            SELECT doc_id, text, length(text) AS l,
+                   1 + doc_id % 5 AS nf
+            FROM documents
+        ),
+        fr AS (SELECT doc_id, l, text, unnest(range(0, nf)) AS f FROM k),
+        px AS (
+            SELECT doc_id, f,
+                   unicode(substr(text, ((f * 192 + j) % l) + 1, 1)) AS c
+            FROM (SELECT * FROM fr WHERE f % 2 = 0),
+                 UNNEST(range(0, 192)) AS r(j)
+        )
+        SELECT doc_id AS id, CAST(f AS INT) AS frame_idx,
+               CAST(SUM(c) AS BIGINT) AS pixel_sum
+        FROM px GROUP BY 1, 2
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-shape pipeline, driver-verified: build a multi-frame
+    container per document (1 + id mod 5 concatenated binary PPM
+    frames, each frame's pixels advancing through the text's cycled
+    bytes), then FRAME-SAMPLE it — split the container with the real
+    codec, keep every 2nd frame, and emit each kept frame's exact
+    integer pixel sum. The oracle recomputes every sampled frame's
+    sum from character codes at the same cycle offsets, so container
+    build → byte layout → split → decode → sample all hash-verify.
+
+    Scale: one Arrow-batched mapInPandas builds containers, a second
+    splits/samples them — both partition-preserving, no shuffle; the
+    per-row fan-out is the kept-frame count. At 100 TB the container
+    column is exactly how packed video bytes ride in lakehouse
+    tables; the sampler's cost is decode-bounded, which is why it
+    rides next to the scan instead of behind a shuffle."""
+    from spark_query_engine.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    vids = MM.attach_video_payload(docs, "doc_id", "text")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def sample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, sums = [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                for f, frame in enumerate(MM.split_frames(payload)):
+                    if f % 2 == 0:
+                        ids.append(i)
+                        fidx.append(f)
+                        sums.append(int(frame.sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return vids.mapInPandas(sample, out_schema)
