@@ -99,6 +99,7 @@ HEADLINE = [
     "pipeline_pretraining_full",
     "corpus_ivf_occupancy",
     "multimodal_wav_roundtrip",
+    "multimodal_frame_sample",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal
