@@ -404,9 +404,15 @@ def chunk_sliding(
     text_col: str,
     size: int = 32,
     stride: int = 24,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Sliding-window chunker: ``size``-token windows advancing by
-    ``stride`` tokens. Returns (id, chunk_idx, n_tokens, chunk_fp).
+    ``stride`` tokens. Returns (id, [passthrough...], chunk_idx,
+    n_tokens, chunk_fp) — ``passthrough`` columns are per-document
+    constants carried onto every chunk row (split labels, source tags)
+    so callers never need to join chunks back to the document relation
+    (a join whose other side would force the whole upstream pipeline
+    to run twice).
 
     Pure narrow transformation (split → offset ``sequence`` →
     ``explode``): zero shuffles, zero Python, so it applies unchanged
@@ -414,11 +420,13 @@ def chunk_sliding(
     one class Structured Streaming runs with no watermark, no state
     store, and exactly the batch semantics (asserted in
     tests/test_streaming.py::test_chunk_stream_matches_batch)."""
+    carry = list(passthrough or [])
     toks = F.split(F.col(text_col), " ")
     chunk = F.expr(f"slice(__tk, __st + 1, {size})")
     return (
         df.select(
             F.col(id_col).alias("id"),
+            *carry,
             toks.alias("__tk"),
             F.explode(
                 F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
@@ -426,6 +434,7 @@ def chunk_sliding(
         )
         .select(
             "id",
+            *carry,
             (F.col("__st") / stride).cast("bigint").alias("chunk_idx"),
             F.size(chunk).alias("n_tokens"),
             F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),

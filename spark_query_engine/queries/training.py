@@ -1284,12 +1284,21 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "split", "cleaned_text")
     )
+    # split rides through the chunker as a passthrough column: joining
+    # chunks back to `gated` would make Spark execute the entire span-
+    # removal subtree TWICE (once per join side — measured 18-Exchange
+    # plan); the passthrough keeps it one linear 8-Exchange pipeline
     chunks = chunk_sliding(
-        gated, "doc_id", "cleaned_text", size=_CHUNK, stride=_STRIDE
+        gated,
+        "doc_id",
+        "cleaned_text",
+        size=_CHUNK,
+        stride=_STRIDE,
+        passthrough=["split"],
     ).withColumnRenamed("id", "doc_id")
-    return chunks.join(
-        gated.select("doc_id", "split"), "doc_id"
-    ).select("doc_id", "split", "chunk_idx", "n_tokens", "chunk_fp")
+    return chunks.select(
+        "doc_id", "split", "chunk_idx", "n_tokens", "chunk_fp"
+    )
 
 
 def _ivf_occupancy_oracle() -> str:
