@@ -70,3 +70,41 @@ def apply_cdc(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key: str,
+    version: str,
+    attr: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: fold a (key, version, attr)
+    changelog into validity intervals — the dimension-table history
+    build behind every warehouse MERGE ... WHEN MATCHED pipeline.
+
+    Two passes over one key-partitioned sort (Catalyst plans BOTH
+    windows in a single Exchange+Sort because partitioning and
+    ordering agree): (1) LAG drops no-op change rows (a CDC feed
+    re-delivering an unchanged attribute must NOT open a new
+    interval — at-least-once delivery makes these common); (2) LEAD
+    over the surviving change points closes each interval at the next
+    change's version. ``valid_to`` is NULL on the open (current) row.
+
+    Scale: one shuffle on the key; per-key state is the change count
+    (tiny), never the snapshot width. No global sort, no collect —
+    key cardinality is the parallelism axis.
+    """
+    w = Window.partitionBy(key).orderBy(version)
+    points = changelog.withColumn("_prev", F.lag(attr).over(w)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr))
+    )
+    return (
+        points.withColumn("valid_to", F.lead(version).over(w))
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col(version).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

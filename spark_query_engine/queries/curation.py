@@ -1421,3 +1421,132 @@ def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("total_drift"),
     )
+
+
+@query(
+    "data_scd2_history",
+    oracle="""
+        WITH log AS (
+            SELECT o_orderkey, o_orderstatus, 0 AS version FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'P1', 1 FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            -- at-least-once redelivery: same attribute value again
+            SELECT o_orderkey, o_orderstatus, 1 FROM orders
+            WHERE o_orderkey % 10 = 5
+            UNION ALL
+            SELECT o_orderkey, 'P2', 2 FROM orders WHERE o_orderkey % 20 = 3
+        ),
+        points AS (
+            SELECT * FROM (
+                SELECT o_orderkey, o_orderstatus, version,
+                       LAG(o_orderstatus) OVER (
+                           PARTITION BY o_orderkey ORDER BY version
+                       ) AS prev
+                FROM log
+            ) WHERE prev IS NULL OR prev <> o_orderstatus
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(version AS BIGINT) AS valid_from,
+               CAST(LEAD(version) OVER (
+                   PARTITION BY o_orderkey ORDER BY version
+               ) AS BIGINT) AS valid_to,
+               LEAD(version) OVER (
+                   PARTITION BY o_orderkey ORDER BY version
+               ) IS NULL AS is_current
+        FROM points
+    """,
+)
+def data_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build — fold a three-version changelog
+    (v0 snapshot; v1 flips 10% of keys and REDELIVERS 10% unchanged;
+    v2 flips 5%) into validity intervals. The redelivered rows prove
+    the no-op suppression: an at-least-once CDC feed must not open a
+    new interval for an unchanged attribute. See
+    ``maintenance.scd2_history`` — both windows share one
+    Exchange+Sort on the key; no global sort, no collect."""
+    from spark_query_engine.operators.maintenance import scd2_history
+
+    o = load(spark, sf_dir, "orders")
+    v = lambda n: F.lit(n).cast("bigint").alias("version")  # noqa: E731
+    log = (
+        o.select("o_orderkey", "o_orderstatus", v(0))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 10 == 3).select(
+                "o_orderkey", F.lit("P1").alias("o_orderstatus"), v(1)
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 10 == 5).select(
+                "o_orderkey", "o_orderstatus", v(1)
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 20 == 3).select(
+                "o_orderkey", F.lit("P2").alias("o_orderstatus"), v(2)
+            )
+        )
+    )
+    return scd2_history(log, "o_orderkey", "version", "o_orderstatus")
+
+
+@query(
+    "corpus_quality_classifier",
+    oracle="""
+        WITH bi AS (
+            SELECT doc_id, substr(text, i, 2) AS bg
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text))) AS i
+                  FROM documents)
+        ),
+        f AS (
+            SELECT doc_id,
+                   (((('0x' || substr(md5(bg), 1, 8))::BIGINT % 2049)
+                     - 1024) / 1024.0) AS w
+            FROM bi
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_features,
+               ROUND(SUM(w), 6) AS dot,
+               ROUND(1.0 / (1.0 + exp(-SUM(w) / COUNT(*))), 6) AS score,
+               SUM(w) >= 0 AS keep
+        FROM f GROUP BY doc_id
+    """,
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier via the hashing trick:
+    every char-bigram hashes straight to a weight — no vocabulary
+    relation, no model join, no shuffle except the per-doc aggregate.
+    A trained model ships as the same md5→weight mapping with learned
+    values; here weights are hash-derived so both engines replay them.
+
+    Float discipline: weights are DYADIC rationals (k/1024 with
+    |k| ≤ 1024), so the per-doc dot product is a sum of dyadics —
+    EXACT in double arithmetic in any summation order, immune to the
+    partial-aggregation order differences that make general float
+    sums engine-dependent. Only the sigmoid touches libm, and it is
+    rounded at 6dp; the keep decision uses the exact dot sign.
+
+    Scale: one corpus scan, whole-stage-codegen'd md5/conv/substring
+    expressions, one map-side-combined groupBy(doc_id). The 100 TB
+    plan is identical — the model is carried by the expression."""
+    docs = load(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.substring(F.col("text"), i, 2),
+            )
+        ).alias("bg"),
+    )
+    h = F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+    w = ((h % 2049) - 1024) / F.lit(1024.0)
+    return bi.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        F.round(F.sum("w"), 6).alias("dot"),
+        F.round(
+            1.0 / (1.0 + F.exp(-F.sum("w") / F.count(F.lit(1)))), 6
+        ).alias("score"),
+        (F.sum("w") >= 0).alias("keep"),
+    )

@@ -634,3 +634,58 @@ def events_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("gap_end"),
         "gap_seconds",
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        pairs AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM ev
+        ),
+        cnt AS (
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               ROUND(n_transitions * 1.0 / SUM(n_transitions) OVER (
+                   PARTITION BY from_type
+               ), 6) AS p
+        FROM cnt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — the session-model behind next-event prediction and
+    anomalous-flow detection. LEAD over (user_id; ts, event_id)
+    pairs each event with its successor; the (from, to) count then
+    normalizes to a row-stochastic matrix.
+
+    Scale: one shuffle on user_id for the LEAD (per-user state only),
+    one map-side-combined count to |types|² rows, and the normalizing
+    window runs over that tiny matrix relation — never over the
+    events. The event_id tiebreak makes the successor deterministic
+    under same-timestamp bursts on every engine."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(tot), 6
+        ).alias("p"),
+    )

@@ -1352,3 +1352,116 @@ def corpus_ivf_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vectors") * 1.0 * F.col("k") / F.col("n"), 6
         ).alias("balance"),
     )
+
+
+@query(
+    "corpus_contrastive_pairs",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pos AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) * 1.0 /
+                   (ANY_VALUE((SELECT n_sh FROM sizes s WHERE s.doc_id = a.doc_id))
+                    + ANY_VALUE((SELECT n_sh FROM sizes s WHERE s.doc_id = b.doc_id))
+                    - COUNT(*)) >= 0.6
+        ),
+        bk AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+                       AS bucket
+            FROM documents
+        ),
+        neg AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bk a JOIN bk b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE ('0x' || substr(md5(a.doc_id::VARCHAR || ':' ||
+                                      b.doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 37 = 0
+              AND NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.id_a = a.doc_id
+                                AND p.id_b = b.doc_id)
+        )
+        SELECT id_a, id_b, 1 AS label FROM pos
+        UNION ALL
+        SELECT id_a, id_b, 0 AS label FROM neg
+    """,
+)
+def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining — the dataset builder for
+    embedding-model fine-tuning (SimCSE/E5-style): positives are
+    verified near-duplicate pairs (MinHash-LSH candidates, exact
+    Jaccard ≥ 0.6 — the same bucketed pipeline as ``dedup_minhash``,
+    never all-pairs), negatives are a deterministic hash-stratified
+    sample of non-duplicate pairs, anti-joined against the positives
+    so label noise is structurally impossible.
+
+    Negative sampling is scale-safe: docs land in 16 md5 buckets and
+    only same-bucket pairs are candidates (an equi-join — per-bucket
+    pair count is (n/16)² per bucket, bounded by bucket count), then
+    a pair-level md5 gate keeps ~1/37 of them. At 100 TB the bucket
+    count scales with n so per-bucket volume stays constant; the
+    anti-join runs on the (tiny) positive relation.
+
+    The oracle brute-forces the positives (correlated scalar
+    subqueries over shingle sizes) and replays the hash sampling
+    bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    from spark_query_engine.operators.dedup import minhash_near_duplicates
+
+    pos = minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    ).select("id_a", "id_b")
+    bk = docs.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        ).alias("bucket"),
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("id_a").cast("string"),
+                        F.col("id_b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 37
+        == 0
+    )
+    neg = cand.where(gate).join(pos, ["id_a", "id_b"], "left_anti")
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )

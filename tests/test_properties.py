@@ -562,3 +562,49 @@ def test_snapshot_diff_matches_dict_model(spark, orders):
         agg[ct][1] += drift
     want = {ct: (n, round(d, 2)) for ct, (n, d) in agg.items()}
     assert got == want
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 8),           # key
+            st.integers(0, 6),           # version
+            st.sampled_from("ABC"),      # attribute value
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),  # one row per (key, version)
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_history_matches_sequential_fold(spark, log):
+    """scd2_history (two shared-sort windows over a key-partitioned
+    changelog) must agree with the obvious sequential fold: walk each
+    key's versions in order, open an interval on every value CHANGE
+    (suppressing redeliveries), close it at the next change."""
+    from spark_query_engine.operators.maintenance import scd2_history
+
+    df = spark.createDataFrame(
+        [(k, v, a) for k, v, a in log], "k long, version long, attr string"
+    )
+    got = {
+        (r["k"], r["valid_from"]): (r["attr"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "version", "attr").collect()
+    }
+
+    expected = {}
+    by_key = {}
+    for k, v, a in sorted(log):
+        by_key.setdefault(k, []).append((v, a))
+    for k, rows in by_key.items():
+        points = []
+        prev = None
+        for v, a in rows:  # already version-sorted
+            if prev is None or a != prev:
+                points.append((v, a))
+            prev = a
+        for i, (v, a) in enumerate(points):
+            nxt = points[i + 1][0] if i + 1 < len(points) else None
+            expected[(k, v)] = (a, nxt, nxt is None)
+
+    assert got == expected

@@ -392,3 +392,79 @@ def test_cms_never_undercounts_and_is_tight_for_heavy_hitters(spark):
     tot_exact = sum(r["exact_n"] for r in rows)
     tot_over = sum(r["overestimate"] for r in rows)
     assert tot_over <= 0.2 * tot_exact, (tot_over, tot_exact)
+
+
+# ------------------------------------------------- round-3b: new operators
+def test_markov_transitions_row_stochastic(spark):
+    """Every from_type's outgoing probabilities sum to ~1 (6dp
+    rounding slack), and counts reconstruct the pair total."""
+    from spark_query_engine.queries import queries
+
+    df = queries()["events_markov_transitions"](spark, SF)
+    rows = df.collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, rs in by_from.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, ft
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+
+
+def test_quality_classifier_dot_sign_is_keep(spark):
+    """keep must equal dot >= 0 and n_features = len(text) - 1
+    (the bigram count of a non-empty doc)."""
+    from spark_query_engine.queries import queries
+
+    df = queries()["corpus_quality_classifier"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    joined = df.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["keep"] == (r["dot"] >= 0)
+        assert r["n_features"] == r["n"] - 1
+        assert (r["score"] >= 0.5) == r["keep"]
+
+
+def test_contrastive_pairs_label_integrity(spark):
+    """Positives are exactly the verified minhash near-dup pairs;
+    negatives never collide with a positive pair; both sides are
+    canonically ordered (id_a < id_b)."""
+    from spark_query_engine.operators.dedup import minhash_near_duplicates
+    from spark_query_engine.queries import queries
+
+    rows = queries()["corpus_contrastive_pairs"](spark, SF).collect()
+    pos = {(r["id_a"], r["id_b"]) for r in rows if r["label"] == 1}
+    neg = {(r["id_a"], r["id_b"]) for r in rows if r["label"] == 0}
+    assert pos and neg
+    assert not pos & neg
+    assert all(a < b for a, b in pos | neg)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+            threshold=0.6,
+        ).collect()
+    }
+    assert pos == truth
+
+
+def test_scd2_two_windows_share_one_exchange(spark):
+    """The SCD2 plan must contain exactly ONE Exchange for the two
+    key-partitioned windows (Catalyst reuses the sort), and no
+    single-partition window."""
+    from spark_query_engine.queries import queries
+
+    plan = (
+        queries()["data_scd2_history"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2  # union sides fold into one read
+    assert "SinglePartition" not in plan
