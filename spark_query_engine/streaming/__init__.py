@@ -12,6 +12,7 @@ from spark_query_engine.streaming.events import (
     interval_join_streams,
     ohlc_stream,
     run_to_memory_sink,
+    per_type_counts_tws,
     running_user_totals,
     sessionize_stream,
     sliding_counts,
@@ -28,6 +29,7 @@ __all__ = [
     "sliding_counts",
     "sessionize_stream",
     "ohlc_stream",
+    "per_type_counts_tws",
     "running_user_totals",
     "interval_join_streams",
     "dedup_stream",

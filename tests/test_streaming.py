@@ -442,3 +442,42 @@ def test_chunk_stream_matches_batch(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_transform_with_state_counts_match_batch(spark, sf_dir, events_stream):
+    """transformWithStateInPandas (Spark 4 MapState): after draining
+    the stream, the last emission per (user, type) equals the batch
+    groupBy counts. Requires the RocksDB state store provider, and
+    protobuf for the state-protocol driver worker (absent in this
+    container → skip; see per_type_counts_tws docstring)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = ST.per_type_counts_tws(events_stream)
+        ST.run_to_memory_sink(out, "tws_out", mode="update")
+        got = {
+            (r["user_id"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM tws_out").collect()
+        }
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+    )
+    want = {(r["user_id"], r["event_type"]): r["count"] for r in batch.collect()}
+    assert got == want
