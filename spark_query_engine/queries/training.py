@@ -1465,3 +1465,164 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.withColumn("label", F.lit(1)).unionByName(
         neg.withColumn("label", F.lit(0))
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+        WITH ed AS (
+            SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                            GREATEST(a.l_partkey, b.l_partkey) AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM ed UNION ALL SELECT v FROM ed
+            ) GROUP BY n
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM ed e1
+            JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v
+        )
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM ed) AS n_edges,
+               (SELECT CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT)
+                FROM deg) AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles,
+               (SELECT CASE WHEN COALESCE(SUM(d * (d - 1) / 2), 0) = 0
+                            THEN 0.0
+                            ELSE ROUND(3.0 * (SELECT n_triangles FROM tri)
+                                       / SUM(d * (d - 1) / 2), 6) END
+                FROM deg) AS transitivity
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global transitivity over the co-purchase
+    graph (parts linked when they share an order) — the graph-quality
+    audit behind community detection and recommendation features.
+
+    The Spark plan uses the DEGREE-ORIENTED algorithm (Cohen 2009 /
+    Suri-Vassilvitskii WWW'11): orient every edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    self-joining oriented edges on the pivot, and close each wedge
+    with a semi-ish join against the oriented edge set. Orientation
+    bounds each node's out-degree by O(√m), so the wedge relation —
+    the term that explodes on skewed (power-law) graphs if you pivot
+    on raw adjacency — is Σ out_deg² = O(m^1.5) worst-case instead of
+    Σ deg² with hub blowup. Every triangle is generated EXACTLY once
+    (from its minimum-order vertex), so no /3 correction and no
+    double counting.
+
+    Three shuffles end-to-end (edge distinct, degree agg + broadcast
+    back, wedge join keyed on the pivot); the closing join is keyed on
+    the full (v, w) edge pair. The oracle counts triangles by the
+    i<j<k brute-force join — same integers, different algorithm."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        ed.select(F.col("u").alias("n"))
+        .unionByName(ed.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient by (degree, id): u→v if (d_u, u) < (d_v, v)
+    du = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")
+    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")
+    oriented = (
+        ed.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
+    # close the wedge: the third edge may be oriented either way
+    closing = ed.select(
+        F.least("u", "v").alias("cx"), F.greatest("u", "v").alias("cy")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("cx"))
+        & (F.greatest("x", "y") == F.col("cy")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint"), F.lit(0)
+        ).alias("n_wedges"),
+    ).crossJoin(ed.agg(F.count(F.lit(1)).alias("n_edges")))
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+        )
+        .alias("transitivity"),
+    )
+
+
+@query(
+    "sample_reservoir_group",
+    oracle="""
+        SELECT source, doc_id, n_chars
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 10
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per group — the per-source
+    inspection sample every curation dashboard needs. Ordering by
+    md5(doc_id) is an order-statistics reservoir (the classic
+    min-wise sample): each group's k smallest hashes are a uniform
+    k-subset, reproducible across runs, partitionings, and engines —
+    unlike rand()-based reservoirs.
+
+    Spark plans the rank-k filter as WindowGroupLimit: the top-10
+    selection happens BEFORE any full-group sort materializes, so
+    per-group cost is O(n log k)-ish with only the group shuffle —
+    group count is the parallelism axis at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )

@@ -468,3 +468,58 @@ def test_scd2_two_windows_share_one_exchange(spark):
     )
     assert plan.count("Exchange") <= 2  # union sides fold into one read
     assert "SinglePartition" not in plan
+
+
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(1, 12), min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, baskets):
+    """Degree-oriented triangle counting must agree with the O(n³)
+    brute force on random co-occurrence graphs (including hubs,
+    isolated nodes, and duplicate basket lines)."""
+    import os
+    import tempfile
+    from itertools import combinations
+
+    from spark_query_engine.queries import queries
+
+    rows = [
+        (oid, pk, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+        for oid, parts in enumerate(baskets)
+        for i, pk in enumerate(parts)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(os.path.join(td, "lineitem.parquet"))
+        got = queries()["graph_triangle_count"](spark, td).collect()[0]
+
+    edges = set()
+    for parts in baskets:
+        for x, y in combinations(set(parts), 2):
+            edges.add((min(x, y), max(x, y)))
+    nodes = {n for e in edges for n in e}
+    tris = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    deg = {n: 0 for n in nodes}
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tris
