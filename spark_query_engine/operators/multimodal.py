@@ -496,3 +496,102 @@ def split_frames(payload: bytes) -> list:
         frames.append(decode_ppm(b[pos : pos + size]))
         pos += size
     return frames
+
+
+def ahash_images(payloads: DataFrame) -> DataFrame:
+    """Integer-exact average-hash (aHash) per image: decode the PPM
+    payload, collapse each pixel to an integer gray value (r+g+b — a
+    sum, not a float luma, so no rounding anywhere), and set bit i of
+    the 64-bit hash iff cell i is brighter than the image mean. The
+    mean comparison is cross-multiplied (``64*g_i > total``) so the
+    whole fingerprint is exact integer arithmetic end-to-end — an
+    oracle can replay it from the source bytes, unlike float
+    DCT-based pHash.
+
+    Returns (id, h_lo, h_hi): two 32-bit halves in BIGINTs, keeping
+    every value positive (bit 63 of a single word would wrap signed
+    64-bit in SQL engines). Arrow-batched mapInPandas over the
+    payload relation — partition-preserving, no shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("h_lo", T.LongType()),
+            T.StructField("h_hi", T.LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def ah(payload: bytes) -> tuple[int, int]:
+            img = decode_ppm(bytes(payload))  # (h, w, 3) uint8
+            gray = img.astype(np.int64).sum(axis=2).ravel()  # 64 ints
+            total = int(gray.sum())
+            bits = (64 * gray > total).astype(np.uint64)
+            word = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            return word & 0xFFFFFFFF, word >> 32
+
+        for pdf in batches:
+            hashes = pdf["payload"].map(ah)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "h_lo": hashes.map(lambda t: t[0]),
+                    "h_hi": hashes.map(lambda t: t[1]),
+                }
+            )
+
+    return payloads.mapInPandas(hash_batch, out_schema)
+
+
+def ahash_near_duplicates(
+    hashes: DataFrame, max_distance: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Image near-dup pairs by Hamming distance over the 64-bit aHash,
+    with the same pigeonhole band blocking as
+    ``simhash_near_duplicates``: ``blocks`` 16-bit bands, any pair
+    within ``max_distance < blocks`` must agree on ≥1 band → the band
+    equi-join has EXACT recall. Returns (id_a, id_b, hamming)."""
+    assert max_distance < blocks, "pigeonhole recall needs max_distance < blocks"
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    half_bands = blocks // 2
+    hs = hashes.persist()
+    banded = hs.select(
+        "id",
+        "h_lo",
+        "h_hi",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("h_lo"), i * width).bitwiseAND(mask)
+                    for i in range(half_bands)
+                ],
+                *[
+                    F.shiftright(F.col("h_hi"), i * width).bitwiseAND(mask)
+                    for i in range(half_bands)
+                ],
+            )
+        ).alias("block_idx", "block_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
+        + F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+    return out

@@ -337,3 +337,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return vids.mapInPandas(sample, out_schema)
+
+
+@query(
+    "multimodal_image_dedup",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, text, length(text) AS l FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i AS cell,
+                   unicode(substr(text, ((3*i) % l) + 1, 1))
+                 + unicode(substr(text, ((3*i+1) % l) + 1, 1))
+                 + unicode(substr(text, ((3*i+2) % l) + 1, 1)) AS gray
+            FROM b, UNNEST(range(0, 64)) AS t(i)
+        ),
+        tot AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id),
+        h AS (
+            SELECT g.doc_id,
+                   SUM(CASE WHEN g.cell < 32 AND 64 * g.gray > t.total
+                            THEN (1::BIGINT << g.cell) ELSE 0 END) AS h_lo,
+                   SUM(CASE WHEN g.cell >= 32 AND 64 * g.gray > t.total
+                            THEN (1::BIGINT << (g.cell - 32))
+                            ELSE 0 END) AS h_hi
+            FROM g JOIN tot t ON g.doc_id = t.doc_id
+            GROUP BY g.doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.h_lo, b.h_lo))
+                    + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h_lo, b.h_lo))
+              + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+    """,
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the multimodal analogue of
+    simhash dedup: build real binary PPM images (pixel bytes = the
+    text's utf-8 bytes cycled into the 8x8 tile), fingerprint each
+    with the integer-exact average-hash (``ahash_images``), and find
+    Hamming-≤3 pairs via pigeonhole band blocking
+    (``ahash_near_duplicates`` — 4x16-bit bands, EXACT recall, never
+    all-pairs).
+
+    The oracle replays the whole pipeline from character codes:
+    cycled pixel bytes → gray sums → cross-multiplied mean bits →
+    two 32-bit hash words → brute-force Hamming join. A green row
+    certifies the binary codec, the Arrow batch path, and the
+    blocking join end-to-end with zero float tolerance.
+
+    At 100 TB: hashing is a partition-preserving scan (decode +
+    64-int reduction per image); only the 10-byte-ish hash relation
+    shuffles, through the same banded equi-join as every other dedup
+    family member. Swapping aHash for a learned embedding changes the
+    fingerprint UDF, not the plan."""
+    from spark_query_engine.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = MM.attach_ppm_payload(docs, "doc_id", "text")
+    return MM.ahash_near_duplicates(
+        MM.ahash_images(payloads), max_distance=3, blocks=4
+    )

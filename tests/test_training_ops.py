@@ -523,3 +523,30 @@ def test_triangle_count_matches_bruteforce(spark, baskets):
     assert got["n_edges"] == len(edges)
     assert got["n_wedges"] == wedges
     assert got["n_triangles"] == tris
+
+
+def test_image_ahash_blocking_has_exact_recall(spark):
+    """The banded Hamming join must return exactly the brute-force
+    pair set over the real hash relation (pigeonhole guarantee), and
+    hashes must fit in two positive 32-bit words."""
+    from spark_query_engine.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hs = MM.ahash_images(MM.attach_ppm_payload(docs, "doc_id", "text"))
+    rows = hs.collect()
+    assert all(0 <= r["h_lo"] < 2**32 and 0 <= r["h_hi"] < 2**32 for r in rows)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.ahash_near_duplicates(hs, max_distance=3, blocks=4).collect()
+    }
+    want = {}
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            x, y = sorted((a["id"], b["id"]))
+            d = bin((a["h_lo"] ^ b["h_lo"])).count("1") + bin(
+                (a["h_hi"] ^ b["h_hi"])
+            ).count("1")
+            if d <= 3:
+                want[(x, y)] = d
+    assert got == want
