@@ -357,9 +357,6 @@ def bpe_train(
     ).persist()
     merges: list[tuple[int, str, str, int]] = []
 
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
     for r in range(1, rounds + 1):
         pairs = toks.where(F.size("t") >= 2).select(
             "f",
@@ -380,22 +377,65 @@ def bpe_train(
         if not top:
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
-        m = a + b
         merges.append((r, a, b, c))
-        new = toks.withColumn(
-            "t",
-            F.expr(
-                f"aggregate(slice(t, 2, size(t) - 1), array(t[0]), "
-                f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{esc(a)}' "
-                f"AND x = '{esc(b)}' "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), "
-                f"array('{esc(m)}')) "
-                f"ELSE concat(acc, array(x)) END)"
-            ),
-        ).persist()
+        new = toks.withColumn("t", _merge_fold_expr(a, b)).persist()
         toks.unpersist()
         toks = new
     return toks, merges
+
+
+def _merge_fold_expr(a: str, b: str):
+    """Left-to-right non-overlapping application of one merge rule
+    (a, b) -> ab over a token array column ``t``, as a codegen'd
+    ``aggregate`` fold — the exact classic-BPE merge semantics."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    m = a + b
+    return F.expr(
+        f"aggregate(slice(t, 2, size(t) - 1), array(t[0]), "
+        f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{esc(a)}' "
+        f"AND x = '{esc(b)}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array('{esc(m)}')) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_apply(
+    df: DataFrame, text_col: str, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """BPE INFERENCE: tokenize a corpus with an already-trained merge
+    table — the apply half of train/apply. Builds the word-TYPE
+    relation (one map-side-combined count; |vocab| rows, never
+    corpus-scale), char-splits each word, and folds every merge in
+    training order as stacked codegen'd ``aggregate`` expressions —
+    sequential rank-order application of pairwise merges, which for
+    a rank-ordered BPE merge list reproduces training segmentation
+    on seen words and degrades gracefully (partial merges over a
+    char base) on unseen ones; no OOV is possible.
+
+    The merge table is driver state folded into the expression tree
+    (like k-means centroid literals) — at a production vocab size it
+    ships as a broadcast map + one pandas UDF instead; the relational
+    shape (word types in, segmentations out, join back to docs by
+    word) is unchanged. Zero shuffles beyond the word-type count."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    toks = words.select(
+        "w",
+        "f",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("t"),
+    )
+    for _r, a, b, _c in merges:
+        toks = toks.withColumn("t", _merge_fold_expr(a, b))
+    return toks
 
 
 def chunk_sliding(

@@ -283,3 +283,56 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select(F.col("doc_id").alias("id"), "term", "cnt", "df", "rnk")
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1)
+                       AS n_words,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                   GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                            1) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               ROUND(0.39 * n_words / n_sentences
+                     + 11.8 * n_syllables / n_words - 15.59, 4) AS fk_grade,
+               ROUND(206.835 - 1.015 * n_words / n_sentences
+                     - 84.6 * n_syllables / n_words, 4) AS reading_ease
+        FROM m
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + reading ease per document — the
+    readability gate in quality-filter stacks (too-low AND too-high
+    grades both correlate with junk). Syllables are estimated as
+    vowel groups — the standard cheap proxy, identical regex on both
+    engines. Every metric derives from three exact integer counts,
+    so the float formulas see identical inputs cross-engine; pure
+    whole-stage-codegen'd regexp_count expressions, zero Python,
+    zero shuffle — a 100 TB scan-only pass."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.greatest(F.regexp_count("text", F.lit("[^ ]+")), F.lit(1))
+    n_sent = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    n_syl = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        F.round(
+            0.39 * n_words / n_sent + 11.8 * n_syl / n_words - 15.59, 4
+        ).alias("fk_grade"),
+        F.round(
+            206.835 - 1.015 * n_words / n_sent - 84.6 * n_syl / n_words, 4
+        ).alias("reading_ease"),
+    )

@@ -1626,3 +1626,114 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+def _bpe_apply_ctes(r: int, prev: str) -> str:
+    """Apply-side fold: replay round ``r``'s winning merge (best{r},
+    learned on the TRAIN split) over the full-corpus token relation —
+    the same recursive left-to-right fold as the trainer, driven by a
+    rule it did not learn from."""
+    return f"""
+        afold{r}(w, f, i, acc, a, b, m) AS (
+            SELECT c.w, c.f, 1, [c.t[1]], bb.a, bb.b, bb.m
+            FROM {prev} c CROSS JOIN best{r} bb
+            UNION ALL
+            SELECT c.w, c.f, fd.i + 1,
+                   CASE WHEN fd.acc[-1] = fd.a AND c.t[fd.i+1] = fd.b
+                        THEN list_slice(fd.acc, 1, len(fd.acc)-1) || [fd.m]
+                        ELSE fd.acc || [c.t[fd.i+1]] END,
+                   fd.a, fd.b, fd.m
+            FROM afold{r} fd JOIN {prev} c USING (w, f)
+            WHERE fd.i < len(c.t)
+        ),
+        atok{r} AS (SELECT fd.w, fd.f, fd.acc AS t
+                    FROM afold{r} fd JOIN {prev} c USING (w, f)
+                    WHERE fd.i = len(c.t))
+    """
+
+
+_BPE_TOKENIZE_ORACLE = (
+    """
+    WITH RECURSIVE fp AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(md5(trim(regexp_replace(
+                    lower(text), '\\s+', ' ', 'g')))), 1, 8))::BIGINT % 100
+                   AS bucket
+        FROM documents
+    ),
+    words AS (
+        SELECT w, COUNT(*) AS f FROM (
+            SELECT unnest(string_split(text, ' ')) AS w
+            FROM fp WHERE bucket >= 2)
+        WHERE length(w) > 0 GROUP BY w
+    ),
+    tok0 AS (SELECT w, f,
+                    list_transform(range(1, length(w)+1), i -> w[i]) AS t
+             FROM words),
+    """
+    + ",\n".join(_bpe_round_ctes(r, f"tok{r-1}") for r in range(1, _BPE_ROUNDS + 1))
+    + """,
+    awords AS (
+        SELECT w, COUNT(*) AS f FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w
+    ),
+    atok0 AS (SELECT w, f,
+                     list_transform(range(1, length(w)+1), i -> w[i]) AS t
+              FROM awords),
+    """
+    + ",\n".join(
+        _bpe_apply_ctes(r, f"atok{r-1}") for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + f"""
+    SELECT a.w AS word, a.f AS freq, len(a.t) AS n_tokens,
+           array_to_string(a.t, '|') AS seg,
+           a.w IN (SELECT w FROM words) AS in_train
+    FROM atok{_BPE_ROUNDS} a
+    """
+)
+
+
+@query("corpus_bpe_tokenize", oracle=_BPE_TOKENIZE_ORACLE)
+def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/apply BPE tokenization with a leakage-free boundary — the
+    missing half of ``corpus_bpe_train``: merges are learned ONLY on
+    the train split (the same normalized-fingerprint md5 buckets as
+    ``corpus_eval_split``), then applied to EVERY word type in the
+    corpus via ``textanalysis.bpe_apply``. Unseen (val/test-only)
+    words degrade gracefully to partial merges over the char base —
+    the no-OOV property that makes BPE the pretraining default.
+
+    The oracle replays BOTH halves as recursive CTEs: the train-side
+    pair-count/winner/fold chain of the trainer, plus a second fold
+    chain applying each learned rule to the full-corpus word-type
+    relation, and flags per word whether it was visible in training.
+
+    Scale: training cost is bounded by the train-split vocab; apply
+    is a zero-shuffle codegen fold over the corpus vocab. The driver
+    carries 1 row per merge (the learned table), exactly like k-means
+    centroid state."""
+    from spark_query_engine.operators.textanalysis import bpe_apply, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    norm_fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(norm_fp), 1, 8), 16, 10).cast("long") % 100
+    )
+    train_docs = docs.where(bucket >= 2)
+    train_toks, merges = bpe_train(train_docs, "text", rounds=_BPE_ROUNDS)
+    seg = bpe_apply(docs, "text", merges)
+    train_vocab = train_toks.select("w", F.lit(True).alias("in_train"))
+    train_toks.unpersist()
+    return (
+        seg.join(train_vocab, "w", "left")
+        .select(
+            F.col("w").alias("word"),
+            F.col("f").alias("freq"),
+            F.size("t").alias("n_tokens"),
+            F.array_join("t", "|").alias("seg"),
+            F.coalesce("in_train", F.lit(False)).alias("in_train"),
+        )
+    )

@@ -550,3 +550,50 @@ def test_image_ahash_blocking_has_exact_recall(spark):
             if d <= 3:
                 want[(x, y)] = d
     assert got == want
+
+
+@given(
+    train=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=25),
+        min_size=1,
+        max_size=4,
+    ),
+    apply_docs=st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=25),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_bpe_apply_matches_sequential(spark, train, apply_docs):
+    """bpe_apply folds a FIXED merge table (trained elsewhere) over an
+    arbitrary corpus exactly like the sequential rank-order apply —
+    including unseen characters ('d' never occurs in training) and
+    words where only a prefix of the merges fires."""
+    from collections import Counter
+
+    from spark_query_engine.operators.textanalysis import bpe_apply, bpe_train
+
+    tdf = spark.createDataFrame([(d,) for d in train], "text string")
+    _toks, merges = bpe_train(tdf, "text", rounds=3)
+
+    adf = spark.createDataFrame([(d,) for d in apply_docs], "text string")
+    got = {r["w"]: list(r["t"]) for r in bpe_apply(adf, "text", merges).collect()}
+
+    wf = Counter(w for d in apply_docs for w in d.split(" ") if w)
+    want = {}
+    for w in wf:
+        toks = list(w)
+        for _r, a, b, _c in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        want[w] = toks
+    assert got == want
