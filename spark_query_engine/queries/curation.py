@@ -1550,3 +1550,74 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         (F.sum("w") >= 0).alias("keep"),
     )
+
+
+@query(
+    "data_gdpr_cascade_delete",
+    oracle="""
+        WITH del AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 10 = 4
+        ),
+        o_del AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del)
+        )
+        SELECT 'customer' AS tbl,
+               (SELECT COUNT(*) FROM customer) AS rows_before,
+               (SELECT COUNT(*) FROM del) AS rows_removed,
+               (SELECT COUNT(*) FROM customer)
+                   - (SELECT COUNT(*) FROM del) AS rows_after
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM o_del),
+               (SELECT COUNT(*) FROM orders)
+                   - (SELECT COUNT(*) FROM o_del)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM o_del)),
+               (SELECT COUNT(*) FROM lineitem)
+                   - (SELECT COUNT(*) FROM lineitem
+                      WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+    """,
+)
+def data_gdpr_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: a deletion list (10% of
+    customers) propagates through the FK chain customer → orders →
+    lineitem; the report certifies per-table how many rows the purge
+    touches — the dry-run every GDPR/CCPA deletion pipeline emits
+    before rewriting data files.
+
+    The deletion list and the affected-order keys propagate as
+    LEFT SEMI joins (Catalyst broadcasts the small side), never
+    materializing joined rows — the relational form of a deletion
+    vector. At lake scale the same semi-join drives the actual
+    rewrite: ``anti`` instead of ``semi`` produces the surviving
+    rows per partition, and tables bucketed on their FK make every
+    hop co-located."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    deleted = c.where(F.col("c_custkey") % 10 == 4).select("c_custkey")
+    o_del = o.join(
+        deleted, o.o_custkey == deleted.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_del = li.join(o_del, li.l_orderkey == o_del.o_orderkey, "left_semi")
+
+    def census(tbl: str, full: DataFrame, removed: DataFrame) -> DataFrame:
+        return full.agg(F.count(F.lit(1)).alias("rows_before")).crossJoin(
+            removed.agg(F.count(F.lit(1)).alias("rows_removed"))
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            "rows_before",
+            "rows_removed",
+            (F.col("rows_before") - F.col("rows_removed")).alias("rows_after"),
+        )
+
+    return (
+        census("customer", c, deleted)
+        .unionByName(census("orders", o, o_del))
+        .unionByName(census("lineitem", li, li_del))
+    )

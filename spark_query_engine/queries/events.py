@@ -689,3 +689,69 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(tot), 6
         ).alias("p"),
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        tagged AS (
+            SELECT event_id, user_id, event_type, ts, value,
+                   MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_click_ts
+            FROM ev
+        )
+        SELECT event_id AS purchase_id, user_id,
+               ROUND(value, 2) AS purchase_value,
+               CASE WHEN date_diff('microsecond', last_click_ts, ts)
+                         <= 604800000000
+                    THEN last_click_ts END AS attributed_click_ts,
+               CASE WHEN date_diff('microsecond', last_click_ts, ts)
+                         <= 604800000000
+                    THEN date_diff('microsecond', last_click_ts, ts) END
+                   AS lag_us
+        FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited
+    to the user's most recent PRECEDING click within a 7-day lookback
+    — the classic marketing-attribution join, expressed as a running
+    MAX over a click-only CASE instead of a self-join (one shuffle on
+    user_id, per-user state = one timestamp; a purchases×clicks
+    range self-join would shuffle both relations and explode on
+    heavy users). The frame excludes the current row so a same-
+    timestamp click/purchase pair resolves by the deterministic
+    event_id order. Lag is exact integer microseconds; purchases
+    with no in-window click keep NULL attribution (they report as
+    organic)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    # unix_micros needs TIMESTAMP; the session is UTC-pinned, so the
+    # NTZ→TZ cast is value-preserving and the difference is exact
+    lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_click_ts").cast("timestamp")
+    )
+    in_window = lag_us <= 604800000000
+    return (
+        e.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.round("value", 2).alias("purchase_value"),
+            F.when(in_window, F.col("last_click_ts")).alias(
+                "attributed_click_ts"
+            ),
+            F.when(in_window, lag_us).alias("lag_us"),
+        )
+    )
