@@ -100,6 +100,20 @@ HEADLINE = [
     "corpus_ivf_occupancy",
     "multimodal_wav_roundtrip",
     "multimodal_frame_sample",
+    # round 3b: warehouse history, graph, multimodal dedup, tokenization
+    "data_scd2_history",
+    "events_markov_transitions",
+    "corpus_quality_classifier",
+    "corpus_contrastive_pairs",
+    "sample_reservoir_group",
+    "multimodal_image_dedup",
+    "text_readability",
+    "events_attribution_last_touch",
+    "data_gdpr_cascade_delete",
+    "corpus_bpe_tokenize",
+    "graph_triangle_count",
+    "data_scd2_pointintime",
+    "corpus_curriculum_order",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -1621,3 +1621,166 @@ def data_gdpr_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census("orders", o, o_del))
         .unionByName(census("lineitem", li, li_del))
     )
+
+
+@query(
+    "data_scd2_pointintime",
+    oracle="""
+        WITH log AS (
+            SELECT o_orderkey, o_orderstatus, 0 AS version FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'P1', 1 FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, 1 FROM orders
+            WHERE o_orderkey % 10 = 5
+            UNION ALL
+            SELECT o_orderkey, 'P2', 2 FROM orders WHERE o_orderkey % 20 = 3
+        ),
+        points AS (
+            SELECT * FROM (
+                SELECT o_orderkey, o_orderstatus, version,
+                       LAG(o_orderstatus) OVER (
+                           PARTITION BY o_orderkey ORDER BY version
+                       ) AS prev
+                FROM log
+            ) WHERE prev IS NULL OR prev <> o_orderstatus
+        ),
+        dim AS (
+            SELECT o_orderkey, o_orderstatus, version AS valid_from,
+                   LEAD(version) OVER (
+                       PARTITION BY o_orderkey ORDER BY version
+                   ) AS valid_to
+            FROM points
+        ),
+        facts AS (
+            SELECT o_orderkey, o_orderkey % 3 AS as_of FROM orders
+        )
+        SELECT f.o_orderkey, CAST(f.as_of AS BIGINT) AS as_of,
+               d.o_orderstatus AS status_at
+        FROM facts f JOIN dim d
+          ON f.o_orderkey = d.o_orderkey
+         AND d.valid_from <= f.as_of
+         AND (d.valid_to IS NULL OR f.as_of < d.valid_to)
+    """,
+)
+def data_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) fact-to-dimension join against the SCD2
+    history built by ``data_scd2_history`` — every fact row reads the
+    dimension attribute that was CURRENT at its own version, the
+    temporal-correctness join behind training-data backfills (joining
+    features as they were at label time prevents leakage from future
+    attribute values).
+
+    The join is an EQUI-join on the key with the interval containment
+    as a residual filter — Catalyst plans a hash join (key cardinality
+    is the parallelism axis); per key the residual scans that key's
+    few history rows, never a range-partitioned theta join. Each fact
+    matches exactly one interval (intervals partition the version
+    axis by construction — ``scd2_history`` guarantees adjacency)."""
+    from spark_query_engine.operators.maintenance import scd2_history
+
+    o = load(spark, sf_dir, "orders")
+    v = lambda n: F.lit(n).cast("bigint").alias("version")  # noqa: E731
+    log = (
+        o.select("o_orderkey", "o_orderstatus", v(0))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 10 == 3).select(
+                "o_orderkey", F.lit("P1").alias("o_orderstatus"), v(1)
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 10 == 5).select(
+                "o_orderkey", "o_orderstatus", v(1)
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 20 == 3).select(
+                "o_orderkey", F.lit("P2").alias("o_orderstatus"), v(2)
+            )
+        )
+    )
+    dim = scd2_history(log, "o_orderkey", "version", "o_orderstatus").alias(
+        "d"
+    )
+    facts = o.select(
+        "o_orderkey", (F.col("o_orderkey") % 3).alias("as_of")
+    ).alias("f")
+    return facts.join(
+        dim,
+        (F.col("f.o_orderkey") == F.col("d.o_orderkey"))
+        & (F.col("d.valid_from") <= F.col("f.as_of"))
+        & (
+            F.col("d.valid_to").isNull()
+            | (F.col("f.as_of") < F.col("d.valid_to"))
+        ),
+    ).select(
+        F.col("f.o_orderkey").alias("o_orderkey"),
+        F.col("f.as_of").alias("as_of"),
+        F.col("d.o_orderstatus").alias("status_at"),
+    )
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   ROUND(11.8 * GREATEST(len(regexp_extract_all(
+                              lower(text), '[aeiouy]+')), 1)
+                         / GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1)
+                       + 0.39 * GREATEST(len(regexp_extract_all(
+                              text, '[^ ]+')), 1)
+                         / GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                                    1), 4) AS difficulty
+            FROM documents
+        ),
+        b AS (
+            SELECT quantile_cont(difficulty, 1.0/3) AS b1,
+                   quantile_cont(difficulty, 2.0/3) AS b2
+            FROM m
+        )
+        SELECT m.doc_id, m.difficulty,
+               CASE WHEN m.difficulty <= ROUND(b.b1, 4) THEN 1
+                    WHEN m.difficulty <= ROUND(b.b2, 4) THEN 2
+                    ELSE 3 END AS phase
+        FROM m CROSS JOIN b
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: score every document's
+    difficulty (syllable density + sentence length — the exact-integer
+    readability core) and split the corpus into three phases at the
+    exact tercile boundaries. The easy→hard schedule is the standard
+    curriculum/annealing knob in pretraining data loaders.
+
+    Same scale shape as the RFM rebuild: boundaries come from ONE
+    exact-``percentile`` aggregate (a 1-row relation) broadcast into a
+    CASE bucketing scan — no global sort, no NTILE single-partition
+    window. Boundary floats follow the repo's rounded-threshold
+    discipline (difficulty rounded at 4dp before the percentile, the
+    bounds rounded at 4dp before comparison) so tie decisions are
+    engine-independent."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.greatest(F.regexp_count("text", F.lit("[^ ]+")), F.lit(1))
+    n_sent = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    n_syl = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    m = d.select(
+        "doc_id",
+        F.round(11.8 * n_syl / n_words + 0.39 * n_words / n_sent, 4).alias(
+            "difficulty"
+        ),
+    )
+    bounds = m.agg(
+        F.round(F.expr("percentile(difficulty, 1.0D/3)"), 4).alias("b1"),
+        F.round(F.expr("percentile(difficulty, 2.0D/3)"), 4).alias("b2"),
+    )
+    return m.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "difficulty",
+        F.when(F.col("difficulty") <= F.col("b1"), 1)
+        .when(F.col("difficulty") <= F.col("b2"), 2)
+        .otherwise(3)
+        .alias("phase"),
+    )

@@ -1421,10 +1421,17 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     from spark_query_engine.operators.dedup import minhash_near_duplicates
 
-    pos = minhash_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
-        threshold=0.6,
-    ).select("id_a", "id_b")
+    # pos feeds BOTH the labeled union and the negative anti-join;
+    # persist so the whole minhash pipeline runs once (the bench
+    # harness clearCache()s between queries)
+    pos = (
+        minhash_near_duplicates(
+            docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+            threshold=0.6,
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
     bk = docs.select(
         "doc_id",
         (

@@ -325,6 +325,16 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the k-row occupancy relation crosses its own 1-row total —
         # scalar broadcast over an aggregate, like data_skew_report
         "corpus_ivf_occupancy",
+        # per-table census rows: each is a 1-row COUNT aggregate
+        # crossed with another 1-row COUNT aggregate
+        "data_gdpr_cascade_delete",
+        # n_nodes/n_edges/n_wedges/n_triangles are four 1-row
+        # aggregates assembled by crossJoin — the wedge and closing
+        # joins themselves are hash equi-joins
+        "graph_triangle_count",
+        # the 1-row tercile-bounds aggregate broadcasts into the
+        # phase bucketing scan (the RFM percentile-bounds pattern)
+        "corpus_curriculum_order",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
