@@ -114,6 +114,7 @@ HEADLINE = [
     "graph_triangle_count",
     "data_scd2_pointintime",
     "corpus_curriculum_order",
+    "pipeline_rag_index",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

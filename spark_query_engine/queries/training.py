@@ -1744,3 +1744,233 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_train", F.lit(False)).alias("in_train"),
         )
     )
+
+
+# ----------------------------------------------------------- RAG capstone
+#: Retrieval-index geometry: non-overlapping 16-token chunks, 8-dim
+#: deterministic chunk embeddings, 4 LSH hyperplanes (16 buckets),
+#: top-3 chunks per query. Plane and query-vector components are
+#: dyadic rationals k/1024 derived from md5 at import time (hashlib —
+#: same constants embed in the Spark plan and the oracle SQL), so
+#: every dot product is a sum of dyadics: EXACT in double arithmetic
+#: in any order, on any engine.
+_RAG_DIM = 8
+_RAG_PLANES = 4
+_RAG_TOPK = 3
+_RAG_CHUNK = 16
+
+
+def _rag_const(tag: str) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+    return ((h % 2049) - 1024) / 1024.0
+
+
+_RAG_PLANE = [
+    [_rag_const(f"plane:{h}:{d}") for d in range(_RAG_DIM)]
+    for h in range(_RAG_PLANES)
+]
+_RAG_QUERY = [
+    [_rag_const(f"query:{i}:{d}") for d in range(_RAG_DIM)] for i in range(4)
+]
+
+
+def _rag_bucket(vec: list[float], planes: list[list[float]]) -> int:
+    return sum(
+        (1 << h)
+        for h, p in enumerate(planes)
+        if sum(v * w for v, w in zip(vec, p)) > 0
+    )
+
+
+def _rag_oracle() -> str:
+    vd_sql = ",\n                   ".join(
+        f"((('0x' || substr(md5(chunk_fp || ':{d}'), 1, 8))::BIGINT"
+        f" % 2049) - 1024) / 1024.0 AS v{d}"
+        for d in range(_RAG_DIM)
+    )
+    bucket_sql = " + ".join(
+        "(CASE WHEN "
+        + " + ".join(f"v{d} * ({_RAG_PLANE[h][d]!r})" for d in range(_RAG_DIM))
+        + f" > 0 THEN {1 << h} ELSE 0 END)"
+        for h in range(_RAG_PLANES)
+    )
+    na2_sql = " + ".join(f"v{d} * v{d}" for d in range(_RAG_DIM))
+    qrows = ",\n                ".join(
+        f"({i}, {_rag_bucket(_RAG_QUERY[i], _RAG_PLANE)}, "
+        + ", ".join(repr(_RAG_QUERY[i][d]) for d in range(_RAG_DIM))
+        + ", "
+        + repr(sum(q * q for q in _RAG_QUERY[i]))
+        + ")"
+        for i in range(4)
+    )
+    qcols = ", ".join(f"q{d}" for d in range(_RAG_DIM))
+    dot_sql = " + ".join(f"e.v{d} * q.q{d}" for d in range(_RAG_DIM))
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        s AS (
+            SELECT doc_id, tk,
+                   unnest(range(0, len(tk), {_RAG_CHUNK})) AS st
+            FROM t
+        ),
+        chunks AS (
+            SELECT doc_id, st // {_RAG_CHUNK} AS chunk_idx,
+                   md5(array_to_string(
+                       list_slice(tk, st + 1, st + {_RAG_CHUNK}), ' '))
+                       AS chunk_fp
+            FROM s
+        ),
+        emb AS (
+            SELECT doc_id, chunk_idx, chunk_fp,
+                   {vd_sql}
+            FROM chunks
+        ),
+        indexed AS (
+            SELECT *, {bucket_sql} AS bucket, {na2_sql} AS na2 FROM emb
+        ),
+        queries(query_id, bucket, {qcols}, nb2) AS (
+            VALUES {qrows}
+        ),
+        scored AS (
+            SELECT q.query_id, e.doc_id, e.chunk_idx, e.chunk_fp,
+                   {dot_sql} AS dot, e.na2, q.nb2
+            FROM indexed e JOIN queries q ON e.bucket = q.bucket
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, chunk_idx, chunk_fp,
+                   CASE WHEN dot < 0
+                        THEN -((dot * dot) / (na2 * nb2))
+                        ELSE (dot * dot) / (na2 * nb2) END AS srq,
+                   CASE WHEN dot < 0
+                        THEN -ROUND(sqrt((dot * dot) / (na2 * nb2)), 6)
+                        ELSE ROUND(sqrt((dot * dot) / (na2 * nb2)), 6) END
+                       AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CASE WHEN dot < 0
+                                     THEN -((dot * dot) / (na2 * nb2))
+                                     ELSE (dot * dot) / (na2 * nb2) END DESC,
+                                chunk_fp, doc_id, chunk_idx
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, chunk_idx,
+               chunk_fp, cosine
+        FROM ranked WHERE rank <= {_RAG_TOPK}
+    """
+
+
+@query("pipeline_rag_index", oracle=_rag_oracle())
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing + retrieval capstone in ONE Catalyst plan: chunk
+    every document (non-overlapping 16-token windows), embed each
+    chunk (deterministic 8-dim md5-derived vector — the stand-in for
+    a model embedding, chosen so the oracle can replay it), build a
+    4-hyperplane LSH index (16 buckets), and serve a 4-query batch:
+    bucket-probe → exact cosine rerank → top-3 chunks per query with
+    document provenance.
+
+    Ranking never touches libm: the order key is the SIGNED SQUARED
+    cosine dot²·sign(dot)/(‖a‖²‖b‖²) — a ratio of exactly-representable
+    dyadic rationals (components are k/1024, so every dot product,
+    square, and norm is exact in double arithmetic in any order on
+    any engine); sqrt appears only in the displayed cosine, rounded
+    at 6dp. Full tiebreak (srq, chunk_fp, doc_id, chunk_idx) pins the
+    cut at rank 3.
+
+    Scale: chunk+embed+bucket is one narrow codegen scan (the
+    embedding is 8 md5 expressions, the index bits 4 dot-product
+    CASEs); the probe is a BROADCAST equi-join of the 4-row query
+    batch on the bucket key; the rank window partitions by query over
+    bucket-sized candidate lists (corpus/16 expected — at 100 TB you
+    raise the plane count so lists stay bounded, same plan). Swapping
+    the md5 embedding for a real model is one mapInPandas before the
+    bucket expression; the index, probe, and rerank stages are
+    unchanged."""
+    from spark_query_engine.operators.textanalysis import chunk_sliding
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_sliding(
+        docs, "doc_id", "text", size=_RAG_CHUNK, stride=_RAG_CHUNK
+    ).select(F.col("id").alias("doc_id"), "chunk_idx", "chunk_fp")
+
+    vd = [
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("chunk_fp"), F.lit(f":{d}"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2049
+                - 1024
+            )
+            / 1024.0
+        ).alias(f"v{d}")
+        for d in range(_RAG_DIM)
+    ]
+    emb = chunks.select("doc_id", "chunk_idx", "chunk_fp", *vd)
+    bucket = sum(
+        F.when(
+            sum(
+                F.col(f"v{d}") * F.lit(_RAG_PLANE[h][d])
+                for d in range(_RAG_DIM)
+            )
+            > 0,
+            F.lit(1 << h),
+        ).otherwise(0)
+        for h in range(_RAG_PLANES)
+    )
+    na2 = sum(F.col(f"v{d}") * F.col(f"v{d}") for d in range(_RAG_DIM))
+    indexed = emb.withColumn("bucket", bucket).withColumn("na2", na2)
+
+    qrows = [
+        (
+            i,
+            _rag_bucket(_RAG_QUERY[i], _RAG_PLANE),
+            *[_RAG_QUERY[i][d] for d in range(_RAG_DIM)],
+            sum(q * q for q in _RAG_QUERY[i]),
+        )
+        for i in range(4)
+    ]
+    qschema = (
+        "query_id int, bucket int, "
+        + ", ".join(f"q{d} double" for d in range(_RAG_DIM))
+        + ", nb2 double"
+    )
+    qdf = chunks.sparkSession.createDataFrame(qrows, qschema)
+
+    dot = sum(F.col(f"v{d}") * F.col(f"q{d}") for d in range(_RAG_DIM))
+    scored = indexed.join(F.broadcast(qdf), "bucket").select(
+        "query_id", "doc_id", "chunk_idx", "chunk_fp",
+        dot.alias("dot"), "na2", "nb2",
+    )
+    sq = (F.col("dot") * F.col("dot")) / (F.col("na2") * F.col("nb2"))
+    srq = F.when(F.col("dot") < 0, -sq).otherwise(sq)
+    cosine = F.when(
+        F.col("dot") < 0, -F.round(F.sqrt(sq), 6)
+    ).otherwise(F.round(F.sqrt(sq), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        srq.desc(), "chunk_fp", "doc_id", "chunk_idx"
+    )
+    return (
+        scored.withColumn("srq", srq)
+        .withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _RAG_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "chunk_idx",
+            "chunk_fp",
+            "cosine",
+        )
+    )

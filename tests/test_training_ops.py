@@ -597,3 +597,18 @@ def test_bpe_apply_matches_sequential(spark, train, apply_docs):
             toks = out
         want[w] = toks
     assert got == want
+
+
+def test_rag_index_plan_shape(spark):
+    """The RAG capstone must probe via a broadcast hash equi-join on
+    the bucket key (the 4-row query batch is the build side) and cut
+    top-3 with WindowGroupLimit — no nested loop, no cartesian, no
+    corpus-sized window."""
+    from spark_query_engine.plans import format_plan
+    from spark_query_engine.queries import queries
+
+    plan = format_plan(queries()["pipeline_rag_index"](spark, SF), "physical")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
