@@ -755,3 +755,47 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(in_window, lag_us).alias("lag_us"),
         )
     )
+
+
+@query(
+    "events_user_features",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE})
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               date_diff('microsecond', MIN(ts), MAX(ts)) AS span_us,
+               ROUND(SUM(value), 2) AS total_value,
+               ROUND(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                   AS purchase_share
+        FROM ev GROUP BY user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-store build — the one-pass feature
+    engineering scan behind churn/LTV models: activity counts, type
+    diversity, recency bounds, exact integer-µs activity span, spend,
+    and purchase propensity, all from ONE map-side-combined groupBy
+    (COUNT DISTINCT adds the only expand). At 100 TB this is the
+    nightly feature-refresh job; incremental maintenance composes
+    with ``data_incremental_rollup``'s delta pattern for every
+    feature here except n_types (distinct needs a per-user type set
+    or an HLL sketch column — ``corpus_sketch_merge`` shape)."""
+    e = load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (F.max(us("ts")) - F.min(us("ts"))).alias("span_us"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("purchase_share"),
+    )

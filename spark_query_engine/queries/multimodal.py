@@ -398,3 +398,125 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.ahash_near_duplicates(
         MM.ahash_images(payloads), max_distance=3, blocks=4
     )
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, i,
+                   ((unicode(substr(text, (i % length(text)) + 1, 1))
+                     * 231) % 4001) - 2000 AS v
+            FROM documents, UNNEST(range(0, 256)) AS r(i)
+        ),
+        fr AS (
+            SELECT doc_id, i // 16 AS frame, SUM(v * v) AS energy
+            FROM s GROUP BY doc_id, i // 16
+        ),
+        tot AS (SELECT doc_id, SUM(energy) AS total FROM fr GROUP BY doc_id),
+        act AS (
+            SELECT f.doc_id, f.frame, f.energy,
+                   CASE WHEN 16 * f.energy > t.total THEN 1 ELSE 0 END
+                       AS active
+            FROM fr f JOIN tot t USING (doc_id)
+        ),
+        runs AS (
+            SELECT doc_id, frame, energy, active,
+                   frame - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, active ORDER BY frame
+                   ) AS grp
+            FROM act
+        ),
+        segs AS (
+            SELECT doc_id, grp, COUNT(*) AS seg_len
+            FROM runs WHERE active = 1
+            GROUP BY doc_id, grp
+        )
+        SELECT a.doc_id AS id,
+               16 AS n_frames,
+               CAST(SUM(a.active) AS BIGINT) AS n_active,
+               CAST(COALESCE((SELECT COUNT(*) FROM segs s
+                              WHERE s.doc_id = a.doc_id), 0) AS BIGINT)
+                   AS n_segments,
+               CAST(COALESCE((SELECT MAX(seg_len) FROM segs s
+                              WHERE s.doc_id = a.doc_id), 0) AS BIGINT)
+                   AS longest_run,
+               CAST(SUM(CASE WHEN a.active = 1 THEN a.energy ELSE 0 END)
+                    AS BIGINT) AS active_energy
+        FROM act a
+        GROUP BY a.doc_id
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection-style segmentation over REAL WAV
+    payloads — the audio curation pass that drops silence before
+    transcription: decode the RIFF/PCM container, frame the signal
+    (16 frames x 16 samples), mark frames whose energy exceeds the
+    per-clip mean (cross-multiplied ``16·e > Σe`` — exact integers,
+    no float threshold), and run-length the active mask into speech
+    segments. Emits per clip: active-frame count, segment count,
+    longest run, and the energy inside active segments — every value
+    an exact integer, so the oracle replays the whole DSP chain from
+    character codes.
+
+    Arrow-batched mapInPandas over the payload relation (decode +
+    16-frame reduction per clip), partition-preserving, no shuffle —
+    the same 100 TB shape as the codec roundtrips; a real VAD swaps
+    the energy rule for a model without touching the plan."""
+    from spark_query_engine.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = MM.attach_wav_payload(docs, "doc_id", "text")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_active", T.LongType()),
+            T.StructField("n_segments", T.LongType()),
+            T.StructField("longest_run", T.LongType()),
+            T.StructField("active_energy", T.LongType()),
+        ]
+    )
+
+    def vad(batches):
+        import numpy as np
+        import pandas as pd
+
+        def feats(payload: bytes):
+            _rate, samples = MM.decode_wav(bytes(payload))
+            v = samples.astype(np.int64)
+            e = (v * v).reshape(16, 16).sum(axis=1)  # frame energies
+            total = int(e.sum())
+            active = 16 * e > total
+            # run-length over the 16-frame mask
+            n_segments = int(
+                np.count_nonzero(
+                    active & ~np.concatenate(([False], active[:-1]))
+                )
+            )
+            longest = run = 0
+            for a in active:
+                run = run + 1 if a else 0
+                longest = max(longest, run)
+            return (
+                int(active.sum()),
+                n_segments,
+                longest,
+                int(e[active].sum()),
+            )
+
+        for pdf in batches:
+            fs = pdf["payload"].map(feats)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_frames": 16,
+                    "n_active": fs.map(lambda t: t[0]),
+                    "n_segments": fs.map(lambda t: t[1]),
+                    "longest_run": fs.map(lambda t: t[2]),
+                    "active_energy": fs.map(lambda t: t[3]),
+                }
+            )
+
+    return payloads.mapInPandas(vad, out_schema)

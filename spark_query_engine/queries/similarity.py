@@ -394,3 +394,55 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", qv, _PLANES, k=5, max_flips=1,
         exclude_id=0,
     )
+
+
+@query(
+    "ann_filtered_topk",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                   label AS qlabel
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id AS id, e.label,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0 AND e.label = q.qlabel
+        ORDER BY cos_sim DESC, id
+        LIMIT 10
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-10 neighbors restricted to the
+    query vector's own label (the metadata-predicate ANN variant
+    every vector store struggles with). The predicate applies BEFORE
+    ranking (pre-filtering), so recall is exact under the filter —
+    unlike post-filtering a top-k, which can return fewer than k
+    (or zero) matching rows.
+
+    Plan: the label predicate and column pruning push into the
+    parquet scan, then one TakeOrderedAndProject over the surviving
+    rows — at 100 TB with label-partitioned storage the filter
+    becomes partition pruning and the scan touches 1/|labels| of the
+    data before any distance math runs."""
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding", "label")
+        .head()
+    )
+    emb = load(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") != 0) & (F.col("label") == int(q["label"]))
+    )
+    return (
+        S.cosine_topk(emb, "vec_id", "embedding", list(q["embedding"]), k=10)
+        .join(
+            load(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("id"), "label"
+            ),
+            "id",
+        )
+        .select("id", "label", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), "id")
+    )
