@@ -608,3 +608,67 @@ def test_scd2_history_matches_sequential_fold(spark, log):
             expected[(k, v)] = (a, nxt, nxt is None)
 
     assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),                      # user
+            st.integers(0, 1_000_000),              # ts offset seconds
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_attribution_matches_sequential_walk(spark, events):
+    """Last-touch attribution (running MAX over a click-only CASE)
+    must agree with the obvious per-user walk — including same-second
+    click/purchase collisions resolved by event_id order and the
+    7-day lookback cutoff."""
+    import datetime
+    import os
+    import tempfile
+
+    from spark_query_engine.queries import queries
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=off), u, et, 1.0, "{}")
+        for i, (u, off, et) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r["purchase_id"]: (r["attributed_click_ts"], r["lag_us"])
+            for r in queries()["events_attribution_last_touch"](
+                spark, td
+            ).collect()
+        }
+
+    want = {}
+    seven_days_us = 604800000000
+    by_user: dict[int, list] = {}
+    for i, (u, off, et) in enumerate(events):
+        by_user.setdefault(u, []).append((base + datetime.timedelta(seconds=off), i, et))
+    for u, evs in by_user.items():
+        evs.sort()
+        last_click = None
+        for ts, i, et in evs:
+            if et == "purchase":
+                if last_click is not None:
+                    lag = int((ts - last_click).total_seconds() * 1_000_000)
+                    if lag <= seven_days_us:
+                        want[i] = (last_click, lag)
+                    else:
+                        want[i] = (None, None)
+                else:
+                    want[i] = (None, None)
+            if et == "click":
+                last_click = ts
+    assert got == want
