@@ -446,3 +446,77 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "label", "cos_sim")
         .orderBy(F.col("cos_sim").desc(), "id")
     )
+
+
+@query(
+    "vec_quality_checks",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id, label,
+                   len(embedding) AS dim,
+                   sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm,
+                   list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CASE WHEN x = 0 THEN 1 ELSE 0 END)) AS n_zero
+            FROM embeddings
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(MIN(dim) AS BIGINT) AS min_dim,
+               CAST(MAX(dim) AS BIGINT) AS max_dim,
+               CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_vectors,
+               CAST(SUM(CASE WHEN n_zero > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_zero_component,
+               ROUND(MIN(norm), 6) AS min_norm,
+               ROUND(MAX(norm), 6) AS max_norm,
+               ROUND(SUM(norm), 4) AS norm_mass
+        FROM n GROUP BY label
+    """,
+)
+def vec_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene — the Deequ-style gate for the vector
+    side of the lake: per label, dimension consistency (a ragged dim
+    breaks every distance kernel downstream), zero-vector count
+    (cosine is undefined — these crash or silently rank first),
+    zero-component incidence, and the norm envelope (un-normalized
+    mixtures poison dot-product indexes).
+
+    Float discipline: each vector's norm is a PER-ROW sequential
+    reduction (``aggregate`` fold / list_sum) — order-fixed inside
+    the row on both engines, so norms are deterministic; only the
+    cross-row aggregates (min/max/mass) need the repo's rounding.
+    One scan, one map-side-combined groupBy on label."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            xd, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    n_zero = F.aggregate(
+        xd,
+        F.lit(0),
+        lambda acc, x: acc + F.when(x == 0, 1).otherwise(0),
+    )
+    n = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm.alias("norm"),
+        n_zero.alias("n_zero"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        F.sum(F.when(F.col("norm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_vectors"),
+        F.sum(F.when(F.col("n_zero") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_zero_component"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.round(F.sum("norm"), 4).alias("norm_mass"),
+    )

@@ -1974,3 +1974,116 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@query(
+    "data_skipping_audit",
+    oracle=f"""
+        WITH q AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey % 65536 AS BIGINT) AS xq,
+                   CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                        % 65536 AS BIGINT) AS yq
+            FROM orders
+        ),
+        z AS (
+            SELECT o_orderkey, xq, yq,
+                   {_zorder_sql('xq', 'yq')} AS zval
+            FROM q
+        ),
+        env AS (
+            SELECT zval // 65536 AS zbucket,
+                   COUNT(*) AS n_rows,
+                   MIN(xq) AS x_min, MAX(xq) AS x_max,
+                   MIN(yq) AS y_min, MAX(yq) AS y_max
+            FROM z GROUP BY 1
+        ),
+        probe AS (
+            SELECT zbucket, n_rows,
+                   (x_min <= 1000 AND x_max >= 500
+                    AND y_min <= 2000 AND y_max >= 1500) AS must_read
+            FROM env
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN must_read THEN 1 ELSE 0 END) AS BIGINT)
+                   AS buckets_read,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+               CAST(SUM(CASE WHEN must_read THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_scanned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM z
+                WHERE xq BETWEEN 500 AND 1000
+                  AND yq BETWEEN 1500 AND 2000) AS rows_matching,
+               ROUND(SUM(CASE WHEN must_read THEN n_rows ELSE 0 END) * 1.0
+                     / SUM(n_rows), 6) AS scan_fraction
+        FROM probe
+    """,
+)
+def data_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit over the Z-order layout: take
+    the per-bucket min/max envelopes ``data_zorder_layout`` would
+    write as file statistics, probe them with a 2-D box predicate
+    (x∈[500,1000] × y∈[600,900] — the manifest-pruning step a lake
+    engine runs BEFORE opening any file), and report buckets read,
+    rows scanned vs rows actually matching, and the scan fraction —
+    the number that justifies OPTIMIZE ZORDER BY in the first place
+    (linear layouts read ~100% for a 2-D box; Morton buckets read the
+    box's Z-curve neighborhood).
+
+    Pure composition on the layout relation: the envelope probe runs
+    on |buckets| rows (manifest-sized, never data-sized); the
+    ground-truth count is one predicate scan the audit exists to
+    avoid at production time."""
+    from spark_query_engine.queries.training import _zorder_col
+
+    o = load(spark, sf_dir, "orders")
+    q = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("bigint").alias("xq"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            % 65536
+        )
+        .cast("bigint")
+        .alias("yq"),
+    )
+    z = q.select("o_orderkey", "xq", "yq", _zorder_col("xq", "yq").alias("zval"))
+    env = z.groupBy((F.col("zval") / 65536).cast("bigint").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xq").alias("x_min"),
+        F.max("xq").alias("x_max"),
+        F.min("yq").alias("y_min"),
+        F.max("yq").alias("y_max"),
+    )
+    must_read = (
+        (F.col("x_min") <= 1000)
+        & (F.col("x_max") >= 500)
+        & (F.col("y_min") <= 2000)
+        & (F.col("y_max") >= 1500)
+    )
+    probe = env.select("n_rows", must_read.alias("must_read"))
+    truth = z.where(
+        F.col("xq").between(500, 1000) & F.col("yq").between(1500, 2000)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("rows_matching"))
+    return (
+        probe.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.when(F.col("must_read"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("buckets_read"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(F.col("must_read"), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .crossJoin(truth)
+        .select(
+            "n_buckets",
+            "buckets_read",
+            "rows_total",
+            "rows_scanned",
+            "rows_matching",
+            F.round(
+                F.col("rows_scanned") / F.col("rows_total"), 6
+            ).alias("scan_fraction"),
+        )
+    )
