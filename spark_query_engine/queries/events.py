@@ -799,3 +799,132 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purchase_share"),
     )
+
+
+@query(
+    "events_ab_test_analysis",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        assigned AS (
+            SELECT user_id,
+                   CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+                             ::BIGINT % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted,
+                   ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN value ELSE 0 END), 2) AS spend
+            FROM ev GROUP BY user_id
+        )
+        SELECT arm,
+               COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conversion,
+               ROUND(SUM(spend), 2) AS total_spend
+        FROM assigned GROUP BY arm
+    """,
+)
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC arm assignment — the
+    md5 user-hash split every experimentation platform uses (stable
+    across sessions, engines, and reruns; no assignment table to
+    join). Per arm: exposed users, converters, conversion rate, and
+    spend. Two map-side-combined aggregations (user rollup → arm
+    rollup), both keyed on hash-uniform keys — no skew, no shuffle
+    beyond the two groupBys, same plan at any scale. The z-statistic
+    is left to the (driver-side) stats layer: it is a function of
+    exactly these four numbers per arm, not of row-scale data."""
+    e = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assigned = e.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("spend"),
+    )
+    return assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+            "conversion"
+        ),
+        F.round(F.sum("spend"), 2).alias("total_spend"),
+    )
+
+
+@query(
+    "events_rolling_wau",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        days AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM ev
+        ),
+        contrib AS (
+            SELECT d + CAST(off AS INTEGER) AS day, user_id
+            FROM days, UNNEST(range(0, 7)) AS t(off)
+        ),
+        dau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau FROM days
+                GROUP BY d)
+        SELECT c.day, d.dau,
+               COUNT(DISTINCT c.user_id) AS wau,
+               ROUND(d.dau * 1.0 / COUNT(DISTINCT c.user_id), 6)
+                   AS stickiness
+        FROM contrib c JOIN dau d ON c.day = d.day
+        GROUP BY c.day, d.dau
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) + DAU/WAU stickiness per day
+    — the growth dashboard's core metric. A DISTINCT over a RANGE
+    window frame doesn't exist in any engine, so the standard
+    distributed formulation applies: each (day, user) activity row
+    CONTRIBUTES itself to the 7 trailing windows it belongs to (a
+    bounded 7× fan-out of the already-deduplicated day-user relation,
+    NOT of raw events), then one countDistinct per window day. Days
+    with activity only in their trailing window (no same-day actives)
+    are intentionally absent — the report is keyed on active days.
+
+    Scale: raw events collapse to the (day, user) relation first
+    (one distinct), the fan-out is a constant 7, and both distincts
+    are hash-partitioned aggs. At 100 TB the day-user relation is
+    what a sessionized activity table already materializes."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    contrib = days.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        "d",
+        "user_id",
+    ).select(F.date_add("d", F.col("off")).alias("day"), "user_id")
+    dau = days.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        contrib.join(dau, "day")
+        .groupBy("day", "dau")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
