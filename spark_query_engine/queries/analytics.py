@@ -327,3 +327,37 @@ def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor,
+               l_orderkey & 255 AS low_byte,
+               l_orderkey | 1 AS set_lsb,
+               CAST(l_orderkey << 2 AS BIGINT) AS shl2,
+               l_orderkey >> 3 AS shr3,
+               CAST(bit_count(l_orderkey) AS INT) AS popcount
+        FROM lineitem
+        WHERE l_orderkey % 100 = 7
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression battery — the §2.9 scalar family member
+    behind every hash/band/bitmap operator in this repo (simhash
+    bands, Morton keys, LSH buckets, aHash words): XOR, AND, OR,
+    shifts, and population count, all whole-stage-codegen'd, checked
+    value-for-value cross-engine on a deterministic key slice."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 7)
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseXOR(ln).alias("key_xor"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("set_lsb"),
+        F.shiftleft("l_orderkey", 2).cast("bigint").alias("shl2"),
+        F.shiftright("l_orderkey", 3).alias("shr3"),
+        F.bit_count("l_orderkey").cast("int").alias("popcount"),
+    )

@@ -336,3 +336,76 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             206.835 - 1.015 * n_words / n_sent - 84.6 * n_syl / n_words, 4
         ).alias("reading_ease"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        df AS (SELECT g, COUNT(*) AS n_docs FROM grams GROUP BY g)
+        SELECT grams.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS novelty
+        FROM grams JOIN df ON grams.g = df.g
+        GROUP BY grams.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the share of a doc's distinct
+    word trigrams that appear NOWHERE else in the corpus. Low novelty
+    = templated/duplicated content (cut it); implausibly high novelty
+    on a large corpus = noise. The memorization-risk screen from the
+    dedup literature, inverted into a per-doc score.
+
+    One exploded distinct trigram relation feeds BOTH the document
+    frequency count and the per-doc rollup (self-join on the gram
+    key — hash-partitioned; gram frequencies are Zipfian but the
+    hot grams are exactly the non-novel ones, counted not joined
+    row-wise). Two shuffles total at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = (
+        docs.where(F.size(w) >= 3)  # guard BEFORE the sequence: a
+        # 2-word doc would otherwise build sequence(0, -1), which
+        # Spark interprets as a DESCENDING range
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.concat_ws(
+                        " ", w[i], w[i + 1], w[i + 2]
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
