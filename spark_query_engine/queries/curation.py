@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.operators import textanalysis as T
-from spark_query_engine.queries import load, query
+from spark_query_engine.queries import EVENTS_ORACLE, load, query
 from spark_query_engine.queries.dedup import _WORD_SHINGLES
 
 
@@ -1783,4 +1783,67 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("difficulty") <= F.col("b2"), 2)
         .otherwise(3)
         .alias("phase"),
+    )
+
+
+@query(
+    "data_dp_noisy_counts",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        c AS (
+            SELECT event_type, COUNT(*) AS true_count FROM ev
+            GROUP BY event_type
+        ),
+        u AS (
+            SELECT event_type, true_count,
+                   ((('0x' || substr(md5(event_type), 1, 8))::BIGINT
+                     % 1000000) + 0.5) / 1000000.0 AS unif
+            FROM c
+        )
+        SELECT event_type, true_count,
+               ROUND(CASE WHEN unif < 0.5
+                          THEN ln(2 * unif)
+                          ELSE -ln(2 * (1 - unif)) END, 4) AS noise,
+               CAST(true_count + ROUND(CASE WHEN unif < 0.5
+                          THEN ln(2 * unif)
+                          ELSE -ln(2 * (1 - unif)) END, 0) AS BIGINT)
+                   AS noisy_count
+        FROM u
+    """,
+)
+def data_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-SHAPED noisy release of per-type counts:
+    Laplace(1/ε) noise (ε=1, sensitivity 1 for a count) added via the
+    inverse-CDF transform of a uniform draw. The draw here is
+    DETERMINISTIC (md5 of the group key → uniform in (0,1)) so both
+    engines replay it bit-for-bit — this demonstrates the release
+    pipeline's plumbing and is NOT private (real DP requires a secure
+    RNG per release; swap the hash for one and the plan is unchanged).
+
+    Plan: one map-side-combined count, then pure scalar expressions
+    on the |types|-row relation. The noise magnitude is bounded by
+    ln(10⁶)≈13.8 at this discretization — visible in the output,
+    which releases both the true and noisy counts precisely because
+    this is the test harness for the mechanism, not a release."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+    unif = (
+        (
+            F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 1000000
+        )
+        + 0.5
+    ) / 1000000.0
+    noise = F.when(unif < 0.5, F.log(2 * unif)).otherwise(
+        -F.log(2 * (1 - unif))
+    )
+    return c.select(
+        "event_type",
+        "true_count",
+        F.round(noise, 4).alias("noise"),
+        (F.col("true_count") + F.round(noise, 0))
+        .cast("bigint")
+        .alias("noisy_count"),
     )
