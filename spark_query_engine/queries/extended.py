@@ -916,3 +916,90 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderpriority END AS pr
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderpriority END AS pr
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT a.pr,
+               COUNT(*) AS n_pairs
+        FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+        GROUP BY a.pr
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the
+    semantics CDC and dimension pipelines need when NULL is a real
+    attribute state (unknown priority), not an absence. A plain
+    equality join here would lose every NULL-priority pair; the
+    null-safe operator keeps them AND still plans as a hash
+    equi-join (NULL hashes to a regular bucket — no fallback to
+    nested loop), which is exactly why engines expose it as an
+    operator instead of ``(a = b OR (a IS NULL AND b IS NULL))``,
+    which would not be hash-joinable."""
+    o = load(spark, sf_dir, "orders")
+    pr = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = o.where(F.col("o_orderkey") % 2 == 0).select(pr.alias("pr"))
+    b = o.where(F.col("o_orderkey") % 2 == 1).select(pr.alias("pr_b"))
+    return (
+        a.join(b, F.col("pr").eqNullSafe(F.col("pr_b")))
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "scalar_try_arith",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_tax = 0 THEN NULL
+                    ELSE ROUND(l_extendedprice / l_tax, 4) END AS safe_div,
+               TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+               TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INTEGER) AS qty_int,
+               CASE WHEN l_quantity = 0 THEN NULL
+                    ELSE CAST(l_orderkey // CAST(l_quantity AS BIGINT)
+                         AS BIGINT) END AS int_div
+        FROM lineitem WHERE l_orderkey % 50 = 11
+    """,
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safety battery: ``try_divide`` / ``try_cast`` turn
+    would-be runtime errors (division by zero, unparseable casts)
+    into NULLs — the difference between a 100 TB job dying at hour
+    9 on one malformed row and a NULL you can audit afterwards.
+    Under ANSI mode these are the ONLY sane defaults for derived
+    columns on untrusted data; the oracle mirrors each with its
+    explicit guarded form (DuckDB divides-by-zero to inf rather
+    than erroring, so the CASE guard IS the portable semantics)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 11)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_tax")), 4
+        ).alias("safe_div"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias(
+            "flag_as_int"
+        ),
+        F.col("l_quantity").cast("bigint").cast("string").try_cast("int").alias("qty_int"),
+        F.try_divide(
+            F.col("l_orderkey"), F.col("l_quantity").cast("bigint")
+        )
+        .cast("bigint")
+        .alias("int_div"),
+    )
