@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_query_engine.operators import textanalysis as TA
@@ -407,5 +407,92 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "corpus_topic_keywords",
+    oracle="""
+        WITH toks AS (
+            SELECT source, lower(tok) AS tok FROM (
+                SELECT source, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        stot AS (SELECT source, SUM(c) AS n FROM st GROUP BY source),
+        gtot AS (SELECT tok, SUM(c) AS g FROM st GROUP BY tok),
+        alltot AS (SELECT SUM(c) AS t FROM st),
+        lift AS (
+            SELECT st.source, st.tok, st.c,
+                   ROUND((st.c * 1.0 / stot.n) / (gtot.g * 1.0 / alltot.t),
+                         6) AS lift
+            FROM st
+            JOIN stot ON st.source = stot.source
+            JOIN gtot ON st.tok = gtot.tok
+            CROSS JOIN alltot
+            WHERE st.c >= 5
+        )
+        SELECT source, tok, c AS n_occurrences, lift,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY lift DESC, tok
+            ) AS rn
+            FROM lift
+        ) WHERE rn <= 5
+    """,
+)
+def corpus_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive keywords (c-TF-IDF / log-odds family):
+    rank each source's tokens by LIFT — in-source frequency share
+    over corpus-wide share — the readout that tells you what a data
+    source is actually about before you weight it in the mix. A
+    min-count floor (c ≥ 5) suppresses the rare-token lift explosion.
+
+    Shapes: one token-count shuffle keyed (source, token) with
+    map-side combine, the corpus totals joined back on the token key
+    (hash join — the token relation is Zipfian but counts are
+    pre-aggregated), a 1-row grand total broadcast, and top-5 per
+    source via WindowGroupLimit. Lift ratios divide exact integer
+    counts, so the 6dp rounding is engine-stable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .select("source", F.lower("tok").alias("tok"))
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = st.persist()
+    stot = st.groupBy("source").agg(F.sum("c").alias("n"))
+    gtot = st.groupBy("tok").agg(F.sum("c").alias("g"))
+    alltot = st.agg(F.sum("c").alias("t"))
+    lift = (
+        st.where(F.col("c") >= 5)
+        .join(stot, "source")
+        .join(gtot, "tok")
+        .crossJoin(F.broadcast(alltot))
+        .select(
+            "source",
+            "tok",
+            "c",
+            F.round(
+                (F.col("c") / F.col("n")) / (F.col("g") / F.col("t")), 6
+            ).alias("lift"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("lift").desc(), "tok")
+    return (
+        lift.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "source",
+            "tok",
+            F.col("c").alias("n_occurrences"),
+            "lift",
+            F.col("rank").cast("bigint").alias("rank"),
         )
     )
