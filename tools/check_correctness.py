@@ -134,6 +134,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        finally:
+            # drop query-level persists (shingle/signature/gram caches)
+            # so a 200-query sweep doesn't accumulate cached partitions
+            # — the same isolation bench.py applies between queries
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
             n_skip += 1
