@@ -672,3 +672,52 @@ def test_attribution_matches_sequential_walk(spark, events):
             if et == "click":
                 last_click = ts
     assert got == want
+
+
+@given(
+    actives=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 20)),  # (user, day)
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_rolling_wau_matches_sequential(spark, actives):
+    """The 7x contribute-forward formulation of rolling WAU must equal
+    the per-day set union over the trailing 7 days, on arbitrary
+    sparse activity patterns (gaps, bursts, single-user days)."""
+    import datetime
+    import os
+    import tempfile
+
+    from spark_query_engine.queries import queries
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=day, hours=1), u, "view", 1.0, "{}")
+        for i, (u, day) in enumerate(actives)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r["day"].isoformat(): (r["dau"], r["wau"])
+            for r in queries()["events_rolling_wau"](spark, td).collect()
+        }
+
+    by_day: dict[int, set] = {}
+    for u, day in actives:
+        by_day.setdefault(day, set()).add(u)
+    want = {}
+    for day, users in by_day.items():
+        wau = set()
+        for back in range(7):
+            wau |= by_day.get(day - back, set())
+        want[(base + datetime.timedelta(days=day)).date().isoformat()] = (
+            len(users),
+            len(wau),
+        )
+    assert got == want

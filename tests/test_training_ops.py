@@ -612,3 +612,23 @@ def test_rag_index_plan_shape(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curriculum_phases_are_terciles(spark):
+    """Phase assignment must cut at the exact tercile boundaries:
+    every phase-1 difficulty <= every phase-2 <= every phase-3, and
+    phase sizes are balanced up to boundary ties."""
+    from spark_query_engine.queries import queries
+
+    rows = queries()["corpus_curriculum_order"](spark, SF).collect()
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r["difficulty"])
+    assert set(by_phase) <= {1, 2, 3}
+    if {1, 2} <= set(by_phase):
+        assert max(by_phase[1]) <= min(by_phase[2])
+    if {2, 3} <= set(by_phase):
+        assert max(by_phase[2]) <= min(by_phase[3])
+    n = len(rows)
+    for p, vals in by_phase.items():
+        assert len(vals) >= n // 6, (p, len(vals), n)
