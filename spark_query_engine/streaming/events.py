@@ -266,6 +266,7 @@ def interval_join_streams(
     within: str = "1 hour",
     left_watermark: str = "30 minutes",
     right_watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each left event with right
     events of the same key whose timestamp falls in
@@ -273,6 +274,16 @@ def interval_join_streams(
     time-range condition, so Spark can bound the join state buffer on
     both sides and evict matched/expired rows — without them, a
     stream-stream join's state grows forever.
+
+    ``how="left_outer"`` adds the eviction-time emission semantics:
+    a left row that found no partner is HELD IN STATE until the
+    watermark proves no matching right row can still arrive (its
+    interval end has passed both watermarks), and only then emits
+    with NULL right columns. Outer results are therefore inherently
+    delayed by the watermark — the price of a correct "no match"
+    claim on an unbounded stream, and the reason outer stream joins
+    REQUIRE the watermark + time bound while inner joins merely
+    want them for state eviction.
 
     The classic attribution shape (impression → click within an
     hour); at scale the state store is partitioned by the join key.
@@ -292,6 +303,7 @@ def interval_join_streams(
         F.expr(
             f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
         ),
+        how,
     )
 
 

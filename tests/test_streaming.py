@@ -481,3 +481,65 @@ def test_transform_with_state_counts_match_batch(spark, sf_dir, events_stream):
     )
     want = {(r["user_id"], r["event_type"]): r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir, events_stream):
+    """left_outer stream-stream interval join: matched pairs must be a
+    subset of the batch join's pairs, and views with NO click in their
+    1-hour window must eventually emit with NULL right columns once
+    the watermark proves no partner can arrive. Views whose window end
+    sits at least (watermark + interval) before the stream's max
+    event time are PROVABLY decidable by end of input — every one of
+    those must have emitted."""
+    views = events_stream.where(F.col("event_type") == "view")
+    clicks = events_stream.where(F.col("event_type") == "click")
+    joined = ST.interval_join_streams(
+        views, clicks, within="1 hour", how="left_outer"
+    )
+    ST.run_to_memory_sink(
+        joined.select("l_event_id", "l_ts", "r_event_id"),
+        "ssj_outer_out",
+        mode="append",
+    )
+    rows = spark.sql("SELECT * FROM ssj_outer_out").collect()
+    got_matched = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in rows
+        if r["r_event_id"] is not None
+    }
+    got_unmatched = {r["l_event_id"] for r in rows if r["r_event_id"] is None}
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k2"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    pairs = v.join(
+        c,
+        (F.col("k") == F.col("k2"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 hour")),
+    )
+    want_pairs = {(r["vid"], r["cid"]) for r in pairs.collect()}
+    matched_vids = {a for a, _b in want_pairs}
+    all_v = {(r["vid"], r["vts"]) for r in v.collect()}
+    want_unmatched = {vid for vid, _ts in all_v} - matched_vids
+
+    assert got_matched <= want_pairs
+    assert got_unmatched <= want_unmatched  # no false "no match" claims
+    # decidability horizon: watermark 30 min + interval 1 h behind max ts
+    import datetime
+
+    max_ts = max(ts for _vid, ts in all_v)
+    horizon = max_ts - datetime.timedelta(hours=1, minutes=30)
+    provable = {
+        vid
+        for vid, ts in all_v
+        if vid in want_unmatched and ts < horizon - datetime.timedelta(hours=1)
+    }
+    assert provable <= got_unmatched
+    assert len(got_unmatched) > 0
