@@ -1003,3 +1003,56 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("int_div"),
     )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+        WITH keyed AS (
+            SELECT o_orderpriority AS pr, o_orderkey AS k,
+                   o_orderkey - ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ) AS grp
+            FROM orders
+        ),
+        islands AS (
+            SELECT pr, grp, MIN(k) AS island_start, MAX(k) AS island_end,
+                   COUNT(*) AS island_len
+            FROM keyed GROUP BY pr, grp
+        )
+        SELECT pr,
+               COUNT(*) AS n_islands,
+               CAST(MAX(island_len) AS BIGINT) AS longest_island,
+               CAST(SUM(CASE WHEN island_len = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_singletons
+        FROM islands GROUP BY pr
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE order keys within
+    each priority class — the canonical key−ROW_NUMBER grouping trick
+    (consecutive keys share the difference between their value and
+    their rank). The production shape behind sequence-gap audits
+    (missing invoice numbers, broken offset ranges, hole detection in
+    ingestion watermarking).
+
+    One shuffle on the partition key; the rank, the island rollup,
+    and the per-class census all reuse that partitioning. Rank runs
+    per priority class (5-way split of the table), never globally."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    keyed = o.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") - F.row_number().over(w)).alias("grp"),
+    )
+    islands = keyed.groupBy("pr", "grp").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return islands.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("island_len").cast("bigint").alias("longest_island"),
+        F.sum(F.when(F.col("island_len") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+    )
