@@ -1725,13 +1725,17 @@ def data_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH m AS (
             SELECT doc_id,
-                   ROUND(11.8 * GREATEST(len(regexp_extract_all(
+                   -- floor-based half-up rounding: engine-stable on
+                   -- exact .5 ties where ROUND() implementations differ
+                   FLOOR((11.8::DOUBLE * GREATEST(len(regexp_extract_all(
                               lower(text), '[aeiouy]+')), 1)
-                         / GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1)
-                       + 0.39 * GREATEST(len(regexp_extract_all(
-                              text, '[^ ]+')), 1)
-                         / GREATEST(len(regexp_extract_all(text, '[.!?]+')),
-                                    1), 4) AS difficulty
+                          / GREATEST(len(regexp_extract_all(text, '[^ ]+')),
+                                     1)
+                        + 0.39::DOUBLE * GREATEST(len(regexp_extract_all(
+                               text, '[^ ]+')), 1)
+                          / GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                                     1)) * 10000 + 0.5) / 10000.0
+                       AS difficulty
             FROM documents
         ),
         b AS (
@@ -1740,8 +1744,10 @@ def data_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM m
         )
         SELECT m.doc_id, m.difficulty,
-               CASE WHEN m.difficulty <= ROUND(b.b1, 4) THEN 1
-                    WHEN m.difficulty <= ROUND(b.b2, 4) THEN 2
+               CASE WHEN m.difficulty <= FLOOR(b.b1 * 10000 + 0.5) / 10000.0
+                        THEN 1
+                    WHEN m.difficulty <= FLOOR(b.b2 * 10000 + 0.5) / 10000.0
+                        THEN 2
                     ELSE 3 END AS phase
         FROM m CROSS JOIN b
     """,
@@ -1768,13 +1774,25 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = d.select(
         "doc_id",
-        F.round(11.8 * n_syl / n_words + 0.39 * n_words / n_sent, 4).alias(
-            "difficulty"
-        ),
+        # floor-based half-up rounding (see text_readability): exact
+        # .5 ties at 4dp must not split across engines
+        (
+            F.floor(
+                (11.8 * n_syl / n_words + 0.39 * n_words / n_sent) * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("difficulty"),
     )
     bounds = m.agg(
-        F.round(F.expr("percentile(difficulty, 1.0D/3)"), 4).alias("b1"),
-        F.round(F.expr("percentile(difficulty, 2.0D/3)"), 4).alias("b2"),
+        (
+            F.floor(F.expr("percentile(difficulty, 1.0D/3)") * 10000 + 0.5)
+            / 10000.0
+        ).alias("b1"),
+        (
+            F.floor(F.expr("percentile(difficulty, 2.0D/3)") * 10000 + 0.5)
+            / 10000.0
+        ).alias("b2"),
     )
     return m.crossJoin(F.broadcast(bounds)).select(
         "doc_id",

@@ -302,10 +302,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_words AS BIGINT) AS n_words,
                CAST(n_sentences AS BIGINT) AS n_sentences,
                CAST(n_syllables AS BIGINT) AS n_syllables,
-               ROUND(0.39 * n_words / n_sentences
-                     + 11.8 * n_syllables / n_words - 15.59, 4) AS fk_grade,
-               ROUND(206.835 - 1.015 * n_words / n_sentences
-                     - 84.6 * n_syllables / n_words, 4) AS reading_ease
+               -- floor-based half-up rounding: engine-stable on exact
+               -- .5 ties where ROUND() implementations disagree
+               FLOOR((0.39::DOUBLE * n_words / n_sentences
+                      + 11.8::DOUBLE * n_syllables / n_words - 15.59::DOUBLE) * 10000
+                     + 0.5) / 10000.0 AS fk_grade,
+               FLOOR((206.835::DOUBLE - 1.015::DOUBLE * n_words / n_sentences
+                      - 84.6::DOUBLE * n_syllables / n_words) * 10000
+                     + 0.5) / 10000.0 AS reading_ease
         FROM m
     """,
 )
@@ -329,11 +333,25 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.cast("bigint").alias("n_words"),
         n_sent.cast("bigint").alias("n_sentences"),
         n_syl.cast("bigint").alias("n_syllables"),
-        F.round(
-            0.39 * n_words / n_sent + 11.8 * n_syl / n_words - 15.59, 4
+        # floor-based half-up rounding — identical doubles feed an
+        # identical floor on both engines, so the exact-.5 ties that
+        # split ROUND() implementations (observed at sf0.1: 25.22625
+        # → .2263 Spark / .2262 DuckDB) cannot diverge
+        (
+            F.floor(
+                (0.39 * n_words / n_sent + 11.8 * n_syl / n_words - 15.59)
+                * 10000
+                + 0.5
+            )
+            / 10000.0
         ).alias("fk_grade"),
-        F.round(
-            206.835 - 1.015 * n_words / n_sent - 84.6 * n_syl / n_words, 4
+        (
+            F.floor(
+                (206.835 - 1.015 * n_words / n_sent - 84.6 * n_syl / n_words)
+                * 10000
+                + 0.5
+            )
+            / 10000.0
         ).alias("reading_ease"),
     )
 
