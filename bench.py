@@ -115,6 +115,21 @@ HEADLINE = [
     "data_scd2_pointintime",
     "corpus_curriculum_order",
     "pipeline_rag_index",
+    # round 3c: analytics, hygiene, semantics batteries
+    "ann_filtered_topk",
+    "events_user_features",
+    "multimodal_audio_vad",
+    "vec_quality_checks",
+    "events_ab_test_analysis",
+    "events_rolling_wau",
+    "text_ngram_novelty",
+    "corpus_topic_keywords",
+    "data_skipping_audit",
+    "data_dp_noisy_counts",
+    "scalar_bitwise_funcs",
+    "scalar_try_arith",
+    "join_null_safe_eq",
+    "window_gaps_islands",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

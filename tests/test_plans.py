@@ -335,6 +335,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row tercile-bounds aggregate broadcasts into the
         # phase bucketing scan (the RFM percentile-bounds pattern)
         "corpus_curriculum_order",
+        # the 1-row corpus grand total broadcasts into the lift scan;
+        # the census row is a 1-row x 1-row aggregate cross
+        "corpus_topic_keywords",
+        # envelope census (manifest-sized) crossed with the 1-row
+        # ground-truth count aggregate
+        "data_skipping_audit",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
