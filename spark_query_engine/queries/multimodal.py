@@ -520,3 +520,113 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(vad, out_schema)
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+        WITH k AS (
+            SELECT doc_id, text, length(text) AS l,
+                   1 + doc_id % 5 AS nf
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, nf, f.f AS f, r.j AS j,
+                   unicode(substr(text, ((f.f * 192 + r.j) % l) + 1, 1)) AS c
+            FROM k, UNNEST(range(0, nf)) AS f(f),
+                 UNNEST(range(0, 192)) AS r(j)
+        ),
+        d AS (
+            SELECT a.doc_id, a.nf, a.f AS t,
+                   SUM(ABS(a.c - b.c)) AS diff
+            FROM px a JOIN px b
+              ON a.doc_id = b.doc_id AND a.j = b.j AND b.f = a.f + 1
+            GROUP BY a.doc_id, a.nf, a.f
+        ),
+        tot AS (
+            SELECT doc_id, nf, COUNT(*) AS n_transitions,
+                   SUM(diff) AS total_diff, MAX(diff) AS max_diff
+            FROM d GROUP BY doc_id, nf
+        )
+        SELECT k.doc_id AS id,
+               CAST(k.nf AS INT) AS n_frames,
+               CAST(COALESCE(t.n_transitions, 0) AS BIGINT)
+                   AS n_transitions,
+               CAST(COALESCE((SELECT COUNT(*) FROM d
+                              WHERE d.doc_id = k.doc_id
+                                AND t.n_transitions * d.diff
+                                    > t.total_diff), 0) AS BIGINT)
+                   AS n_cuts,
+               CAST(COALESCE(t.max_diff, 0) AS BIGINT) AS max_diff,
+               CAST(COALESCE(t.total_diff, 0) AS BIGINT) AS total_diff
+        FROM k LEFT JOIN tot t USING (doc_id)
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the REAL multi-frame containers — the
+    video twin of the audio VAD: split each container with the codec,
+    compute the L1 pixel difference between consecutive decoded
+    frames, and flag transitions whose difference exceeds the clip's
+    mean (integer cross-multiplication ``n·d > Σd`` — no float
+    threshold). Single-frame clips report zero transitions — the
+    LEFT-join/COALESCE edge both engines must agree on.
+
+    This is the shot-boundary pass every video-curation pipeline
+    runs before frame dedup (cut-adjacent frames are near-dups of
+    nothing); the decode → per-frame reduction stays Arrow-batched
+    and partition-preserving, and the oracle replays byte cycling →
+    frame pixels → L1 diffs → mean gate from character codes."""
+    from spark_query_engine.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    vids = MM.attach_video_payload(docs, "doc_id", "text")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_transitions", T.LongType()),
+            T.StructField("n_cuts", T.LongType()),
+            T.StructField("max_diff", T.LongType()),
+            T.StructField("total_diff", T.LongType()),
+        ]
+    )
+
+    def cuts(batches):
+        import numpy as np
+        import pandas as pd
+
+        def feats(payload: bytes):
+            frames = [
+                f.astype(np.int64).ravel()
+                for f in MM.split_frames(bytes(payload))
+            ]
+            diffs = [
+                int(np.abs(frames[i] - frames[i + 1]).sum())
+                for i in range(len(frames) - 1)
+            ]
+            n_tr = len(diffs)
+            total = sum(diffs)
+            n_cuts = sum(1 for d in diffs if n_tr * d > total)
+            return (
+                len(frames),
+                n_tr,
+                n_cuts,
+                max(diffs) if diffs else 0,
+                total,
+            )
+
+        for pdf in batches:
+            fs = pdf["payload"].map(feats)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_frames": fs.map(lambda t: t[0]),
+                    "n_transitions": fs.map(lambda t: t[1]),
+                    "n_cuts": fs.map(lambda t: t[2]),
+                    "max_diff": fs.map(lambda t: t[3]),
+                    "total_diff": fs.map(lambda t: t[4]),
+                }
+            )
+
+    return vids.select("id", "payload").mapInPandas(cuts, out_schema)
