@@ -228,3 +228,96 @@ def corpus_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("id"))
         .limit(5)
     )
+
+
+@query(
+    "corpus_knn_classify",
+    oracle=f"""
+        {_kmeans_ctes()},
+        lbl AS (SELECT vec_id AS id, label FROM embeddings),
+        nn AS (
+            SELECT a.id, b.id AS nb,
+                   ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+            FROM a_final a JOIN a_final b
+              ON a.centroid = b.centroid AND a.id <> b.id
+        ),
+        top3 AS (
+            SELECT id, nb, sim FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY id ORDER BY sim DESC, nb
+                ) AS rn FROM nn
+            ) WHERE rn <= 3
+        ),
+        votes AS (
+            SELECT t.id, l.label AS vote, COUNT(*) AS n
+            FROM top3 t JOIN lbl l ON t.nb = l.id
+            GROUP BY t.id, l.label
+        ),
+        pred AS (
+            SELECT id, vote AS predicted FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY id ORDER BY n DESC, vote
+                ) AS rn FROM votes
+            ) WHERE rn = 1
+        )
+        SELECT p.id, l.label, p.predicted,
+               l.label = p.predicted AS correct
+        FROM pred p JOIN lbl l ON p.id = l.id
+    """,
+)
+def corpus_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked kNN label audit: predict every vector's label
+    from its 3 nearest WITHIN-CLUSTER neighbors (majority vote, ties
+    → smaller label) and compare to its true label — the
+    embedding-quality probe behind "are these vectors any good for
+    classification", and the relational skeleton of kNN serving.
+
+    Blocking by the learned k-means partition is what makes exact
+    kNN scale: the neighbor join is an equi-join on ``centroid``
+    (O(n²/k) pairs, k the parallelism knob — the same contract as
+    ``corpus_semdedup``), never an all-pairs theta join. Vote
+    counting and the argmax are WindowGroupLimit rank-1 selections
+    over ≤3-row groups. The oracle replays the full iterative fit
+    (the unrolled Lloyd CTEs) plus the neighbor, vote, and tiebreak
+    chain."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = C.kmeans_assign(
+        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    ).persist()
+    lbl = emb.select(F.col("vec_id").alias("id"), "label")
+    a = assigned.select("centroid", F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    b = assigned.select("centroid", F.col("id").alias("nb"), F.col("vec").alias("nvec"))
+    from pyspark.sql import Window as W
+
+    nn = (
+        a.join(b, "centroid")
+        .where(F.col("qid") != F.col("nb"))
+        .select(
+            F.col("qid").alias("id"),
+            "nb",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+        )
+    )
+    w_nn = W.partitionBy("id").orderBy(F.col("sim").desc(), "nb")
+    top3 = (
+        nn.withColumn("rn", F.row_number().over(w_nn))
+        .where(F.col("rn") <= 3)
+        .select("id", "nb")
+    )
+    votes = (
+        top3.join(lbl.select(F.col("id").alias("nb"), F.col("label").alias("vote")), "nb")
+        .groupBy("id", "vote")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_v = W.partitionBy("id").orderBy(F.col("n").desc(), "vote")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w_v))
+        .where(F.col("rn") == 1)
+        .select("id", F.col("vote").alias("predicted"))
+    )
+    return pred.join(lbl, "id").select(
+        "id",
+        "label",
+        "predicted",
+        (F.col("label") == F.col("predicted")).alias("correct"),
+    )
