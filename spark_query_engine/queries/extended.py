@@ -922,21 +922,20 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_null_safe_eq",
     oracle="""
         WITH a AS (
-            SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                        ELSE o_orderpriority END AS pr
-            FROM orders WHERE o_orderkey % 2 = 0
+            SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderpriority END AS pr,
+                   COUNT(*) AS na
+            FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
         ),
         b AS (
-            SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                        ELSE o_orderpriority END AS pr
-            FROM orders WHERE o_orderkey % 2 = 1
+            SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderpriority END AS pr,
+                   COUNT(*) AS nb
+            FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
         )
-        SELECT a.pr,
-               COUNT(*) AS n_pairs
+        SELECT a.pr, a.na, b.nb,
+               a.na * b.nb AS n_pairs
         FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
-        GROUP BY a.pr
     """,
 )
 def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,22 +943,35 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys MATCH each other instead of silently dropping — the
     semantics CDC and dimension pipelines need when NULL is a real
     attribute state (unknown priority), not an absence. A plain
-    equality join here would lose every NULL-priority pair; the
-    null-safe operator keeps them AND still plans as a hash
-    equi-join (NULL hashes to a regular bucket — no fallback to
-    nested loop), which is exactly why engines expose it as an
-    operator instead of ``(a = b OR (a IS NULL AND b IS NULL))``,
-    which would not be hash-joinable."""
+    equality join here would lose the NULL group entirely; the
+    null-safe operator keeps it AND still plans as a hash equi-join
+    (NULL hashes to a regular bucket — no fallback to nested loop),
+    which is why engines expose it as an operator instead of
+    ``(a = b OR (a IS NULL AND b IS NULL))``, which is not
+    hash-joinable.
+
+    Scale note: both sides AGGREGATE before joining — the pair count
+    per key is na·nb by arithmetic, never by materializing the
+    row-level join (a 6-value key over row-level sides is a skew
+    bomb: ~10⁹ joined rows at sf0.1, observed at 66 s before this
+    aggregate-then-join rewrite cut it to milliseconds — the classic
+    pre-aggregation lesson, caught by the repo's own bench)."""
     o = load(spark, sf_dir, "orders")
     pr = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
         F.col("o_orderpriority")
     )
-    a = o.where(F.col("o_orderkey") % 2 == 0).select(pr.alias("pr"))
-    b = o.where(F.col("o_orderkey") % 2 == 1).select(pr.alias("pr_b"))
-    return (
-        a.join(b, F.col("pr").eqNullSafe(F.col("pr_b")))
-        .groupBy("pr")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    a = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .groupBy(pr.alias("pr"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .groupBy(pr.alias("pr_b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    return a.join(b, F.col("pr").eqNullSafe(F.col("pr_b"))).select(
+        "pr", "na", "nb", (F.col("na") * F.col("nb")).alias("n_pairs")
     )
 
 
