@@ -928,3 +928,97 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_path_topk",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        seq AS (
+            SELECT user_id, event_type AS e1,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        paths AS (
+            SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+            FROM seq WHERE e3 IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT path, n, CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn
+              FROM paths)
+        WHERE rn <= 5
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most common 3-step event paths — sequence mining for the
+    'what do users actually do' readout behind funnel design. Two
+    LEADs over one user-keyed sort (single Exchange) turn the stream
+    into path triples; the path census is a map-side-combined count;
+    the final top-5 is a TakeOrderedAndProject-sized selection over
+    the |types|³ path relation (bounded by the type inventory cubed,
+    never by events — the ROW_NUMBER runs on ≤125 rows)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = W.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .select("path", "n", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+@query(
+    "events_wow_change",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        m AS (
+            SELECT event_type,
+                   CAST(date_trunc('week', ts) AS DATE) AS week,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM ev GROUP BY 1, 2
+        )
+        SELECT event_type, week, n_events, total_value,
+               LAG(n_events) OVER w AS prev_n,
+               ROUND((n_events - LAG(n_events) OVER w) * 1.0
+                     / LAG(n_events) OVER w, 6) AS wow_change
+        FROM m
+        WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the BI staple: weekly
+    rollup (map-side-combined), then LAG over the per-type weekly
+    series. The window runs on the |types|×|weeks| aggregate (tiny,
+    partitioned by type), never on events; the first week's change is
+    NULL by definition. Both engines truncate weeks to ISO Monday.
+    Exact-integer ratio, 6dp rounding."""
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return m.select(
+        "event_type",
+        "week",
+        "n_events",
+        "total_value",
+        prev.alias("prev_n"),
+        F.round((F.col("n_events") - prev) / prev, 6).alias("wow_change"),
+    )
