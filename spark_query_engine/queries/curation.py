@@ -1865,3 +1865,89 @@ def data_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("noisy_count"),
     )
+
+
+@query(
+    "data_column_profile",
+    oracle="""
+        SELECT 'o_orderkey' AS col, 'bigint' AS dtype,
+               COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS n_nonnull,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               ROUND(MIN(o_orderkey) * 1.0, 4) AS min_num,
+               ROUND(MAX(o_orderkey) * 1.0, 4) AS max_num,
+               CAST(NULL AS BIGINT) AS avg_strlen
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', 'double', COUNT(*), COUNT(o_totalprice),
+               COUNT(DISTINCT o_totalprice),
+               ROUND(MIN(o_totalprice), 4), ROUND(MAX(o_totalprice), 4),
+               CAST(NULL AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', 'string', COUNT(*), COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(SUM(length(o_orderstatus)) // COUNT(o_orderstatus)
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', 'string', COUNT(*), COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(SUM(length(o_orderpriority)) // COUNT(o_orderpriority)
+                    AS BIGINT)
+        FROM orders
+    """,
+)
+def data_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiling — the Deequ/Glue-crawler profile
+    pass that feeds data catalogs: per column, completeness, distinct
+    cardinality, numeric envelope, and mean string length. All four
+    column profiles compute in ONE scan of the table (a single wide
+    aggregate — Spark fans the distinct counts out via expand, still
+    one pass over the parquet), then pivot to the long catalog form.
+    At 100 TB you swap COUNT(DISTINCT) for approx_count_distinct and
+    the plan loses its expand — same catalog row shape."""
+    o = load(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.round(F.min("o_orderkey") * 1.0, 4).alias("min_key"),
+        F.round(F.max("o_orderkey") * 1.0, 4).alias("max_key"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.round(F.min("o_totalprice"), 4).alias("min_tp"),
+        F.round(F.max("o_totalprice"), 4).alias("max_tp"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        (F.sum(F.length("o_orderstatus"))
+         / F.count("o_orderstatus")).cast("bigint").alias("len_st"),
+        F.count("o_orderpriority").alias("nn_pr"),
+        F.countDistinct("o_orderpriority").alias("nd_pr"),
+        (F.sum(F.length("o_orderpriority"))
+         / F.count("o_orderpriority")).cast("bigint").alias("len_pr"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("bigint")
+    rows = [
+        ("o_orderkey", "bigint", "nn_key", "nd_key", "min_key", "max_key", None),
+        ("o_totalprice", "double", "nn_tp", "nd_tp", "min_tp", "max_tp", None),
+        ("o_orderstatus", "string", "nn_st", "nd_st", None, None, "len_st"),
+        ("o_orderpriority", "string", "nn_pr", "nd_pr", None, None, "len_pr"),
+    ]
+    out = None
+    for col, dtype, nn, nd, mn, mx, ln in rows:
+        sel = prof.select(
+            F.lit(col).alias("col"),
+            F.lit(dtype).alias("dtype"),
+            F.col("n").alias("n_rows"),
+            F.col(nn).alias("n_nonnull"),
+            F.col(nd).alias("n_distinct"),
+            (F.col(mn) if mn else null_d).alias("min_num"),
+            (F.col(mx) if mx else null_d).alias("max_num"),
+            (F.col(ln) if ln else null_l).alias("avg_strlen"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

@@ -1068,3 +1068,38 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_singletons"),
     )
+
+
+@query(
+    "sql_text_q6",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def sql_text_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT surface end-to-end through the driver gate: the
+    TPC-H Q6 predicate battery submitted as a literal SQL string over
+    a registered temp view — proving the engine's second API (the
+    reference's planned-but-unbuilt SQL frontend, SURVEY.md §2.12) is
+    the same Catalyst plan as the DataFrame build: identical pushdown
+    (three range predicates reach the parquet scan), identical
+    codegen, identical result hash. ``spark.sql`` and the DataFrame
+    API are one engine — this row certifies it."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sql")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM li_sql
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )

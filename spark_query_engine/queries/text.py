@@ -514,3 +514,73 @@ def corpus_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_distinct(string_split(lower(text), ' ')) AS tokset
+            FROM documents
+        ),
+        s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM t),
+        p AS (
+            SELECT lang AS true_lang,
+                   CASE
+                       WHEN greatest(score_en, score_es, score_de, score_fr)
+                            = 0 THEN 'und'
+                       WHEN score_en = greatest(score_en, score_es,
+                                                score_de, score_fr)
+                           THEN 'en'
+                       WHEN score_es = greatest(score_en, score_es,
+                                                score_de, score_fr)
+                           THEN 'es'
+                       WHEN score_de = greatest(score_en, score_es,
+                                                score_de, score_fr)
+                           THEN 'de'
+                       ELSE 'fr'
+                   END AS predicted
+            FROM s
+        ),
+        cm AS (
+            SELECT true_lang, predicted, COUNT(*) AS n
+            FROM p GROUP BY 1, 2
+        ),
+        tot AS (SELECT true_lang, SUM(n) AS t FROM cm GROUP BY 1)
+        SELECT cm.true_lang, cm.predicted, cm.n,
+               ROUND(cm.n * 1.0 / tot.t, 6) AS share
+        FROM cm JOIN tot USING (true_lang)
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the eval harness for the
+    heuristic classifier: cross-tabulate the documents table's TRUE
+    lang column against ``text_langid``'s prediction, with per-class
+    recall shares. The readout that decides whether the stopword
+    heuristic is good enough to gate a multilingual mix, and where it
+    bleeds (which languages confuse into which).
+
+    One classification scan (the same codegen'd stopword-overlap
+    expressions as text_langid), one (true, predicted) count, one
+    per-class total join — the matrix relation is |langs|², never
+    corpus-sized."""
+    from spark_query_engine.operators import textanalysis as TA
+
+    docs = load(spark, sf_dir, "documents")
+    pred = TA.language_id(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("predicted_lang").alias("predicted")
+    )
+    cm = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("true_lang").agg(F.sum("n").alias("t"))
+    return cm.join(tot, "true_lang").select(
+        "true_lang",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("share"),
+    )
