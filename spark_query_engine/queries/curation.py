@@ -1951,3 +1951,161 @@ def data_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+@query(
+    "data_bloom_fpr_audit",
+    oracle="""
+        WITH members AS (
+            SELECT DISTINCT o_orderkey AS k FROM orders
+            WHERE o_orderkey % 10 = 0
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(k::VARCHAR || ':' || i::VARCHAR),
+                                   1, 8))::BIGINT % 16384 AS pos
+            FROM members, UNNEST(range(0, 3)) AS t(i)
+        ),
+        probes AS (
+            SELECT DISTINCT o_orderkey AS k,
+                   o_orderkey % 10 = 0 AS is_member
+            FROM orders
+        ),
+        ppos AS (
+            SELECT p.k, p.is_member,
+                   ('0x' || substr(md5(p.k::VARCHAR || ':' || i::VARCHAR),
+                                   1, 8))::BIGINT % 16384 AS pos
+            FROM probes p, UNNEST(range(0, 3)) AS t(i)
+        ),
+        hits AS (
+            SELECT ppos.k, ppos.is_member, COUNT(*) AS n_hit
+            FROM ppos JOIN bits b ON ppos.pos = b.pos
+            GROUP BY ppos.k, ppos.is_member
+        ),
+        verdicts AS (
+            SELECT p.k, p.is_member,
+                   COALESCE(h.n_hit, 0) = 3 AS bloom_pass
+            FROM probes p LEFT JOIN hits h ON p.k = h.k
+        )
+        SELECT (SELECT COUNT(*) FROM members) AS n_members,
+               (SELECT COUNT(*) FROM bits) AS n_bits_set,
+               CAST(SUM(CASE WHEN is_member AND NOT bloom_pass
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_negatives,
+               CAST(SUM(CASE WHEN NOT is_member AND bloom_pass
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_positives,
+               CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nonmembers,
+               ROUND(SUM(CASE WHEN NOT is_member AND bloom_pass
+                              THEN 1 ELSE 0 END) * 1.0
+                     / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 6)
+                   AS fpr_measured
+        FROM verdicts
+    """,
+)
+def data_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL k-hash Bloom filter with its no-false-negative contract
+    and measured false-positive rate — the fourth mergeable structure
+    next to HLL, GK, and CMS, each audited the same way: the
+    probabilistic claim becomes a verified output column. Build: 3
+    md5-derived bit positions per member key into a 16384-bit space
+    (bit-set union is the mergeable operation). Probe: a key passes
+    iff all 3 bits are set. The audit certifies false_negatives = 0
+    (structural — a member's own bits are always set) and measures
+    FPR against the 10% member load (kn/m ≈ 0.27 here → theory
+    predicts ~1.5%; the measured value sits beside it).
+
+    Distributed shape: the bit relation is ≤ m rows regardless of
+    member count (THE bloom property — the reason it broadcasts where
+    the key set cannot); probing is an equi-join of exploded (key,
+    pos) rows against it, all exact integer arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    m_bits, k_hashes = 16384, 3
+
+    def pos(key_col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f":{i}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    members = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .persist()  # read by the bit build AND the census
+    )
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[pos(F.col("k"), i) for i in range(k_hashes)])
+            ).alias("pos")
+        )
+        .distinct()
+        .persist()  # probed by the hit join AND counted in the census
+    )
+    probes = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 10 == 0).alias("is_member"),
+    ).distinct().persist()  # exploded for probing AND joined for verdicts
+    probe_pos = probes.select(
+        "k",
+        "is_member",
+        F.explode(
+            F.array(*[pos(F.col("k"), i) for i in range(k_hashes)])
+        ).alias("pos"),
+    )
+    hits = (
+        probe_pos.join(bits, "pos")
+        .groupBy("k", "is_member")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    verdicts = probes.join(hits.select("k", "n_hit"), "k", "left").select(
+        "is_member",
+        (F.coalesce("n_hit", F.lit(0)) == k_hashes).alias("bloom_pass"),
+    )
+    stats = verdicts.agg(
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("bloom_pass"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_negatives"),
+        F.sum(
+            F.when(~F.col("is_member") & F.col("bloom_pass"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonmembers"),
+        F.round(
+            F.sum(
+                F.when(
+                    ~F.col("is_member") & F.col("bloom_pass"), 1
+                ).otherwise(0)
+            )
+            / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+            6,
+        ).alias("fpr_measured"),
+    )
+    return (
+        members.agg(F.count(F.lit(1)).alias("n_members"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .crossJoin(stats)
+        .select(
+            "n_members",
+            "n_bits_set",
+            "false_negatives",
+            "false_positives",
+            "n_nonmembers",
+            "fpr_measured",
+        )
+    )
