@@ -1022,3 +1022,45 @@ def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_n"),
         F.round((F.col("n_events") - prev) / prev, 6).alias("wow_change"),
     )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        h AS (
+            SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+                   COUNT(*) AS n
+            FROM ev GROUP BY 1, 2
+        ),
+        tot AS (SELECT event_type, SUM(n) AS t, MAX(n) AS peak_n
+                FROM h GROUP BY 1)
+        SELECT h.event_type, CAST(h.hour AS INT) AS hour, h.n,
+               ROUND(h.n * 1.0 / tot.t, 6) AS share,
+               h.n = tot.peak_n AS is_peak
+        FROM h JOIN tot USING (event_type)
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the diurnal
+    fingerprint behind capacity planning, anomaly baselines (compare
+    against the same hour, not the global mean), and bot detection
+    (machine traffic is flat where human traffic breathes). One
+    map-side-combined (type, hour) count — the profile relation is
+    |types|×24 — with the per-type total and peak joined back. The
+    peak flag marks every hour tying the max (deterministic without
+    a tiebreak)."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("event_type").agg(
+        F.sum("n").alias("t"), F.max("n").alias("peak_n")
+    )
+    return h.join(tot, "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        (F.col("n") == F.col("peak_n")).alias("is_peak"),
+    )
