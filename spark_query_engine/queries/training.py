@@ -2087,3 +2087,68 @@ def data_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scan_fraction"),
         )
     )
+
+
+@query(
+    "corpus_chunk_dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        s AS (
+            SELECT doc_id, tk,
+                   unnest(range(0, len(tk), {_STRIDE})) AS st
+            FROM t
+        ),
+        chunks AS (
+            SELECT doc_id, st // {_STRIDE} AS chunk_idx,
+                   md5(array_to_string(
+                       list_slice(tk, st + 1, st + {_CHUNK}), ' '))
+                       AS chunk_fp
+            FROM s
+        ),
+        freq AS (SELECT chunk_fp, COUNT(*) AS n FROM chunks GROUP BY 1)
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               ROUND(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS dup_share
+        FROM chunks c JOIN freq f USING (chunk_fp)
+        GROUP BY c.doc_id
+    """,
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level dedup pressure per document — the cross-document
+    duplicate measure at the granularity the trainer actually
+    consumes (a doc that is 80% duplicated CHUNKS pollutes training
+    even if no whole-document twin exists). Exactly the promise in
+    ``corpus_chunk_sliding``'s docstring cashed in: the md5 chunk
+    fingerprint is the dedup key; one fingerprint-keyed count joined
+    back gives every document its duplicated-chunk share — the input
+    to a drop-or-keep gate upstream of ``pipeline_pretraining_full``.
+
+    Two shuffles (fingerprint count, per-doc rollup) over the chunk
+    relation; the chunker itself stays the zero-shuffle narrow scan."""
+    from spark_query_engine.operators.textanalysis import chunk_sliding
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_sliding(
+        docs, "doc_id", "text", size=_CHUNK, stride=_STRIDE
+    ).select(F.col("id").alias("doc_id"), "chunk_fp").persist()
+    freq = chunks.groupBy("chunk_fp").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        chunks.join(freq, "chunk_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_share"),
+        )
+    )
