@@ -2109,3 +2109,122 @@ def data_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fpr_measured",
         )
     )
+
+
+@query(
+    "corpus_ccnet_buckets",
+    oracle="""
+        WITH bi AS (
+            SELECT doc_id, substr(text, i, 2) AS bg
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text))) AS i
+                  FROM documents)
+        ),
+        counts AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+        c1 AS (SELECT substr(bg, 1, 1) AS ch, SUM(c) AS tot
+               FROM counts GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT substr(text, i, 1)) AS vocab
+              FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i
+                    FROM documents)),
+        model AS (
+            SELECT counts.bg,
+                   (counts.c + 1.0) / (c1.tot + v.vocab) AS p
+            FROM counts JOIN c1 ON substr(counts.bg, 1, 1) = c1.ch
+            CROSS JOIN v
+        ),
+        scored AS (
+            SELECT bi.doc_id,
+                   ROUND(AVG(-log2(model.p)), 6) AS bits_per_char
+            FROM bi JOIN model ON bi.bg = model.bg
+            GROUP BY bi.doc_id
+        ),
+        b AS (
+            SELECT FLOOR(quantile_cont(bits_per_char, 1.0/3) * 1000000
+                         + 0.5) / 1000000.0 AS b1,
+                   FLOOR(quantile_cont(bits_per_char, 2.0/3) * 1000000
+                         + 0.5) / 1000000.0 AS b2
+            FROM scored
+        ),
+        assigned AS (
+            SELECT s.doc_id, s.bits_per_char,
+                   CASE WHEN s.bits_per_char <= b.b1 THEN 'head'
+                        WHEN s.bits_per_char <= b.b2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s CROSS JOIN b
+        )
+        SELECT bucket,
+               COUNT(*) AS n_docs,
+               ROUND(MIN(bits_per_char), 6) AS min_bpc,
+               ROUND(MAX(bits_per_char), 6) AS max_bpc
+        FROM assigned GROUP BY bucket
+    """,
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning — the classic
+    perplexity-bucketed corpus split (Wenzek et al. 2020): score
+    every document against the corpus-trained LM
+    (``corpus_lm_score``'s shared-explode pipeline), cut at the exact
+    terciles (1-row percentile aggregate broadcast, floor-based
+    half-up rounding at 6dp — the engine-stable discipline), and
+    census each bucket. 'head' (lowest bits/char) is the
+    highest-quality slice CCNet keeps preferentially; the per-bucket
+    envelope shows the separation.
+
+    Adds ONE aggregate and one broadcast CASE scan on top of the
+    scoring pipeline — bucketing at 100 TB costs what scoring costs."""
+    docs = load(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.substring(F.col("text"), i, 2),
+            )
+        ).alias("bg"),
+    ).persist()
+    counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    c1 = counts.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
+        F.sum("c").alias("tot")
+    )
+    vocab = docs.select(F.explode(F.split("text", "")).alias("ch")).agg(
+        F.countDistinct("ch").alias("vocab")
+    )
+    model = (
+        counts.join(c1, F.substring(counts.bg, 1, 1) == c1.ch)
+        .crossJoin(vocab)
+        .select(
+            "bg", ((F.col("c") + 1.0) / (F.col("tot") + F.col("vocab"))).alias("p")
+        )
+    )
+    scored = (
+        bi.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log2("p")), 6).alias("bits_per_char"))
+        .persist()
+    )
+    bounds = scored.agg(
+        (
+            F.floor(
+                F.expr("percentile(bits_per_char, 1.0D/3)") * 1000000 + 0.5
+            )
+            / 1000000.0
+        ).alias("b1"),
+        (
+            F.floor(
+                F.expr("percentile(bits_per_char, 2.0D/3)") * 1000000 + 0.5
+            )
+            / 1000000.0
+        ).alias("b2"),
+    )
+    assigned = scored.crossJoin(F.broadcast(bounds)).select(
+        "bits_per_char",
+        F.when(F.col("bits_per_char") <= F.col("b1"), "head")
+        .when(F.col("bits_per_char") <= F.col("b2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("bits_per_char"), 6).alias("min_bpc"),
+        F.round(F.max("bits_per_char"), 6).alias("max_bpc"),
+    )
