@@ -721,3 +721,107 @@ def test_rolling_wau_matches_sequential(spark, actives):
             len(wau),
         )
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from("abc")),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_markov_transitions_match_counter(spark, events):
+    """The windowed LEAD + normalized count implementation must equal
+    a per-user sequential pair counter with row-stochastic checks."""
+    import datetime
+    import os
+    import tempfile
+    from collections import Counter, defaultdict
+
+    from spark_query_engine.queries import queries
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), u, t, 1.0, "{}")
+        for i, (u, t) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        got = {
+            (r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+            for r in queries()["events_markov_transitions"](spark, td).collect()
+        }
+
+    seqs = defaultdict(list)
+    for i, (u, t) in enumerate(events):
+        seqs[u].append(t)  # event_id order == ts order here
+    pairs = Counter()
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += 1
+    outdeg = Counter()
+    for (a, _b), c in pairs.items():
+        outdeg[a] += c
+    want = {
+        (a, b): (c, round(c / outdeg[a], 6)) for (a, b), c in pairs.items()
+    }
+    assert got == want
+
+
+@given(
+    members=st.sets(st.integers(0, 500), min_size=1, max_size=40),
+    probes=st.sets(st.integers(0, 500), min_size=1, max_size=60),
+)
+@settings(**SETTINGS)
+def test_bloom_filter_matches_set_model(spark, members, probes):
+    """The distributed bloom build+probe must agree with a sequential
+    bit-set model exactly (same hash family), and can never produce a
+    false negative."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    m_bits, k = 16384, 3
+
+    def pos(key, i):
+        return int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:8], 16) % m_bits
+
+    bits = {pos(key, i) for key in members for i in range(k)}
+    want = {p: all(pos(p, i) in bits for i in range(k)) for p in probes}
+
+    def spark_pos(col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f":{i}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    mdf = spark.createDataFrame([(x,) for x in members], "k long")
+    bdf = mdf.select(
+        F.explode(F.array(*[spark_pos(F.col("k"), i) for i in range(k)])).alias(
+            "pos"
+        )
+    ).distinct()
+    pdf = spark.createDataFrame([(x,) for x in probes], "k long")
+    ppos = pdf.select(
+        "k",
+        F.explode(F.array(*[spark_pos(F.col("k"), i) for i in range(k)])).alias(
+            "pos"
+        ),
+    )
+    hits = ppos.join(bdf, "pos").groupBy("k").count()
+    got_pass = {r["k"]: r["count"] == k for r in hits.collect()}
+    got = {p: got_pass.get(p, False) for p in probes}
+    assert got == want
+    for p in probes & members:
+        assert got[p], "false negative is structurally impossible"
