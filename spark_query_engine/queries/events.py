@@ -1064,3 +1064,71 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("t"), 6).alias("share"),
         (F.col("n") == F.col("peak_n")).alias("is_peak"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        tagged AS (
+            SELECT event_id, event_type, ts,
+                   MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_click_ts
+            FROM ev
+        ),
+        lags AS (
+            SELECT date_diff('microsecond', last_click_ts, ts) AS lag_us
+            FROM tagged
+            WHERE event_type = 'purchase'
+              AND date_diff('microsecond', last_click_ts, ts)
+                  <= 604800000000
+        )
+        SELECT COUNT(*) AS n_attributed,
+               CAST(FLOOR(quantile_cont(lag_us, 0.5) + 0.5) AS BIGINT)
+                   AS p50_us,
+               CAST(FLOOR(quantile_cont(lag_us, 0.9) + 0.5) AS BIGINT)
+                   AS p90_us,
+               MAX(lag_us) AS max_us
+        FROM lags
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the latency profile of the
+    click→purchase funnel (how long the intent window really is,
+    which decides the attribution lookback and remarketing timing).
+    Reuses the last-touch running-MAX shape, then exact percentiles
+    over the integer-µs lags; the interpolated quantile is pinned
+    with floor-based half-up rounding to a whole microsecond so both
+    engines agree regardless of interpolation ties. One user-keyed
+    window plus one global aggregate over the (small) purchase-lag
+    relation."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_click_ts").cast("timestamp")
+    )
+    lags = (
+        e.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(lag_us.alias("lag_us"))
+        .where(F.col("lag_us") <= 604800000000)
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.floor(F.expr("percentile(lag_us, 0.5D)") + 0.5)
+        .cast("bigint")
+        .alias("p50_us"),
+        F.floor(F.expr("percentile(lag_us, 0.9D)") + 0.5)
+        .cast("bigint")
+        .alias("p90_us"),
+        F.max("lag_us").alias("max_us"),
+    )
