@@ -541,3 +541,115 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_inter") / F.col("nb"), 6).alias("containment"),
     )
     return fwd.unionByName(rev).where(F.col("containment") >= 0.8)
+
+
+@query(
+    "dedup_bloom_incremental",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS f,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10
+                       = 0 AS in_batch
+            FROM documents
+        ),
+        corpus AS (SELECT DISTINCT f FROM fp WHERE NOT in_batch),
+        bits AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(f || ':' || i::VARCHAR),
+                                   1, 8))::BIGINT % 16384 AS pos
+            FROM corpus, UNNEST(range(0, 3)) AS t(i)
+        ),
+        bpos AS (
+            SELECT b.doc_id, b.f,
+                   ('0x' || substr(md5(b.f || ':' || i::VARCHAR),
+                                   1, 8))::BIGINT % 16384 AS pos
+            FROM (SELECT * FROM fp WHERE in_batch) b,
+                 UNNEST(range(0, 3)) AS t(i)
+        ),
+        passed AS (
+            SELECT doc_id, f, COUNT(*) = 3 AS passed_bloom
+            FROM (SELECT bpos.doc_id, bpos.f, bpos.pos FROM bpos
+                  JOIN bits USING (pos))
+            GROUP BY doc_id, f
+        )
+        SELECT b.doc_id,
+               COALESCE(p.passed_bloom, FALSE) AS passed_bloom,
+               b.f IN (SELECT f FROM corpus) AS is_dup
+        FROM (SELECT * FROM fp WHERE in_batch) b
+        LEFT JOIN passed p ON b.doc_id = p.doc_id
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup — the production composition
+    of ``data_bloom_fpr_audit`` and ``dedup_incremental``: an
+    ingest batch (a deterministic 10% slice) checks its normalized
+    fingerprints against a bloom built from the EXISTING corpus
+    before paying for the exact anti-join. The bloom's
+    no-false-negative contract is what makes the composition sound
+    (every true duplicate passes the bloom — visible in the output:
+    is_dup ⇒ passed_bloom); false positives only cost a redundant
+    exact check.
+
+    At 100 TB this is the shape that matters: the bloom is O(m) bits
+    regardless of corpus size and BROADCASTS to the ingest job, so
+    the overwhelmingly-novel batch skips the corpus-wide shuffle
+    entirely — only bloom-passing rows reach the exact join."""
+    docs = load(spark, sf_dir, "documents")
+    m_bits, k_hashes = 16384, 3
+    norm_fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    )
+    in_batch = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+        == 0
+    )
+    fp = docs.select(
+        "doc_id", norm_fp.alias("f"), in_batch.alias("in_batch")
+    ).persist()
+    corpus = fp.where(~F.col("in_batch")).select("f").distinct().persist()
+
+    def pos(col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col, F.lit(f":{i}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    bits = corpus.select(
+        F.explode(
+            F.array(*[pos(F.col("f"), i) for i in range(k_hashes)])
+        ).alias("pos")
+    ).distinct()
+    batch = fp.where(F.col("in_batch")).select("doc_id", "f").persist()
+    bpos = batch.select(
+        "doc_id",
+        F.explode(
+            F.array(*[pos(F.col("f"), i) for i in range(k_hashes)])
+        ).alias("pos"),
+    )
+    passed = (
+        bpos.join(bits, "pos")
+        .groupBy("doc_id")
+        .agg((F.count(F.lit(1)) == k_hashes).alias("passed_bloom"))
+    )
+    dup = batch.join(corpus, "f", "left_semi").select(
+        "doc_id", F.lit(True).alias("is_dup")
+    )
+    return (
+        batch.join(passed, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("passed_bloom", F.lit(False)).alias("passed_bloom"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
