@@ -130,6 +130,21 @@ HEADLINE = [
     "scalar_try_arith",
     "join_null_safe_eq",
     "window_gaps_islands",
+    # round 3 final: composites, audits, BI batteries
+    "corpus_knn_classify",
+    "multimodal_scene_cuts",
+    "corpus_ccnet_buckets",
+    "corpus_chunk_dedup",
+    "events_path_topk",
+    "events_wow_change",
+    "events_hourly_seasonality",
+    "events_time_to_convert",
+    "text_langid_confusion",
+    "data_column_profile",
+    "sql_text_q6",
+    "data_bloom_fpr_audit",
+    "dedup_bloom_incremental",
+    "corpus_pq_recall_eval",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

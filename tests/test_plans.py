@@ -341,6 +341,17 @@ def test_headline_plans_have_no_scale_killers(spark):
         # envelope census (manifest-sized) crossed with the 1-row
         # ground-truth count aggregate
         "data_skipping_audit",
+        # 1-row tercile-bounds broadcast over the scored relation
+        # (the curriculum/RFM pattern) + the |alphabet|²-row LM model
+        # crossing its 1-row vocab total (the lm_score shape)
+        "corpus_ccnet_buckets",
+        # member/bit/probe censuses: 1-row aggregates crossJoined
+        "data_bloom_fpr_audit",
+        # the k-row PQ codebook broadcasts into encode/ADC scans
+        # (the ann_ivf_topk model-state shape)
+        "corpus_pq_recall_eval",
+        # same codebook-broadcast shape via kmeans assignment
+        "corpus_knn_classify",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
@@ -358,6 +369,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # candidate lists (≤50 rows each, TakeOrderedAndProject feeds
         # them) — never over the corpus
         "ann_hybrid_search",
+        # the top-5 rank runs over the path census — bounded by the
+        # event-type inventory cubed (≤125 rows), never by events
+        "events_path_topk",
     }
 
     def global_windows(plan: str) -> list[str]:
