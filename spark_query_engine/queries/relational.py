@@ -434,3 +434,65 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "customer_pareto_report",
+    oracle="""
+        WITH cv AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS v
+            FROM orders GROUP BY o_custkey
+        ),
+        b AS (
+            SELECT FLOOR(quantile_cont(v, 0.8) * 100 + 0.5) / 100.0 AS p80
+            FROM cv
+        )
+        SELECT (SELECT COUNT(*) FROM cv) AS n_customers,
+               b.p80,
+               CAST(SUM(CASE WHEN cv.v > b.p80 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top,
+               ROUND(SUM(CASE WHEN cv.v > b.p80 THEN cv.v ELSE 0 END), 2)
+                   AS top_value,
+               ROUND(SUM(cv.v), 2) AS total_value,
+               ROUND(SUM(CASE WHEN cv.v > b.p80 THEN cv.v ELSE 0 END)
+                     / SUM(cv.v), 6) AS top_share
+        FROM cv CROSS JOIN b
+        GROUP BY b.p80
+    """,
+)
+def customer_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report — what share of revenue the
+    top-quintile customers carry (the 80/20 readout behind account
+    tiering and whale-risk analysis). The scalable formulation: ONE
+    exact-percentile aggregate broadcast as the p80 bound (floor-
+    pinned at 2dp against rounding ties), then a single classified
+    scan — no global value sort, no cumulative-share window over the
+    full customer relation (the textbook cumsum formulation is a
+    single-partition sort at 100 TB)."""
+    o = load(spark, sf_dir, "orders")
+    cv = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("v")
+    )
+    b = cv.agg(
+        (F.floor(F.expr("percentile(v, 0.8D)") * 100 + 0.5) / 100.0).alias(
+            "p80"
+        )
+    )
+    top = F.when(F.col("v") > F.col("p80"), F.col("v")).otherwise(0.0)
+    return (
+        cv.crossJoin(F.broadcast(b))
+        .groupBy("p80")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("v") > F.col("p80"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top"),
+            F.round(F.sum(top), 2).alias("top_value"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+            F.round(F.sum(top) / F.sum("v"), 6).alias("top_share"),
+        )
+        .select(
+            "n_customers", "p80", "n_top", "top_value", "total_value",
+            "top_share",
+        )
+    )

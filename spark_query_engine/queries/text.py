@@ -584,3 +584,52 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("t"), 6).alias("share"),
     )
+
+
+@query(
+    "text_entropy_filter",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, substr(text, i, 1) AS ch
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) + 1)) AS i
+                  FROM documents)
+        ),
+        dist AS (
+            SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+        ),
+        tot AS (SELECT doc_id, SUM(c) AS n FROM dist GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               ROUND(SUM(-(d.c * 1.0 / t.n) * log2(d.c * 1.0 / t.n)), 6)
+                   AS entropy_bits,
+               SUM(-(d.c * 1.0 / t.n) * log2(d.c * 1.0 / t.n)) >= 3.0
+                   AS keep
+        FROM dist d JOIN tot t USING (doc_id)
+        GROUP BY d.doc_id
+    """,
+)
+def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate — the cheapest degenerate-text
+    detector there is: natural language sits near 4-4.5 bits/char of
+    unigram entropy, while keyboard mash, repeated padding, and
+    base64 blobs fall far outside; the ≥3-bit keep gate cuts the
+    degenerate tail. One explode + (doc, char)-keyed count + per-doc
+    rollup; each doc's term count is bounded by the alphabet. The
+    p·log2(p) terms divide exact integers so both engines sum
+    identical doubles (rounded at 6dp for partial-agg order)."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    dist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = dist.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = -p * F.log2(p)
+    return (
+        dist.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.round(F.sum(term), 6).alias("entropy_bits"),
+            (F.sum(term) >= 3.0).alias("keep"),
+        )
+    )

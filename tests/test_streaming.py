@@ -543,3 +543,36 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir, events_str
     }
     assert provable <= got_unmatched
     assert len(got_unmatched) > 0
+
+
+def test_session_window_operator_matches_lag_cumsum_algorithm(spark, sf_dir):
+    """Two entirely different sessionization algorithms must agree:
+    Spark's native session_window operator (batch mode — gap-merged
+    intervals) vs the lag→flag→cumsum formulation the oracle-verified
+    events_sessionize query uses. Same 30-minute gap, same totals."""
+    from spark_query_engine.queries import queries
+
+    ev = load(spark, sf_dir, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in native.collect()
+    }
+    lagged = queries()["events_sessionize"](spark, sf_dir)
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in lagged.collect()
+    }
+    assert got == want
