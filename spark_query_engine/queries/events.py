@@ -1132,3 +1132,54 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_us"),
         F.max("lag_us").alias("max_us"),
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   user_id
+            FROM ev
+        ),
+        first_day AS (
+            SELECT user_id, MIN(day) AS fd FROM du GROUP BY user_id
+        )
+        SELECT du.day,
+               CAST(SUM(CASE WHEN du.day = f.fd THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN du.day > f.fd THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users,
+               ROUND(SUM(CASE WHEN du.day > f.fd THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS returning_share
+        FROM du JOIN first_day f USING (user_id)
+        GROUP BY du.day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily split — the growth dashboard's second
+    staple next to WAU: each active (day, user) classifies against
+    the user's first-ever active day. The first-day relation is one
+    min-aggregate over the deduplicated day-user activity (the same
+    compact relation rolling WAU consumes), joined back on the user
+    key — no window over raw events, no per-day scans."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    fd = du.groupBy("user_id").agg(F.min("day").alias("fd"))
+    j = du.join(fd, "user_id")
+    return j.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("fd"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("fd"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("returning_users"),
+        F.round(
+            F.sum(F.when(F.col("day") > F.col("fd"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("returning_share"),
+    )

@@ -520,3 +520,78 @@ def vec_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("norm"), 6).alias("max_norm"),
         F.round(F.sum("norm"), 4).alias("norm_mass"),
     )
+
+
+@query(
+    "vec_int8_quantize_audit",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> ABS(x))) AS scale
+            FROM embeddings
+        ),
+        err AS (
+            SELECT vec_id, label, scale,
+                   list_max(list_transform(vec,
+                       x -> ABS(x - FLOOR(127.0 * x / scale + 0.5)
+                                   * scale / 127.0))) AS max_err
+            FROM v WHERE scale > 0
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               ROUND(MAX(max_err / scale), 6) AS worst_rel_err,
+               CAST(SUM(CASE WHEN max_err <= scale / 254.0 * 1.0000001
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within_bound,
+               SUM(CASE WHEN max_err <= scale / 254.0 * 1.0000001
+                        THEN 1 ELSE 0 END) = COUNT(*) AS bound_holds
+        FROM err GROUP BY label
+    """,
+)
+def vec_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit — the 4× embedding-storage
+    compression every vector lake runs, with its error contract
+    verified as output: quantize each component to
+    FLOOR(127·x/scale + 0.5) (scale = per-vector max |x|; floor-form
+    so both engines round identically), dequantize, and certify the
+    max reconstruction error stays within the half-step bound
+    scale/254 per label. ``worst_rel_err`` puts the realized error
+    beside the theoretical 1/254 ≈ 0.00394.
+
+    Per-row work is an order-fixed list fold (deterministic doubles
+    both engines — same discipline as ``vec_quality_checks``); one
+    scan, one label-keyed rollup. The quantized table itself is this
+    expression written to int8 columns — the audit IS the writer's
+    verification pass."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    v = e.select("vec_id", "label", xd.alias("vec"), scale.alias("scale"))
+    q_err = F.array_max(
+        F.transform(
+            "vec",
+            lambda x: F.abs(
+                x
+                - F.floor(127.0 * x / F.col("scale") + 0.5)
+                * F.col("scale")
+                / 127.0
+            ),
+        )
+    )
+    err = v.where(F.col("scale") > 0).select(
+        "label", "scale", q_err.alias("max_err")
+    )
+    within = F.col("max_err") <= F.col("scale") / 254.0 * 1.0000001
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.max(F.col("max_err") / F.col("scale")), 6).alias(
+            "worst_rel_err"
+        ),
+        F.sum(F.when(within, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_bound"),
+        (
+            F.sum(F.when(within, 1).otherwise(0)) == F.count(F.lit(1))
+        ).alias("bound_holds"),
+    )
