@@ -361,3 +361,33 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("l_orderkey", 3).alias("shr3"),
         F.bit_count("l_orderkey").cast("int").alias("popcount"),
     )
+
+
+@query(
+    "agg_digit_histogram",
+    oracle="""
+        SELECT length(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR))
+                   AS n_digits,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS min_v,
+               ROUND(MAX(o_totalprice), 2) AS max_v
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def agg_digit_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude histogram WITHOUT logarithms: bucket by the
+    DIGIT COUNT of the integer part — exact integer/string arithmetic
+    where ``floor(log10(v))`` would sit one libm ULP from a bucket
+    flip at every power of ten. The magnitude profile is the first
+    look at any value column (pricing-tier mix, fraud-range scans,
+    Benford-style sanity checks); one map-side-combined aggregation."""
+    o = load(spark, sf_dir, "orders")
+    n_digits = F.length(
+        F.floor("o_totalprice").cast("bigint").cast("string")
+    )
+    return o.groupBy(n_digits.alias("n_digits")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_v"),
+        F.round(F.max("o_totalprice"), 2).alias("max_v"),
+    )

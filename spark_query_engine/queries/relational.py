@@ -496,3 +496,54 @@ def customer_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share",
         )
     )
+
+
+@query(
+    "orders_lead_time_sla",
+    oracle="""
+        WITH lt AS (
+            SELECT o.o_orderpriority AS pr,
+                   date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT pr,
+               COUNT(*) AS n_lines,
+               ROUND(AVG(days), 4) AS avg_days,
+               CAST(FLOOR(quantile_cont(days, 0.5) + 0.5) AS BIGINT)
+                   AS p50_days,
+               MAX(days) AS max_days,
+               ROUND(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS within_30d_share
+        FROM lt GROUP BY pr
+    """,
+)
+def orders_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per priority class with a 30-day SLA
+    attainment share — the fulfillment-operations readout. One
+    fact-fact equi-join on the order key (both sides hash-partition;
+    at scale both tables bucket on orderkey and the join goes
+    shuffle-free), exact integer day differences, then a per-class
+    rollup with a floor-pinned median. The interesting read: whether
+    URGENT actually ships faster than LOW — at TPC-H's uniform
+    generator it does not, which is itself the audit finding."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("pr"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("days"),
+    )
+    return lt.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("days"), 4).alias("avg_days"),
+        F.floor(F.expr("percentile(days, 0.5D)") + 0.5)
+        .cast("bigint")
+        .alias("p50_days"),
+        F.max("days").alias("max_days"),
+        F.round(
+            F.sum(F.when(F.col("days") <= 30, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("within_30d_share"),
+    )
