@@ -250,3 +250,44 @@ def test_decode_image_pillow_branch():
         Image.fromarray(img).save(buf, format="PNG")
         out = MM.decode_image(buf.getvalue())
         assert (out == img).all()
+
+
+def test_schema_evolution_merge_and_union(spark, sf_dir, tmp_path):
+    """Schema evolution across file generations: an old snapshot
+    (3 columns) and a new one (4 columns, one added) must read as one
+    relation both ways a lake handles drift — parquet mergeSchema at
+    scan time, and unionByName(allowMissingColumns) at plan time —
+    with NULLs backfilling the added column for old rows."""
+    import pyspark.sql.functions as F
+
+    old_dir = tmp_path / "gen=1"
+    new_dir = tmp_path / "gen=2"
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.select("o_orderkey", "o_custkey", "o_totalprice").where(
+        F.col("o_orderkey") % 2 == 0
+    ).write.parquet(str(old_dir))
+    o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).where(F.col("o_orderkey") % 2 == 1).write.parquet(str(new_dir))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(old_dir), str(new_dir)
+    )
+    assert set(merged.columns) == {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+    }
+    n_total = o.count()
+    assert merged.count() == n_total
+    # old-generation rows surface the added column as NULL
+    nulls = merged.where(F.col("o_orderpriority").isNull()).count()
+    assert nulls == o.where(F.col("o_orderkey") % 2 == 0).count()
+
+    # plan-time evolution: unionByName with missing columns allowed
+    u = spark.read.parquet(str(old_dir)).unionByName(
+        spark.read.parquet(str(new_dir)), allowMissingColumns=True
+    )
+    assert u.count() == n_total
+    assert (
+        u.where(F.col("o_orderpriority").isNotNull()).count()
+        == n_total - nulls
+    )
