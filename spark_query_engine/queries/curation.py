@@ -2228,3 +2228,55 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("bits_per_char"), 6).alias("min_bpc"),
         F.round(F.max("bits_per_char"), 6).alias("max_bpc"),
     )
+
+
+@query(
+    "corpus_dataset_card",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, n_chars, lang, source,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS f
+            FROM documents
+        )
+        SELECT (SELECT COUNT(*) FROM fp) AS n_docs,
+               (SELECT CAST(SUM(n_chars) AS BIGINT) FROM fp) AS total_chars,
+               (SELECT COUNT(DISTINCT lang) FROM fp) AS n_langs,
+               (SELECT COUNT(DISTINCT source) FROM fp) AS n_sources,
+               (SELECT COUNT(DISTINCT f) FROM fp) AS n_unique_norm,
+               ROUND(1.0 - (SELECT COUNT(DISTINCT f) FROM fp) * 1.0
+                     / (SELECT COUNT(*) FROM fp), 6) AS near_dup_rate,
+               (SELECT CAST(MIN(n_chars) AS BIGINT) FROM fp) AS min_chars,
+               (SELECT CAST(MAX(n_chars) AS BIGINT) FROM fp) AS max_chars,
+               ROUND((SELECT AVG(n_chars) FROM fp), 4) AS avg_chars
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row — the auto-generated documentation
+    block (HuggingFace-card / Datasheets-for-Datasets style) every
+    published corpus ships: volume, language and source inventory,
+    normalized-duplicate rate, and the length envelope. Everything
+    derives from ONE wide aggregation pass over the documents scan
+    (Spark folds the distinct counts into a single plan); at 100 TB
+    the exact distincts swap for HLL sketches with the same card
+    shape. The dup rate here is the normalized-fingerprint rate —
+    the number a consumer needs BEFORE deciding to run the heavier
+    MinHash pass."""
+    d = load(spark, sf_dir, "documents")
+    norm_fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    )
+    fp = d.select("n_chars", "lang", "source", norm_fp.alias("f"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("f").alias("n_unique_norm"),
+        F.round(
+            1.0 - F.countDistinct("f") / F.count(F.lit(1)), 6
+        ).alias("near_dup_rate"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
