@@ -547,3 +547,63 @@ def orders_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("within_30d_share"),
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        tot AS (SELECT l_partkey, SUM(q) AS t FROM ps GROUP BY 1),
+        hhi AS (
+            SELECT ps.l_partkey,
+                   ROUND(SUM((ps.q / tot.t) * (ps.q / tot.t)), 6) AS hhi,
+                   COUNT(*) AS n_suppliers
+            FROM ps JOIN tot USING (l_partkey)
+            GROUP BY ps.l_partkey
+        )
+        SELECT CASE WHEN hhi >= 0.25 THEN 'concentrated'
+                    WHEN hhi >= 0.15 THEN 'moderate'
+                    ELSE 'competitive' END AS band,
+               COUNT(*) AS n_parts,
+               ROUND(MIN(hhi), 6) AS min_hhi,
+               ROUND(MAX(hhi), 6) AS max_hhi,
+               ROUND(AVG(n_suppliers), 4) AS avg_suppliers
+        FROM hhi GROUP BY 1
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: the Herfindahl-Hirschman index of
+    each part's supplier quantity shares, banded at the antitrust
+    thresholds (0.15 / 0.25) — the single-source-risk readout a
+    procurement pipeline runs over the whole catalog. Two
+    map-side-combined aggregations plus one part-keyed join; share
+    squares divide exact quantity sums, so only the final rounding
+    touches float discipline."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("q").alias("t"))
+    share2 = (F.col("q") / F.col("t")) * (F.col("q") / F.col("t"))
+    hhi = (
+        ps.join(tot, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(share2), 6).alias("hhi"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+    band = (
+        F.when(F.col("hhi") >= 0.25, "concentrated")
+        .when(F.col("hhi") >= 0.15, "moderate")
+        .otherwise("competitive")
+    )
+    return hhi.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.min("hhi"), 6).alias("min_hhi"),
+        F.round(F.max("hhi"), 6).alias("max_hhi"),
+        F.round(F.avg("n_suppliers"), 4).alias("avg_suppliers"),
+    )
