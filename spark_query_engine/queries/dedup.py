@@ -653,3 +653,87 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+@query(
+    "dedup_cluster_purity",
+    oracle=f"""
+        WITH RECURSIVE
+        {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b,
+                   ROUND(n_inter * 1.0 /
+                         (za.n_sh + zb.n_sh - n_inter), 6) AS jac
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+        ),
+        comp AS (SELECT n AS id, MIN(m) AS component FROM reach GROUP BY n)
+        SELECT ca.component,
+               (SELECT COUNT(*) FROM comp c2
+                WHERE c2.component = ca.component) AS n_members,
+               COUNT(*) AS n_edges,
+               ROUND(MIN(p.jac), 6) AS min_edge_jaccard,
+               ROUND(MAX(p.jac), 6) AS max_edge_jaccard
+        FROM pairs p JOIN comp ca ON p.id_a = ca.id
+        GROUP BY ca.component
+    """,
+)
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster purity audit — the quality gate on TRANSITIVE
+    deduplication: connected components chain A~B~C into one cluster
+    even when A and C are dissimilar, so before collapsing a cluster
+    to one keeper you want its weakest internal edge on the table. A
+    cluster whose min edge Jaccard sits far below the threshold is a
+    chaining artifact (split it or raise the threshold); tight
+    clusters collapse safely. Per component: size, edge count, and
+    the edge-similarity envelope.
+
+    Composition: the verified near-dup pairs (banded MinHash-LSH,
+    never all-pairs) + the iterative CC operator + one component-
+    keyed rollup of edges — the audit costs one extra join over what
+    ``corpus_dedup_keep_best`` already runs. The oracle replays the
+    pair brute-force and the recursive closure."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    ).persist()
+    comp = D.connected_components(pairs)
+    sizes_df = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    edges = pairs.join(
+        comp.withColumnRenamed("id", "id_a"), "id_a"
+    )
+    return (
+        edges.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.min("jaccard"), 6).alias("min_edge_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_edge_jaccard"),
+        )
+        .join(sizes_df, "component")
+        .select(
+            "component",
+            "n_members",
+            "n_edges",
+            "min_edge_jaccard",
+            "max_edge_jaccard",
+        )
+    )
