@@ -145,6 +145,17 @@ HEADLINE = [
     "data_bloom_fpr_audit",
     "dedup_bloom_incremental",
     "corpus_pq_recall_eval",
+    # round 3 close: quality gates, BI reports, forensics
+    "text_entropy_filter",
+    "customer_pareto_report",
+    "events_new_vs_returning",
+    "vec_int8_quantize_audit",
+    "orders_lead_time_sla",
+    "agg_digit_histogram",
+    "corpus_dataset_card",
+    "supplier_concentration_hhi",
+    "text_zipf_fit",
+    "dedup_cluster_purity",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

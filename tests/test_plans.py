@@ -352,6 +352,8 @@ def test_headline_plans_have_no_scale_killers(spark):
         "corpus_pq_recall_eval",
         # same codebook-broadcast shape via kmeans assignment
         "corpus_knn_classify",
+        # 1-row p80 bound broadcast (the percentile-bounds pattern)
+        "customer_pareto_report",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
@@ -372,6 +374,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the top-5 rank runs over the path census — bounded by the
         # event-type inventory cubed (≤125 rows), never by events
         "events_path_topk",
+        # the rank + regression run over the top-200 vocabulary
+        # relation (TakeOrderedAndProject feeds it)
+        "text_zipf_fit",
     }
 
     def global_windows(plan: str) -> list[str]:
