@@ -67,6 +67,14 @@ class ExecutionContext:
         reader)."""
         return Dataframe(self.spark.read.orc(path))
 
+    def text(self, path: str) -> Dataframe:
+        """Line-oriented text source — one ``value: string`` row per
+        line, the raw-ingest entry for logs and unstructured dumps
+        before any schema exists (the step BEFORE csv/json in a
+        landing zone). Splittable like any file source; pair with
+        ``F.split``/``from_json`` downstream to lift structure."""
+        return Dataframe(self.spark.read.text(path))
+
     def memory(self, data: Iterable, schema=None) -> Dataframe:
         """In-memory table (reference: InMemoryDataSource,
         src/datasources/mod.rs:250-313 — there a fixed schema +

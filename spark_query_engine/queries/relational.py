@@ -607,3 +607,45 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("hhi"), 6).alias("max_hhi"),
         F.round(F.avg("n_suppliers"), 4).alias("avg_suppliers"),
     )
+
+
+@query(
+    "part_price_integrity",
+    oracle="""
+        WITH pp AS (
+            SELECT l_partkey,
+                   COUNT(*) AS n_lines,
+                   ROUND(MIN(l_extendedprice / l_quantity), 4) AS min_unit,
+                   ROUND(MAX(l_extendedprice / l_quantity), 4) AS max_unit
+            FROM lineitem WHERE l_quantity > 0
+            GROUP BY l_partkey
+        )
+        SELECT CASE WHEN max_unit > min_unit * 1.5 THEN 'suspect'
+                    ELSE 'consistent' END AS band,
+               COUNT(*) AS n_parts,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines
+        FROM pp GROUP BY 1
+    """,
+)
+def part_price_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price integrity screen: a part whose max observed unit
+    price exceeds 1.5× its min is flagged suspect — the
+    pricing-error/fraud triage every order pipeline runs. Unit price
+    divides two exact doubles identically on both engines, the
+    envelope is a min/max aggregate (no variance float summation),
+    and the band compare uses the rounded envelope values — one
+    part-keyed rollup plus a 2-row census."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    pp = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.min(unit), 4).alias("min_unit"),
+        F.round(F.max(unit), 4).alias("max_unit"),
+    )
+    band = F.when(
+        F.col("max_unit") > F.col("min_unit") * 1.5, "suspect"
+    ).otherwise("consistent")
+    return pp.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+    )

@@ -595,3 +595,50 @@ def vec_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(within, 1).otherwise(0)) == F.count(F.lit(1))
         ).alias("bound_holds"),
     )
+
+
+@query(
+    "vec_doc_referential_audit",
+    oracle="""
+        SELECT 'vectors_without_doc' AS check_name,
+               (SELECT COUNT(*) FROM embeddings e
+                WHERE e.vec_id NOT IN (SELECT doc_id FROM documents))
+                   AS n_rows
+        UNION ALL
+        SELECT 'docs_without_vector',
+               (SELECT COUNT(*) FROM documents d
+                WHERE d.doc_id NOT IN (SELECT vec_id FROM embeddings))
+        UNION ALL
+        SELECT 'aligned_pairs',
+               (SELECT COUNT(*) FROM documents d
+                JOIN embeddings e ON d.doc_id = e.vec_id)
+    """,
+)
+def vec_doc_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal referential audit between the text and vector
+    tables — the drift check every embedding pipeline needs (docs
+    re-ingested without re-embedding, vectors orphaned by deletion):
+    anti-joins both directions plus the aligned-pair count. All
+    three probes are key-equi-joins (LeftAnti/LeftSemi plans, the
+    deletion-vector shape); at lake scale both tables bucket on the
+    id and the audit runs shuffle-free."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    orphan_vecs = e.join(d, e.vec_id == d.doc_id, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    orphan_docs = d.join(e, d.doc_id == e.vec_id, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    aligned = d.join(e, d.doc_id == e.vec_id).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+    def tag(df, name):
+        return df.select(F.lit(name).alias("check_name"), "n_rows")
+
+    return (
+        tag(orphan_vecs, "vectors_without_doc")
+        .unionByName(tag(orphan_docs, "docs_without_vector"))
+        .unionByName(tag(aligned, "aligned_pairs"))
+    )

@@ -291,3 +291,11 @@ def test_schema_evolution_merge_and_union(spark, sf_dir, tmp_path):
         u.where(F.col("o_orderpriority").isNotNull()).count()
         == n_total - nulls
     )
+
+
+def test_text_source_reads_lines(ctx, tmp_path):
+    p = tmp_path / "raw.log"
+    p.write_text("alpha 1\nbeta 2\ngamma 3\n")
+    df = ctx.text(str(p))
+    rows = [r["value"] for r in df.to_spark().collect()]
+    assert sorted(rows) == ["alpha 1", "beta 2", "gamma 3"]
