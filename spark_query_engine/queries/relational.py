@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from spark_query_engine.queries import load, query
 
@@ -648,4 +649,51 @@ def part_price_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp.groupBy(band.alias("band")).agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("n_lines").cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "orders_quarterly_yoy",
+    oracle="""
+        WITH q AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS yr,
+                   EXTRACT(quarter FROM o_orderdate) AS qtr,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT CAST(yr AS INT) AS yr, CAST(qtr AS INT) AS qtr,
+               n_orders, revenue,
+               LAG(revenue) OVER w AS prev_year_revenue,
+               ROUND((revenue - LAG(revenue) OVER w)
+                     / LAG(revenue) OVER w, 6) AS yoy_change
+        FROM q
+        WINDOW w AS (PARTITION BY qtr ORDER BY yr)
+    """,
+)
+def orders_quarterly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly revenue with year-over-year growth — the board-deck
+    rollup: calendar-quarter aggregation, then LAG within the quarter
+    ACROSS years (Q3-vs-Q3, the seasonality-adjusted compare; naive
+    quarter-over-quarter conflates growth with season). The window
+    runs over the |years|×4 aggregate; revenue sums are rounded at
+    2dp before the ratio so the YoY division sees identical inputs
+    cross-engine."""
+    o = load(spark, sf_dir, "orders")
+    q = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = W.partitionBy("qtr").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return q.select(
+        "yr",
+        "qtr",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_year_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_change"),
     )

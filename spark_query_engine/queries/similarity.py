@@ -642,3 +642,96 @@ def vec_doc_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(orphan_docs, "docs_without_vector"))
         .unionByName(tag(aligned, "aligned_pairs"))
     )
+
+
+@query(
+    "vec_text_alignment_audit",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) * 1.0 /
+                   (ANY_VALUE((SELECT n_sh FROM sizes s
+                               WHERE s.doc_id = a.doc_id))
+                    + ANY_VALUE((SELECT n_sh FROM sizes s
+                                 WHERE s.doc_id = b.doc_id))
+                    - COUNT(*)) >= 0.6
+        ),
+        cs AS (
+            SELECT p.id_a, p.id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(ea.embedding AS DOUBLE[]),
+                       CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+            FROM pairs p
+            JOIN embeddings ea ON ea.vec_id = p.id_a
+            JOIN embeddings eb ON eb.vec_id = p.id_b
+        )
+        SELECT COUNT(*) AS n_text_pairs,
+               ROUND(MIN(cos), 6) AS min_cos,
+               ROUND(MAX(cos), 6) AS max_cos,
+               CAST(SUM(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_aligned,
+               ROUND(SUM(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS aligned_share
+        FROM cs
+    """,
+)
+def vec_text_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit: do TEXT near-duplicates have
+    SIMILAR VECTORS? Every verified MinHash pair (Jaccard ≥ 0.6)
+    joins to both documents' embeddings and measures cosine; a
+    healthy embedding table puts near-identical texts close together
+    — a low aligned share means the vectors predate the text (stale
+    re-embeds) or the model ignores the duplicated content. On this
+    repo's SYNTHETIC embeddings (random, uncorrelated with text) the
+    audit correctly reports near-zero alignment — exactly the broken
+    state it exists to detect.
+
+    Shapes: the pair relation rides the banded LSH pipeline; the
+    embedding joins are id-keyed hash joins; the rollup is one row."""
+    docs = load(spark, sf_dir, "documents")
+    from spark_query_engine.operators.dedup import (
+        cosine,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    ).select("id_a", "id_b")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cs = (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    return cs.agg(
+        F.count(F.lit(1)).alias("n_text_pairs"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+        F.sum(F.when(F.col("cos") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_aligned"),
+        F.round(
+            F.sum(F.when(F.col("cos") >= 0.5, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("aligned_share"),
+    )
