@@ -1183,3 +1183,59 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("returning_share"),
     )
+
+
+@query(
+    "events_mix_drift",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        wt AS (
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                   event_type, COUNT(*) AS n
+            FROM ev GROUP BY 1, 2
+        ),
+        tot AS (SELECT week, SUM(n) AS t FROM wt GROUP BY week),
+        shares AS (
+            SELECT wt.week, wt.event_type, wt.n * 1.0 / tot.t AS p
+            FROM wt JOIN tot USING (week)
+        ),
+        lagged AS (
+            SELECT week, event_type, p,
+                   LAG(p) OVER (PARTITION BY event_type ORDER BY week)
+                       AS prev_p
+            FROM shares
+        )
+        SELECT week,
+               ROUND(0.5 * SUM(ABS(p - prev_p)), 6) AS tv_distance,
+               ROUND(0.5 * SUM(ABS(p - prev_p)), 6) > 0.05 AS drift_alert
+        FROM lagged
+        WHERE prev_p IS NOT NULL
+        GROUP BY week
+    """,
+)
+def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the total-variation distance
+    between consecutive weeks' event-type mixes — the input-drift
+    alarm every production model and every ingest contract needs
+    (TV > 0.05 here trips the alert). Shares divide exact counts, the
+    LAG runs per type over the |types|×|weeks| relation, and the TV
+    sum folds |types| terms per week — nothing is corpus-scaled
+    after the first rollup. Swap event_type for any feature-bucket
+    column and this is generic feature-drift monitoring."""
+    e = load(spark, sf_dir, "events")
+    wt = e.groupBy(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = wt.groupBy("week").agg(F.sum("n").alias("t"))
+    shares = wt.join(tot, "week").select(
+        "week", "event_type", (F.col("n") / F.col("t")).alias("p")
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    lagged = shares.withColumn("prev_p", F.lag("p").over(w)).where(
+        F.col("prev_p").isNotNull()
+    )
+    tv = F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("prev_p"))), 6)
+    return lagged.groupBy("week").agg(
+        tv.alias("tv_distance"),
+        (tv > 0.05).alias("drift_alert"),
+    )
