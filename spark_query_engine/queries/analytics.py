@@ -391,3 +391,37 @@ def agg_digit_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_v"),
         F.round(F.max("o_totalprice"), 2).alias("max_v"),
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type round trip through the engine: build a per-status
+    MAP<priority, count> with ``map_from_entries`` over collected
+    structs, then explode it back to rows with ``explode(map)`` —
+    proving the complex-type layer (construction, element access,
+    explosion) preserves values exactly. The oracle computes the same
+    counts flat; equality certifies the map detour was lossless. The
+    collect_list feeding the map is bounded per status by the
+    priority inventory (5 entries) — never row-scaled."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderpriority", "n"))
+        ).alias("m")
+    )
+    return mapped.select(
+        F.col("o_orderstatus").alias("status"),
+        F.explode("m").alias("priority", "n_orders"),
+    )
