@@ -737,3 +737,103 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_edge_jaccard",
         )
     )
+
+
+@query(
+    "dedup_bag_jaccard",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+        ),
+        toks AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        bag AS (SELECT doc_id, SUM(c) AS n FROM toks GROUP BY doc_id),
+        ov AS (
+            SELECT p.id_a, p.id_b,
+                   SUM(LEAST(ta.c, tb.c)) AS n_min
+            FROM cand p
+            JOIN toks ta ON ta.doc_id = p.id_a
+            JOIN toks tb ON tb.doc_id = p.id_b AND tb.tok = ta.tok
+            GROUP BY p.id_a, p.id_b
+        )
+        SELECT ov.id_a, ov.id_b,
+               ROUND(ov.n_min * 1.0 /
+                     (ba.n + bb.n - ov.n_min), 6) AS bag_jaccard
+        FROM ov
+        JOIN bag ba ON ba.doc_id = ov.id_a
+        JOIN bag bb ON bb.doc_id = ov.id_b
+    """,
+)
+def dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) Jaccard over the LSH candidate pairs: Σmin(cᵃ,
+    cᵇ) / Σmax — the multiplicity-aware similarity that SET Jaccard
+    overstates on repetitive text (a doc that repeats one sentence
+    ten times set-matches its single-copy twin perfectly; bag
+    similarity exposes the inflation). The dedup literature's usual
+    fix when near-dup pairs look better than they read.
+
+    Candidates ride the banded MinHash pipeline (never all-pairs);
+    each pair's overlap is a token-keyed equi-join of two bounded
+    count vectors; every quantity is an exact integer until the one
+    final rounding."""
+    docs = load(spark, sf_dir, "documents")
+    cand = D.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    ).select("id_a", "id_b")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    bag = toks.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    ta = toks.select(
+        F.col("doc_id").alias("id_a"), "tok", F.col("c").alias("ca")
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("id_bb"),
+        F.col("tok").alias("tok_b"),
+        F.col("c").alias("cb"),
+    )
+    ov = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("id_bb"))
+            & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("n_min"))
+    )
+    ba = bag.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    bb = bag.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(ba, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_min")
+                / (F.col("na") + F.col("nb") - F.col("n_min")),
+                6,
+            ).alias("bag_jaccard"),
+        )
+    )
