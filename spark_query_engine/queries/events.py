@@ -1239,3 +1239,88 @@ def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         tv.alias("tv_distance"),
         (tv > 0.05).alias("drift_alert"),
     )
+
+
+@query(
+    "events_bounce_rate",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        lagd AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM lagd
+        ),
+        per AS (
+            SELECT user_id, session_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS week,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT week,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS bounce_rate
+        FROM per GROUP BY week
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly bounce rate — the share of sessions that end after ONE
+    event, keyed to the week the session started. Reuses the
+    oracle-verified lag→flag→cumsum sessionization (one user-keyed
+    sort serves both windows), then two bounded rollups. The metric
+    that, read against ``events_mix_drift`` and
+    ``events_new_vs_returning``, separates acquisition problems from
+    engagement problems."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                       "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("week"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
