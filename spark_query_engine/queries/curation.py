@@ -2280,3 +2280,78 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("bigint").alias("max_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "corpus_quality_funnel_report",
+    oracle="""
+        WITH gates AS (
+            SELECT doc_id,
+                   n_chars >= 50 AS len_ok,
+                   GREATEST(len(regexp_extract_all(lower(text),
+                                                   '[aeiouy]+')), 1) * 1.0
+                       / GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1)
+                       BETWEEN 0.8 AND 3.0 AS syl_ok,
+                   length(text) - length(replace(text, ' ', ''))
+                       >= 5 AS tok_ok
+            FROM documents
+        )
+        SELECT (SELECT COUNT(*) FROM gates) AS n_input,
+               CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_length,
+               CAST(SUM(CASE WHEN len_ok AND tok_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pass_tokens,
+               CAST(SUM(CASE WHEN len_ok AND tok_ok AND syl_ok
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+               ROUND(SUM(CASE WHEN len_ok AND tok_ok AND syl_ok
+                              THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS survival_rate
+        FROM gates
+    """,
+)
+def corpus_quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-attrition report — how many documents survive each stage
+    of the quality funnel (length → token count → syllable-density
+    band), cumulatively. The per-GATE attribution is what the funnel
+    census adds over a single combined filter: when survival drops,
+    this row says WHICH gate moved. One scan, every gate a codegen'd
+    boolean, one wide aggregate — the report costs one pass however
+    many gates stack."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.greatest(F.regexp_count("text", F.lit("[^ ]+")), F.lit(1))
+    n_syl = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    len_ok = F.col("n_chars") >= 50
+    syl_ok = (n_syl * 1.0 / n_words).between(0.8, 3.0)
+    tok_ok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ) >= 5
+    g = d.select(
+        len_ok.alias("len_ok"), syl_ok.alias("syl_ok"), tok_ok.alias("tok_ok")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("len_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pass_length"),
+        F.sum(F.when(F.col("len_ok") & F.col("tok_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pass_tokens"),
+        F.sum(
+            F.when(
+                F.col("len_ok") & F.col("tok_ok") & F.col("syl_ok"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("len_ok") & F.col("tok_ok") & F.col("syl_ok"), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("survival_rate"),
+    )
