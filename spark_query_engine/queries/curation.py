@@ -2355,3 +2355,66 @@ def corpus_quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival_rate"),
     )
+
+
+@query(
+    "data_late_arriving_facts",
+    oracle="""
+        WITH batches AS (
+            SELECT l_orderkey, l_linenumber, l_shipdate,
+                   CASE WHEN l_orderkey % 20 = 9 THEN 1 ELSE 0 END
+                       AS arrival_batch
+            FROM lineitem
+        ),
+        base AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                   COUNT(*) AS n_rows
+            FROM batches WHERE arrival_batch = 0 GROUP BY 1
+        ),
+        late AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                   COUNT(*) AS n_late
+            FROM batches WHERE arrival_batch = 1 GROUP BY 1
+        )
+        SELECT b.month, b.n_rows, COALESCE(l.n_late, 0) AS n_late,
+               b.n_rows + COALESCE(l.n_late, 0) AS n_after_restate,
+               ROUND(COALESCE(l.n_late, 0) * 1.0
+                     / (b.n_rows + COALESCE(l.n_late, 0)), 6)
+                   AS restatement_share
+        FROM base b LEFT JOIN late l USING (month)
+    """,
+)
+def data_late_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-fact restatement report: a late batch (a
+    deterministic 5% slice) lands AFTER the monthly rollup shipped;
+    the report shows, per affected month, the original count, the
+    late arrivals, and the restated total — the backfill-impact
+    audit that decides between restating history and dual-writing a
+    correction table. The incremental-rollup delta pattern
+    (``data_incremental_rollup``) applies the fix; this row
+    quantifies it. Two map-side-combined rollups and one month-keyed
+    left join over month-grain relations."""
+    li = load(spark, sf_dir, "lineitem")
+    month = F.to_date(F.date_trunc("month", "l_shipdate")).alias("month")
+    late_flag = F.col("l_orderkey") % 20 == 9
+    base = (
+        li.where(~late_flag)
+        .groupBy(month)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    late = (
+        li.where(late_flag)
+        .groupBy(month)
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    j = base.join(late, "month", "left")
+    n_late = F.coalesce("n_late", F.lit(0))
+    return j.select(
+        "month",
+        "n_rows",
+        n_late.alias("n_late"),
+        (F.col("n_rows") + n_late).alias("n_after_restate"),
+        F.round(n_late / (F.col("n_rows") + n_late), 6).alias(
+            "restatement_share"
+        ),
+    )
