@@ -1324,3 +1324,88 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "events_burstiness",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        gaps AS (
+            SELECT user_id,
+                   date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) // 1000000 AS gap_s
+            FROM ev
+        ),
+        moments AS (
+            SELECT user_id,
+                   COUNT(gap_s) AS n_gaps,
+                   SUM(gap_s) AS s1,
+                   SUM(gap_s * gap_s) AS s2
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(gap_s) >= 5
+        )
+        SELECT user_id, n_gaps,
+               ROUND(s1 * 1.0 / n_gaps, 6) AS mean_gap_s,
+               ROUND(sqrt(s2 * 1.0 / n_gaps
+                          - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps)), 6)
+                   AS sd_gap_s,
+               ROUND((sqrt(s2 * 1.0 / n_gaps
+                           - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps))
+                      - s1 * 1.0 / n_gaps)
+                     / (sqrt(s2 * 1.0 / n_gaps
+                             - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps))
+                        + s1 * 1.0 / n_gaps), 6) AS burstiness
+        FROM moments
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user — Goh & Barabási's B =
+    (σ−μ)/(σ+μ) over inter-arrival gaps: B→−1 is metronomic
+    (machine/bot traffic), B≈0 Poisson, B→+1 heavy-tailed human
+    bursts. The behavioral-forensics complement to the flat-profile
+    check in ``events_hourly_seasonality``.
+
+    Float discipline — the interesting part: the built-in
+    stddev over microsecond gaps diverges cross-engine (variance
+    magnitudes near 1e18 have ~256-ulp spacing, so partial-sum order
+    shifts the result by more than any rounding absorbs — observed
+    directly before this formulation). Instead the gaps truncate to
+    whole SECONDS (exact integer division) and σ derives EXPLICITLY
+    from the exact integer moments Σg and Σg² — both engines compute
+    sqrt(s2/n − (s1/n)²) over identical integers, so the only
+    nondeterminism left is sqrt's final ulp under a 6dp round.
+    Users under 5 gaps are excluded as unstable."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    # integer DIV, not float-divide-then-truncate: x/1e6 can land one
+    # ulp below an exact integer quotient and truncate to n-1 where
+    # the oracle's // gives n
+    gaps = e.select(
+        "user_id", gap_us.alias("gap_us")
+    ).select(
+        "user_id", F.expr("gap_us DIV 1000000").alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 5)
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    sd = F.sqrt(F.col("s2") / F.col("n_gaps") - mean * mean)
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )

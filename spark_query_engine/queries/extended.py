@@ -1103,3 +1103,57 @@ def sql_text_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   RANK() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS rk,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey) AS rn
+            FROM orders WHERE o_custkey % 50 = 3
+        )
+        SELECT o_custkey, o_orderkey,
+               ROUND(o_totalprice, 2) AS price,
+               CAST(rk AS BIGINT) AS rk,
+               rn <= 3 AS in_strict_top3
+        FROM ranked WHERE rk <= 3
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3-WITH-TIES per customer — RANK's cut keeps every row tied
+    at the boundary value where ROW_NUMBER would arbitrarily drop
+    some (the correctness difference between 'top 3 order values'
+    and 'some 3 orders'; SQL:2008 spells it FETCH FIRST n ROWS WITH
+    TIES). Emitting both rank flavors side by side makes the
+    boundary rows visible: in_strict_top3=false marks exactly the
+    rows a ties-blind cut would have lost. Same WindowGroupLimit
+    plan family — rank<=k prunes per group before any full sort."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 50 == 3)
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    w_rn = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.rank().over(w_rank).alias("rk"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "price",
+            F.col("rk").cast("bigint").alias("rk"),
+            (F.col("rn") <= 3).alias("in_strict_top3"),
+        )
+    )

@@ -696,3 +696,53 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lower(tok) AS tok FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS ttr,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS hapax_share
+        FROM tf GROUP BY doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and hapax
+    (once-only) share — low TTR flags repetitive/templated text from
+    the vocabulary side, complementing the repetition screens that
+    work from n-gram runs; hapax share separates 'rich vocabulary'
+    from 'random strings' when read with the entropy gate. One
+    (doc, token) count, one per-doc rollup, exact-integer ratios."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", F.lower("tok").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_share"),
+    )
