@@ -1409,3 +1409,79 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd, 6).alias("sd_gap_s"),
         F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        cell AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   EXTRACT(hour FROM ts) AS hour,
+                   COUNT(*) AS n
+            FROM ev GROUP BY 1, 2, 3
+        ),
+        base AS (
+            SELECT event_type, hour,
+                   COUNT(*) AS n_days,
+                   SUM(n) AS s1,
+                   SUM(n * n) AS s2
+            FROM cell GROUP BY event_type, hour
+            HAVING COUNT(*) >= 5
+        ),
+        scored AS (
+            SELECT c.event_type, c.day, CAST(c.hour AS INT) AS hour, c.n,
+                   ROUND(b.s1 * 1.0 / b.n_days, 4) AS baseline,
+                   ROUND((c.n - b.s1 * 1.0 / b.n_days)
+                         / sqrt(b.s2 * 1.0 / b.n_days
+                                - (b.s1 * 1.0 / b.n_days)
+                                  * (b.s1 * 1.0 / b.n_days) + 1.0), 4)
+                       AS z
+            FROM cell c JOIN base b
+              ON c.event_type = b.event_type AND c.hour = b.hour
+        )
+        SELECT event_type, day, hour, n, baseline, z
+        FROM scored WHERE ABS(z) >= 2.0
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED volume anomalies: each (type, day, hour)
+    cell scores against the mean and spread of the SAME hour-of-day
+    across all days — so the 9am spike that is normal for 9am stays
+    quiet while a 3am surge of the same size alarms (the global
+    z-score in ``events_anomaly_zscore`` cannot tell them apart).
+    The +1 variance floor keeps perfectly-regular cells from
+    dividing by zero and damps |z| on near-constant baselines.
+
+    Moments are EXPLICIT integer sums (the ``events_burstiness``
+    discipline — built-in stddev is summation-order-fragile), the
+    baseline relation is |types|×24 rows, and scoring is one hash
+    join back onto the day-grain cells; hours with under 5 observed
+    days are excluded as unstable baselines."""
+    e = load(spark, sf_dir, "events")
+    cell = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = (
+        cell.groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("s1"),
+            F.sum(F.col("n") * F.col("n")).alias("s2"),
+        )
+        .where(F.col("n_days") >= 5)
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = F.col("s2") / F.col("n_days") - mean * mean + 1.0
+    scored = cell.join(base, ["event_type", "hour"]).select(
+        "event_type",
+        "day",
+        "hour",
+        "n",
+        F.round(mean, 4).alias("baseline"),
+        F.round((F.col("n") - mean) / F.sqrt(var), 4).alias("z"),
+    )
+    return scored.where(F.abs(F.col("z")) >= 2.0)
