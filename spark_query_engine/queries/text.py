@@ -746,3 +746,75 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_share"),
     )
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle="""
+        WITH toks AS (
+            SELECT lower(tok) AS tok FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+            FROM freq
+        ),
+        tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM ranked),
+        ks AS (SELECT UNNEST([1, 5, 10, 25]) AS k)
+        SELECT ks.k,
+               tot.v AS vocab_size,
+               CAST(COALESCE(SUM(rk.c), 0) AS BIGINT) AS covered,
+               ROUND(COALESCE(SUM(rk.c), 0) * 1.0 / tot.t, 6)
+                   AS coverage
+        FROM ks
+        CROSS JOIN tot
+        LEFT JOIN ranked rk ON rk.r <= ks.k
+        GROUP BY ks.k, tot.v, tot.t
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: the share of all token OCCURRENCES
+    the top-k types account for, at k ∈ {{1,5,10,25}} — the Zipf
+    audit's actionable complement (it sizes the tokenizer's
+    high-frequency budget and predicts cache hit rates for
+    embedding-lookup layers). One token count; the ranked prefix
+    sums run over the k≤25 head of the frequency relation
+    (TakeOrderedAndProject-sized), joined against a 4-row k
+    dimension; exact integers to the final share."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy(F.lower("tok").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tot = freq.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    head = (
+        freq.orderBy(F.col("c").desc(), "tok")
+        .limit(25)
+        .withColumn("r", F.row_number().over(w))
+    )
+    ks = freq.sparkSession.createDataFrame(
+        [(1,), (5,), (10,), (25,)], "k int"
+    )
+    cov = (
+        ks.join(head, head.r <= ks.k)
+        .groupBy("k")
+        .agg(F.sum("c").alias("covered"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("v").alias("vocab_size"),
+            F.col("covered").cast("bigint").alias("covered"),
+            F.round(F.col("covered") / F.col("t"), 6).alias("coverage"),
+        )
+    )
