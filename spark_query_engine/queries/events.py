@@ -1485,3 +1485,64 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - mean) / F.sqrt(var), 4).alias("z"),
     )
     return scored.where(F.abs(F.col("z")) >= 2.0)
+
+
+@query(
+    "events_weekend_effect",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        tagged AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   EXTRACT(isodow FROM ts) >= 6 AS is_weekend,
+                   COUNT(*) AS n
+            FROM ev GROUP BY 1, 2, 3
+        ),
+        rates AS (
+            SELECT event_type, is_weekend,
+                   SUM(n) AS total,
+                   COUNT(DISTINCT day) AS n_days
+            FROM tagged GROUP BY 1, 2
+        )
+        SELECT w.event_type,
+               ROUND(w.total * 1.0 / w.n_days, 4) AS weekend_daily,
+               ROUND(d.total * 1.0 / d.n_days, 4) AS weekday_daily,
+               ROUND((w.total * 1.0 / w.n_days)
+                     / (d.total * 1.0 / d.n_days), 6) AS weekend_ratio
+        FROM rates w JOIN rates d
+          ON w.event_type = d.event_type
+         AND w.is_weekend AND NOT d.is_weekend
+    """,
+)
+def events_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend effect per event type: average daily volume on ISO
+    weekends over weekdays — the day-mix normalization (per-DAY
+    rates, not raw totals: weekends have 2 days to the week's 5, so
+    raw totals always 'prove' weekends are quiet). Ratios near 1 on
+    machine-generated streams, pronounced on human ones — read with
+    ``events_burstiness`` for traffic provenance. Exact integer
+    counts and day tallies; one self-join on the 2×|types| rate
+    relation."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        (F.dayofweek("ts").isin(1, 7)).alias("is_weekend"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rates = tagged.groupBy("event_type", "is_weekend").agg(
+        F.sum("n").alias("total"), F.countDistinct("day").alias("n_days")
+    )
+    wk = rates.where(F.col("is_weekend")).select(
+        "event_type",
+        (F.col("total") / F.col("n_days")).alias("wrate"),
+    )
+    wd = rates.where(~F.col("is_weekend")).select(
+        F.col("event_type").alias("et2"),
+        (F.col("total") / F.col("n_days")).alias("drate"),
+    )
+    return wk.join(wd, wk.event_type == wd.et2).select(
+        "event_type",
+        F.round("wrate", 4).alias("weekend_daily"),
+        F.round("drate", 4).alias("weekday_daily"),
+        F.round(F.col("wrate") / F.col("drate"), 6).alias("weekend_ratio"),
+    )

@@ -697,3 +697,54 @@ def orders_quarterly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_year_revenue"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_change"),
     )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+        WITH ref AS (SELECT MAX(o_orderdate) AS d FROM orders),
+        aged AS (
+            SELECT o.o_orderstatus AS status,
+                   date_diff('day', o.o_orderdate, ref.d) AS age_days
+            FROM orders o CROSS JOIN ref
+            WHERE o.o_orderstatus <> 'F'
+        )
+        SELECT status,
+               CASE WHEN age_days <= 30 THEN '0-30'
+                    WHEN age_days <= 90 THEN '31-90'
+                    WHEN age_days <= 365 THEN '91-365'
+                    ELSE '365+' END AS age_bucket,
+               COUNT(*) AS n_orders,
+               MAX(age_days) AS oldest_days
+        FROM aged GROUP BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: every non-finalized order bucketed by
+    age relative to the dataset's own frontier (MAX order date — a
+    data-derived reference, so the query is reproducible without a
+    wall clock). The operations readout behind escalation queues;
+    exact integer day arithmetic, the 1-row frontier broadcasts, one
+    classified rollup."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("d"))
+    aged = (
+        o.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.datediff(F.to_date("d"), F.to_date("o_orderdate")).alias(
+                "age_days"
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return aged.groupBy("status", bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("age_days").alias("oldest_days"),
+    )
