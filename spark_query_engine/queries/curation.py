@@ -2418,3 +2418,53 @@ def data_late_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "restatement_share"
         ),
     )
+
+
+@query(
+    "corpus_source_balance_gini",
+    oracle="""
+        WITH s AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        pairs AS (
+            SELECT a.n AS na, b.n AS nb FROM s a CROSS JOIN s b
+        ),
+        tot AS (SELECT COUNT(*) AS k, SUM(n) AS t FROM s)
+        SELECT tot.k AS n_sources,
+               CAST(tot.t AS BIGINT) AS n_docs,
+               ROUND((SELECT SUM(ABS(na - nb)) FROM pairs) * 1.0
+                     / (2 * tot.k * tot.t), 6) AS gini,
+               ROUND((SELECT MAX(n) FROM s) * 1.0 / tot.t, 6)
+                   AS largest_share
+        FROM tot
+    """,
+)
+def corpus_source_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balance Gini — the inequality of the corpus mix in one
+    number (0 = perfectly balanced sources, →1 = one source is the
+    corpus), from the mean-absolute-difference identity
+    Σ|nᵢ−nⱼ| / (2k·N). The input to temperature-resampling decisions
+    (``corpus_temperature_sample`` flattens exactly this number) and
+    the drift alarm for ingestion mix. The pairwise cross runs over
+    the |sources|² relation — source inventory is catalog-sized, so
+    the quadratic term is free; exact integers to the final round."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).persist()
+    a = s.select(F.col("n").alias("na"))
+    b = s.select(F.col("n").alias("nb"))
+    mad = a.crossJoin(b).agg(
+        F.sum(F.abs(F.col("na") - F.col("nb"))).alias("sad")
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("t"),
+        F.max("n").alias("mx"),
+    )
+    return mad.crossJoin(tot).select(
+        F.col("k").alias("n_sources"),
+        F.col("t").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("sad") / (2 * F.col("k") * F.col("t")), 6
+        ).alias("gini"),
+        F.round(F.col("mx") / F.col("t"), 6).alias("largest_share"),
+    )

@@ -2152,3 +2152,62 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_share"),
         )
     )
+
+
+@query(
+    "corpus_bpe_fertility",
+    oracle=_BPE_TOKENIZE_ORACLE.replace(
+        """    SELECT a.w AS word, a.f AS freq, len(a.t) AS n_tokens,
+           array_to_string(a.t, '|') AS seg,
+           a.w IN (SELECT w FROM words) AS in_train
+    FROM atok3 a
+    """,
+        """    SELECT a.w IN (SELECT w FROM words) AS in_train,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(a.f) AS BIGINT) AS n_occurrences,
+           CAST(SUM(a.f * len(a.t)) AS BIGINT) AS n_tokens_emitted,
+           ROUND(SUM(a.f * len(a.t)) * 1.0 / SUM(a.f), 6) AS fertility
+    FROM atok3 a
+    GROUP BY 1
+    """,
+    ),
+)
+def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY — tokens emitted per word occurrence, the
+    single number that prices a tokenizer (fertility 1.3 vs 2.0 is a
+    35% shorter sequence for the same text: context budget, training
+    FLOPs, and serving cost all scale with it) — split by whether
+    the word was visible at training time. Unseen-word fertility is
+    the degradation the leakage-free train/apply boundary exists to
+    measure. Pure rollup over the ``corpus_bpe_tokenize`` relation,
+    occurrence-weighted; the oracle is that query's train+apply CTE
+    chain with the census head swapped on."""
+    from spark_query_engine.operators.textanalysis import bpe_apply, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    norm_fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(norm_fp), 1, 8), 16, 10).cast("long") % 100
+    )
+    train_docs = docs.where(bucket >= 2)
+    train_toks, merges = bpe_train(train_docs, "text", rounds=_BPE_ROUNDS)
+    seg = bpe_apply(docs, "text", merges)
+    train_vocab = train_toks.select("w", F.lit(True).alias("seen"))
+    train_toks.unpersist()
+    tagged = seg.join(train_vocab, "w", "left").select(
+        F.coalesce("seen", F.lit(False)).alias("in_train"),
+        "f",
+        F.size("t").alias("n_t"),
+    )
+    return tagged.groupBy("in_train").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum("f").cast("bigint").alias("n_occurrences"),
+        F.sum(F.col("f") * F.col("n_t")).cast("bigint").alias(
+            "n_tokens_emitted"
+        ),
+        F.round(
+            F.sum(F.col("f") * F.col("n_t")) / F.sum("f"), 6
+        ).alias("fertility"),
+    )
