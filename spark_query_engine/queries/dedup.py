@@ -837,3 +837,64 @@ def dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bag_jaccard"),
         )
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT ROUND(n_inter * 1.0 /
+                         (za.n_sh + zb.n_sh - n_inter), 6) AS j
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+        ),
+        ths AS (SELECT UNNEST([0.6, 0.7, 0.8, 0.9, 0.95]) AS th)
+        SELECT ths.th AS threshold,
+               CAST(COALESCE(SUM(CASE WHEN jac.j >= ths.th
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_pairs
+        FROM ths LEFT JOIN jac ON TRUE
+        GROUP BY ths.th
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep: how many near-dup pairs survive at
+    each Jaccard cut from 0.6 to 0.95 — the one-glance answer to
+    'how sharp is the duplicate cliff' that decides where to set the
+    production threshold (a flat curve means the choice is safe; a
+    cliff means small threshold moves swing the dedup rate). ONE
+    pass of the banded LSH + exact-verify pipeline scores the pairs;
+    the sweep itself is a 5-row dimension joined against the (small)
+    verified-pair relation — five thresholds cost one."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    ).select("jaccard").persist()
+    ths = pairs.sparkSession.createDataFrame(
+        [(0.6,), (0.7,), (0.8,), (0.9,), (0.95,)], "th double"
+    )
+    return (
+        ths.join(F.broadcast(pairs), F.lit(True), "left")
+        .groupBy("th")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("jaccard") >= F.col("th"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+        .select(F.col("th").alias("threshold"), "n_pairs")
+    )
