@@ -1546,3 +1546,73 @@ def events_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("drate", 4).alias("weekday_daily"),
         F.round(F.col("wrate") / F.col("drate"), 6).alias("weekend_ratio"),
     )
+
+
+@query(
+    "events_type_affinity",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        ut AS (SELECT DISTINCT user_id, event_type FROM ev),
+        n AS (SELECT COUNT(DISTINCT user_id) AS total FROM ev),
+        per AS (SELECT event_type, COUNT(*) AS nu FROM ut GROUP BY 1),
+        pair AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.n_both,
+               ROUND(p.n_both * 1.0 * n.total / (pa.nu * pb.nu), 6)
+                   AS lift
+        FROM pair p
+        JOIN per pa ON pa.event_type = p.type_a
+        JOIN per pb ON pb.event_type = p.type_b
+        CROSS JOIN n
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level behavior affinity: for every event-type pair, the
+    lift between 'does A' and 'does B' across users — the audience-
+    overlap matrix behind cross-sell targeting and feature bundling
+    (the user-grain sibling of the within-basket
+    ``basket_association_rules``). Lift >1 = co-occurring audiences,
+    <1 = disjoint segments. The distinct (user, type) relation is
+    the only shuffle; the pair self-join is keyed on user with at
+    most |types| rows per user, and the lift math runs over the
+    |types|² matrix with exact integer counts."""
+    e = load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct().persist()
+    n = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    per = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("nu"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"), F.col("nu").alias("na")
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"), F.col("nu").alias("nb")
+    )
+    return (
+        pair.join(pa, "type_a")
+        .join(pb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("total")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
