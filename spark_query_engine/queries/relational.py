@@ -748,3 +748,66 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.max("age_days").alias("oldest_days"),
     )
+
+
+@query(
+    "customer_interpurchase_time",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             LAG(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap_d
+            FROM orders
+        ),
+        m AS (
+            SELECT o_custkey,
+                   COUNT(gap_d) AS n_gaps,
+                   SUM(gap_d) AS s1
+            FROM gaps WHERE gap_d IS NOT NULL
+            GROUP BY o_custkey
+            HAVING COUNT(gap_d) >= 3
+        )
+        SELECT CASE WHEN s1 * 1.0 / n_gaps <= 30 THEN 'monthly+'
+                    WHEN s1 * 1.0 / n_gaps <= 90 THEN 'quarterly'
+                    WHEN s1 * 1.0 / n_gaps <= 365 THEN 'yearly'
+                    ELSE 'dormant' END AS cadence,
+               COUNT(*) AS n_customers,
+               ROUND(AVG(s1 * 1.0 / n_gaps), 4) AS avg_gap_days
+        FROM m GROUP BY 1
+    """,
+)
+def customer_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence segmentation: each customer's mean
+    inter-order gap (exact integer days from one customer-keyed LAG)
+    banded into monthly/quarterly/yearly/dormant — the replenishment
+    clock behind reorder reminders and churn windows (a 'monthly+'
+    customer 60 days silent is churning; a 'yearly' one is on
+    schedule). Means divide exact integer sums; customers with under
+    3 gaps are excluded as unstable."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+    )
+    gaps = o.select("o_custkey", gap.alias("gap_d")).where(
+        F.col("gap_d").isNotNull()
+    )
+    m = (
+        gaps.groupBy("o_custkey")
+        .agg(F.count("gap_d").alias("n_gaps"), F.sum("gap_d").alias("s1"))
+        .where(F.col("n_gaps") >= 3)
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    cadence = (
+        F.when(mean <= 30, "monthly+")
+        .when(mean <= 90, "quarterly")
+        .when(mean <= 365, "yearly")
+        .otherwise("dormant")
+    )
+    return m.groupBy(cadence.alias("cadence")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg(mean), 4).alias("avg_gap_days"),
+    )
