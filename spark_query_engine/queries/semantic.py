@@ -430,3 +430,38 @@ def corpus_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hits").cast("bigint").alias("hits"),
         F.round(F.col("hits") / 10.0, 2).alias("recall_at_10"),
     )
+
+
+@query(
+    "corpus_cluster_cohesion",
+    oracle=f"""
+        {_kmeans_ctes()}
+        SELECT centroid,
+               COUNT(*) AS n_members,
+               ROUND(SUM(sim), 4) AS sim_mass,
+               ROUND(MIN(sim), 6) AS min_sim,
+               ROUND(MAX(sim), 6) AS max_sim
+        FROM a_final GROUP BY centroid
+    """,
+)
+def corpus_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cohesion audit: per cluster, the membership count and
+    the similarity envelope to the OWN centroid — the quality gate on
+    the quantizer every IVF/SemDeDup consumer depends on (a cluster
+    whose min member-to-centroid similarity approaches its neighbors'
+    is doing nothing; empty-adjacent sizes flag a bad k). Pure rollup
+    over the assignment relation ``corpus_kmeans`` already produces;
+    the oracle replays the unrolled Lloyd fit and aggregates the same
+    sims. Sim mass is the 4dp-rounded SUM (the repo's aggregate
+    discipline) rather than an avg whose division lands on rounding
+    boundaries."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = C.kmeans_assign(
+        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    )
+    return assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("cent_sim"), 4).alias("sim_mass"),
+        F.round(F.min("cent_sim"), 6).alias("min_sim"),
+        F.round(F.max("cent_sim"), 6).alias("max_sim"),
+    )
