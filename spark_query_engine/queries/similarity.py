@@ -735,3 +735,89 @@ def vec_text_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("aligned_share"),
     )
+
+
+@query(
+    "ann_centroid_margin_audit",
+    oracle="""
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings),
+        c AS (SELECT id AS centroid, vec AS cvec FROM v WHERE id < 8),
+        sims AS (
+            SELECT v.id, c.centroid,
+                   ROUND(list_cosine_similarity(v.vec, c.cvec), 6) AS sim
+            FROM v CROSS JOIN c
+        ),
+        ranked AS (
+            SELECT id, centroid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY sim DESC, centroid) AS rn
+            FROM sims
+        ),
+        margins AS (
+            SELECT a.id,
+                   ROUND(a.sim - b.sim, 6) AS margin
+            FROM ranked a JOIN ranked b
+              ON a.id = b.id AND a.rn = 1 AND b.rn = 2
+        )
+        SELECT COUNT(*) AS n_vectors,
+               ROUND(MIN(margin), 6) AS min_margin,
+               ROUND(MAX(margin), 6) AS max_margin,
+               CAST(SUM(CASE WHEN margin < 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundary,
+               ROUND(SUM(CASE WHEN margin < 0.05 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS boundary_share
+        FROM margins
+    """,
+)
+def ann_centroid_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-margin audit for the IVF coarse quantizer: per
+    vector, the similarity gap between its best and second-best
+    centroid — vectors with a thin margin (<0.05) live on list
+    boundaries and are exactly the ones single-probe IVF misses,
+    so boundary_share PREDICTS how much nprobe>1 buys before you
+    measure recall (the planning number behind
+    ``ann_recall_eval``'s measured one). One broadcast of the 8-row
+    codebook, a per-vector top-2 (WindowGroupLimit-sized), and a
+    1-row census."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    from pyspark.sql import Window
+
+    from spark_query_engine.operators.dedup import cosine
+
+    c = v.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid"), F.col("vec").alias("cvec")
+    )
+    sims = v.crossJoin(F.broadcast(c)).select(
+        F.col("vec_id").alias("id"),
+        "centroid",
+        F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), "centroid")
+    ranked = sims.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    best = ranked.where(F.col("rn") == 1).select("id", F.col("sim").alias("s1"))
+    second = ranked.where(F.col("rn") == 2).select(
+        "id", F.col("sim").alias("s2")
+    )
+    margins = best.join(second, "id").select(
+        F.round(F.col("s1") - F.col("s2"), 6).alias("margin")
+    )
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("margin"), 6).alias("min_margin"),
+        F.round(F.max("margin"), 6).alias("max_margin"),
+        F.sum(F.when(F.col("margin") < 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boundary"),
+        F.round(
+            F.sum(F.when(F.col("margin") < 0.05, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("boundary_share"),
+    )
