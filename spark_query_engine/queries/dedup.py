@@ -898,3 +898,57 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("th").alias("threshold"), "n_pairs")
     )
+
+
+@query(
+    "dedup_source_attribution",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+        )
+        SELECT LEAST(da.source, db.source) AS source_x,
+               GREATEST(da.source, db.source) AS source_y,
+               COUNT(*) AS n_pairs,
+               LEAST(da.source, db.source)
+                   = GREATEST(da.source, db.source) AS within_source
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        GROUP BY 1, 2
+    """,
+)
+def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pressure attribution to ingestion feeds: every
+    verified near-dup pair tagged with its (source, source)
+    combination — within-source pairs point at a feed re-crawling
+    itself; cross-source pairs at mirrored content (and tell you
+    which feed to drop when dedup keeps only one copy). The question
+    every 'why is the dedup rate up' incident starts with. Pairs
+    ride the banded LSH pipeline; source tagging is two id-keyed
+    hash joins; the census is |sources|²-bounded."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b")
+    sx = F.least("sa", "sb")
+    sy = F.greatest("sa", "sb")
+    return tagged.groupBy(sx.alias("source_x"), sy.alias("source_y")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.first(sx == sy).alias("within_source"),
+    )

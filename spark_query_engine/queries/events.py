@@ -1616,3 +1616,55 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_dwell_time",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        fw AS (
+            SELECT event_type,
+                   date_diff('microsecond', ts,
+                             LEAD(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                       // 1000000 AS dwell_s
+            FROM ev
+        )
+        SELECT event_type,
+               COUNT(dwell_s) AS n_obs,
+               CAST(SUM(dwell_s) AS BIGINT) AS total_dwell_s,
+               ROUND(SUM(dwell_s) * 1.0 / COUNT(dwell_s), 4)
+                   AS mean_dwell_s,
+               CAST(FLOOR(quantile_cont(dwell_s, 0.5) + 0.5) AS BIGINT)
+                   AS p50_dwell_s
+        FROM fw WHERE dwell_s IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time after each event type — the forward gap to the
+    user's next action, the engagement-depth readout (long dwell
+    after 'view' is reading; near-zero dwell after everything is a
+    crawler). One user-keyed LEAD; gaps truncate to whole seconds by
+    true integer DIV (the burstiness discipline); means divide exact
+    sums and the median is floor-pinned."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(
+        F.lead("ts").over(w).cast("timestamp")
+    ) - F.unix_micros(F.col("ts").cast("timestamp"))
+    fw = e.select(
+        "event_type", gap_us.alias("gap_us")
+    ).select(
+        "event_type", F.expr("gap_us DIV 1000000").alias("dwell_s")
+    ).where(F.col("dwell_s").isNotNull())
+    return fw.groupBy("event_type").agg(
+        F.count("dwell_s").alias("n_obs"),
+        F.sum("dwell_s").cast("bigint").alias("total_dwell_s"),
+        F.round(F.sum("dwell_s") / F.count("dwell_s"), 4).alias(
+            "mean_dwell_s"
+        ),
+        F.floor(F.expr("percentile(dwell_s, 0.5D)") + 0.5)
+        .cast("bigint")
+        .alias("p50_dwell_s"),
+    )
