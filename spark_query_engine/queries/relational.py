@@ -811,3 +811,48 @@ def customer_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg(mean), 4).alias("avg_gap_days"),
     )
+
+
+@query(
+    "part_supply_geography",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l.l_partkey, s.s_nationkey
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        ),
+        div AS (
+            SELECT l_partkey, COUNT(*) AS n_nations FROM ps GROUP BY 1
+        )
+        SELECT CASE WHEN n_nations = 1 THEN 'single-nation'
+                    WHEN n_nations <= 3 THEN '2-3 nations'
+                    ELSE '4+ nations' END AS supply_geography,
+               COUNT(*) AS n_parts,
+               CAST(MIN(n_nations) AS BIGINT) AS min_nations,
+               CAST(MAX(n_nations) AS BIGINT) AS max_nations
+        FROM div GROUP BY 1
+    """,
+)
+def part_supply_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain geography diversity: how many NATIONS each part
+    ships from — the geopolitical-risk cut that HHI's share math
+    misses (two suppliers in one country is still one earthquake).
+    The supplier dim broadcasts into the fact scan, one distinct on
+    (part, nation), one diversity rollup, a 3-band census."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("l_partkey", "s_nationkey")
+        .distinct()
+    )
+    div = ps.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_nations"))
+    band = (
+        F.when(F.col("n_nations") == 1, "single-nation")
+        .when(F.col("n_nations") <= 3, "2-3 nations")
+        .otherwise("4+ nations")
+    )
+    return div.groupBy(band.alias("supply_geography")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("n_nations").cast("bigint").alias("min_nations"),
+        F.max("n_nations").cast("bigint").alias("max_nations"),
+    )
