@@ -856,3 +856,65 @@ def part_supply_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_nations").cast("bigint").alias("min_nations"),
         F.max("n_nations").cast("bigint").alias("max_nations"),
     )
+
+
+@query(
+    "region_revenue_rollup",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS v
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT SUM(v) AS t FROM rev)
+        SELECT region,
+               COUNT(*) AS n_nations,
+               ROUND(SUM(v), 2) AS revenue,
+               ROUND(SUM(v) / tot.t, 6) AS revenue_share
+        FROM rev CROSS JOIN tot
+        GROUP BY region, tot.t
+    """,
+)
+def region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full snowflake chain in one rollup: fact → orders →
+    customer → nation → region, revenue per region with global share
+    — the executive cut of the Q5 shape. The three dimension hops
+    broadcast (nation and region are 25/5 rows; customer rides the
+    fact shuffle), so the plan is one fact-fact shuffle plus
+    broadcast probes; the grand total is a 1-row cross. Per-nation
+    partials aggregate BEFORE the share division and round at 2dp;
+    the share divides the rounded sums so both engines see identical
+    numerators."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("v")
+        )
+    )
+    tot = rev.agg(F.sum("v").alias("t"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .groupBy("region", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.round(F.sum("v"), 2).alias("revenue"),
+            F.round(F.sum("v") / F.col("t"), 6).alias("revenue_share"),
+        )
+        .select("region", "n_nations", "revenue", "revenue_share")
+    )
