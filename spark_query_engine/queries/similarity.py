@@ -821,3 +821,41 @@ def ann_centroid_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boundary_share"),
     )
+
+
+@query(
+    "vec_label_balance",
+    oracle="""
+        WITH c AS (
+            SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        ),
+        tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM c)
+        SELECT c.label, c.n,
+               ROUND(c.n * 1.0 / tot.t, 6) AS share,
+               ROUND((c.n - tot.t * 1.0 / tot.k)
+                     * (c.n - tot.t * 1.0 / tot.k)
+                     / (tot.t * 1.0 / tot.k), 6) AS chi2_term
+        FROM c CROSS JOIN tot
+    """,
+)
+def vec_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance audit for the embedding table: per-class counts,
+    shares, and each class's chi-square term against the uniform
+    expectation — the imbalance check that decides between plain
+    cross-entropy and reweighting/resampling before any classifier
+    trains on these vectors (and the denominator sanity for the kNN
+    accuracy readout in ``corpus_knn_classify``). One count, a 1-row
+    totals cross; the chi-square terms divide exact integers by the
+    exact rational expectation."""
+    e = load(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("k"))
+    exp = F.col("t") / F.col("k")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
+            "chi2_term"
+        ),
+    )
