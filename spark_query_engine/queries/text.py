@@ -818,3 +818,44 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("covered") / F.col("t"), 6).alias("coverage"),
         )
     )
+
+
+@query(
+    "text_word_length_profile",
+    oracle="""
+        WITH toks AS (
+            SELECT length(tok) AS wl FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        )
+        SELECT wl AS word_length,
+               COUNT(*) AS n_words,
+               ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM toks), 6)
+                   AS share
+        FROM toks GROUP BY wl
+    """,
+)
+def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length distribution over the corpus — the cheapest
+    language fingerprint there is (English peaks at 3-4 chars;
+    agglutinative languages and base64 junk push the tail; a spike
+    at one length means templated tokens). One exploded count with a
+    1-row total; read alongside the entropy gate and the Zipf audit
+    as the third distribution-level forensic."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    wl = toks.select(F.length("tok").alias("wl"))
+    tot = wl.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        wl.groupBy(F.col("wl").alias("word_length"))
+        .agg(F.count(F.lit(1)).alias("n_words"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word_length",
+            "n_words",
+            F.round(F.col("n_words") / F.col("t"), 6).alias("share"),
+        )
+    )
