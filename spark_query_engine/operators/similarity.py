@@ -375,6 +375,91 @@ def pq_adc_topk(
     return out.orderBy(F.col("adc_dist").asc(), F.col("id")).limit(k)
 
 
+def pq_train_codebooks(
+    v: DataFrame,
+    m: int,
+    sub_dim: int,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train ALL ``m`` PQ sub-codebooks at once: per-subspace Lloyd's
+    k-means under squared L2 (the PQ objective — subvectors are not
+    unit-norm, so cosine is the wrong metric), batched so one Spark
+    job per iteration trains every subspace.
+
+    The trick is treating the subspace index ``j`` as a grouping
+    column: each vector explodes into ``m`` (id, j, subvector) rows in
+    a single scan, the current codebooks ride as ONE 3-D literal
+    (``element_at(lit, j+1)`` selects a subspace's k×sub_dim table),
+    and the re-estimation step is a (j, code, pos)-keyed mean — a hash
+    aggregation with map-side combine producing exactly m·k·sub_dim
+    rows per iteration. Driver state is the codebooks themselves
+    (m·k·sub_dim floats — kilobytes), the same model-state contract as
+    ``clustering.kmeans_fit``.
+
+    Determinism (exact-oracle discipline): init = the 6dp-rounded
+    subvectors of the vectors with id < k; distances 6dp-rounded
+    before the argmin with ties → lowest code; means 6dp-rounded;
+    empty cells keep their previous centroid. A DuckDB oracle
+    replaying the same CTE chain reproduces the codebooks
+    bit-for-bit. Returns codebooks[j][code] = sub-centroid."""
+    v = v.persist()
+    init = v.where(F.col("id") < k).select("id", "vec").collect()
+    cbs: list[list[list[float]]] = [
+        [
+            [round(float(x), 6) for x in r["vec"][j * sub_dim:(j + 1) * sub_dim]]
+            for r in sorted(init, key=lambda r: int(r["id"]))
+        ]
+        for j in range(m)
+    ]
+
+    subs = v.select(
+        "id",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("vec", j * sub_dim + 1, sub_dim).alias("s"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ),
+    )
+
+    def d2(a, b) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    for _ in range(iters):
+        cb_lit = F.lit([[list(c) for c in cb] for cb in cbs])
+        table = F.element_at(cb_lit, F.col("j") + 1)
+        dists = F.transform(table, lambda c: d2(F.col("s"), c))
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        means = (
+            subs.select("j", code.alias("code"), F.posexplode("s").alias("pos", "val"))
+            .groupBy("j", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .groupBy("j", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("c")
+            )
+        )
+        for r in means.collect():
+            cbs[int(r["j"])][int(r["code"])] = [float(x) for x in r["c"]]
+    return cbs
+
+
 def ann_topk_lsh(
     df: DataFrame,
     id_col: str,

@@ -161,32 +161,25 @@ def _driver_verified() -> set[str]:
     return verified
 
 
-#: Names the round-2 verdict called out by name as must-verify this
-#: round. They are pinned to the very front of the unverified prefix
-#: (in this order) so the ~50-entry driver window cannot round-robin
-#: them out; once a name earns a green CORRECTNESS row it leaves the
-#: unverified set and this pin becomes a no-op.
+#: Names the round-3 verdict called out by name as must-verify this
+#: round (the round-3b/3c families that otherwise sit past the ~50
+#: window). They are pinned to the very front of the unverified prefix
+#: (in this order) so the driver window cannot round-robin them out;
+#: once a name earns a green CORRECTNESS row it leaves the unverified
+#: set and this pin becomes a no-op.
 _WINDOW_FIRST = (
-    "corpus_multimodal_features",  # r2's one red row — re-check post-fix
-    "corpus_dedup_keep_best",
-    "corpus_lm_score",
-    "corpus_graph_pagerank",
-    "dedup_chain_recursive",
-    "dedup_embedding_cosine",
-    "data_cdc_upsert",
-    "data_incremental_rollup",
-    "data_snapshot_diff",
-    "data_skew_report",
-    "data_quality_checks",
-    "events_retention",
-    "events_rollup_granularity",
-    "events_downsample_ohlc",
-    "events_gap_fill",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
+    "corpus_bpe_train",
+    "corpus_bpe_tokenize",
+    "corpus_bpe_fertility",
+    "corpus_dup_span_removal",
+    "corpus_winnow_fingerprint",
+    "pipeline_pretraining_full",
+    "pipeline_rag_index",
+    "graph_triangle_count",
+    "data_scd2_history",
+    "data_scd2_pointintime",
+    "data_gdpr_cascade_delete",
+    "events_rolling_wau",
 )
 
 
