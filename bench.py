@@ -156,6 +156,11 @@ HEADLINE = [
     "supplier_concentration_hhi",
     "text_zipf_fit",
     "dedup_cluster_purity",
+    # round 4: trained PQ, cross-polytope blocking, star components
+    "corpus_pq_trained_recall",
+    "dedup_embedding_cosine",
+    "dedup_embedding_scaled",
+    "dedup_cluster_components",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal
@@ -208,19 +213,31 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "r1_subset_total": round(
-                    sum(timings[n] for n in R1_SUBSET if n in timings), 3
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "r1_subset_total": round(
+            sum(timings[n] for n in R1_SUBSET if n in timings), 3
+        ),
+        # round-over-round comparables: HEADLINE is append-only, so
+        # each round's full set is a prefix of the next round's
+        "r2_subset_total": round(
+            sum(timings[n] for n in HEADLINE[:54] if n in timings), 3
+        ),
+        "r3_subset_total": round(
+            sum(timings[n] for n in HEADLINE[:124] if n in timings), 3
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(record))
+    # The driver's BENCH_r{N}.json capture keeps only the stdout TAIL
+    # (round 3 lost 61 of 124 per-query rows) — persist the full
+    # record to a committed repo file so every round stays diffable
+    # per-query against the previous one.
+    (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
+        json.dumps(record, indent=1) + "\n"
     )
 
 

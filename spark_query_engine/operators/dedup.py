@@ -393,15 +393,133 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: every node gets
-    the MIN id reachable from it. Iterative min-label propagation —
+    the MIN id reachable from it. Two interchangeable algorithms:
+
+    - ``star`` (default): alternating large-star/small-star (Kiveris
+      et al., "Connected Components in MapReduce and Beyond") —
+      converges in O(log n) rounds even on adversarial chain-shaped
+      graphs, each round two equi-join + min-aggregation passes.
+    - ``label``: min-label propagation — one join+min per round but
+      O(component diameter) rounds; fine for the shallow clusters
+      near-dup graphs produce, kept as the property-test twin.
+
+    Returns (id, component) for every node appearing in ``pairs``."""
+    if algorithm == "label":
+        return connected_components_label(pairs, src, dst, max_iter)
+    return connected_components_star(pairs, src, dst, max_iter)
+
+
+def connected_components_star(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    MapReduce & Beyond): per round, LARGE-STAR hangs every neighbor
+    LARGER than a node off the minimum of its neighborhood, then
+    SMALL-STAR re-hangs the smaller neighbors off that minimum. Both
+    steps are an equi-join of the edge list with a per-node min — the
+    same shuffle shape as min-label propagation — but the edge set
+    contracts toward min-rooted stars in O(log n) rounds REGARDLESS
+    of component diameter, which is what kills the adversarial-chain
+    case the label propagator degrades on.
+
+    Per round: two (join + groupBy-min + distinct) passes, all
+    shuffled on node id; the edge relation persists per round with
+    ``localCheckpoint`` lineage truncation every 5 rounds. The
+    convergence probe is a (count, xor-of-edge-hashes) scalar — the
+    edge set is a fixpoint exactly when the signature repeats.
+
+    Returns (id, component) for every node appearing in ``pairs``."""
+    e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e0.select(F.col("u").alias("n"))
+        .union(e0.select(F.col("v").alias("n")))
+        .distinct()
+        .persist()
+    )
+    edges = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    prev_sig = None
+    for _i in range(max_iter):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        # large-star: every neighbor v > u re-attaches to min(Γ(u) ∪ u);
+        # m ≤ u < v, so the output is (larger, smaller)-oriented and
+        # self-loop-free by construction. No dedup here — the round's
+        # single distinct at the end covers it, and mins2 is
+        # duplicate-insensitive.
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: neighbors (all smaller after the orientation) and
+        # the node itself re-attach to the neighborhood min
+        mins2 = large.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m").alias("c"))
+            .union(mins2.select(F.col("u").alias("n"), F.col("m").alias("c")))
+            .where(F.col("n") != F.col("c"))
+            .distinct()
+            .select(F.col("n").alias("u"), F.col("c").alias("v"))
+        )
+        # checkpoint EVERY round: each round references `edges` ~6
+        # times (sym union, two joins, two mins), so an unbroken
+        # lineage grows ~6× per round — by round 5 just RENDERING the
+        # AQE plan OOMs the driver. Eager localCheckpoint truncates
+        # the plan to a leaf each round (a real cluster job uses
+        # reliable checkpointing); the materialization it forces is
+        # work the convergence probe needs anyway.
+        small = small.localCheckpoint()
+        row = small.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
+        ).collect()[0]
+        sig = (row["cnt"], row["sig"])
+        edges.unpersist()
+        edges = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} "
+            "rounds — raise max_iter (round count is O(log n), so "
+            "this should never fire on real graphs)"
+        )
+    # fixpoint edges are (child → component-min root) stars; the
+    # groupBy-min is a no-op safety net at the fixpoint
+    roots = edges.groupBy("u").agg(F.min("v").alias("component"))
+    out = (
+        nodes.join(roots, nodes["n"] == roots["u"], "left")
+        .select(
+            F.col("n").alias("id"),
+            F.coalesce("component", "n").alias("component"),
+        )
+    )
+    return out
+
+
+def connected_components_label(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation —
     each round, a node adopts the smallest label among itself and its
     neighbors; converges in O(component diameter) rounds (near-dup
-    clusters are shallow; for adversarial long-chain graphs switch to
-    large-star/small-star, which is O(log n) rounds of the same
-    join+min shape).
+    clusters are shallow; for adversarial long-chain graphs use
+    ``connected_components_star``, which is O(log n) rounds of the
+    same join+min shape).
 
     Per round: one equi-join (labels ⋈ edges) + one min-aggregation,
     both shuffled on node id. Labels persist per round and the
@@ -451,6 +569,18 @@ def connected_components(
         labels = new.select("n", "label")
         if changed == 0:
             break
+    else:
+        # Returning the partial labels would silently split components
+        # whose diameter exceeds max_iter (measured: a 1000-node chain
+        # at max_iter=25 came back as 975 bogus components). Fail loud
+        # — or use connected_components_star, whose round count is
+        # logarithmic and can't realistically hit the cap.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components_label: no convergence in {max_iter} "
+            "rounds (component diameter exceeds max_iter); use "
+            "connected_components_star for deep/chain-shaped graphs"
+        )
     out = labels.select(F.col("n").alias("id"), F.col("label").alias("component"))
     sym.unpersist()
     return out

