@@ -165,6 +165,67 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_banded_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-ROW MinHash banding: (id, shingles, band_idx, band_key) with
+    the signature computed inside the row's projection (array_min over
+    the shingle array) instead of a groupBy — semantically identical to
+    ``minhash_signatures`` + ``lsh_candidate_pairs``'s banding (same
+    md5 base hash, same affine permutations, same band-key md5), but
+    with NO aggregation, which makes it legal on a STREAMING DataFrame
+    ahead of a stateful operator. The batch pipeline keeps the groupBy
+    form (shingle rows feed the verify join there); this is the
+    ingestion-time form."""
+    df = widen(df)
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (shingle_k - 1))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(shingle_k)]
+        ),
+    )
+    base = df.where(n >= shingle_k).select(
+        F.col(id_col).alias("id"), F.array_distinct(shingle).alias("shingles")
+    )
+
+    def h(s):
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: (F.lit(a) * h(s) + F.lit(b)) % F.lit(_MINHASH_PRIME),
+            )
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    sig = base.select("id", "shingles", *mh)
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select(
+        "id",
+        "shingles",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    )
+
+
 def verify_jaccard(
     shingles: DataFrame, pairs: DataFrame, threshold: float
 ) -> DataFrame:

@@ -10,6 +10,7 @@ plus watermarking for late data and stateful sessionization.
 from spark_query_engine.streaming.events import (
     dedup_stream,
     interval_join_streams,
+    minhash_dedup_stream,
     ohlc_stream,
     run_to_memory_sink,
     per_type_counts_tws,
@@ -33,6 +34,7 @@ __all__ = [
     "running_user_totals",
     "interval_join_streams",
     "dedup_stream",
+    "minhash_dedup_stream",
     "write_foreach_batch_parquet",
     "run_to_memory_sink",
 ]

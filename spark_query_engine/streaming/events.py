@@ -328,6 +328,96 @@ def dedup_stream(
     )
 
 
+def minhash_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection — the MinHash-band completion
+    of ``dedup_stream`` (which is exact-key only): as documents arrive,
+    emit every near-dup pair (id_a < id_b, exact Jaccard ≥ threshold)
+    against everything seen so far, across micro-batches.
+
+    Shape: the signature/banding projection is stateless and per-row
+    (``minhash_banded_rows`` — no aggregation, so it is legal ahead of
+    the stateful operator), then ONE ``applyInPandasWithState`` keyed
+    by (band_idx, band_key): the state store holds each bucket's
+    occupants (id + distinct-shingle set), a new arrival exact-verifies
+    against its bucket peers and appends itself. Pair emission is
+    symmetric in arrival order, so the DISTINCT emitted-pair set equals
+    the batch ``minhash_near_duplicates`` output on the same documents
+    regardless of how the stream is batched (asserted by the
+    stream≡batch equivalence test).
+
+    Scale: state is partitioned by bucket across executors; per-bucket
+    work is O(occupancy²) exactly like the batch band self-join, and
+    the banding keeps buckets small (hot-key guard = the same
+    max-df-style shingle cap as batch). State grows with the corpus
+    within the dedup horizon — in production, bound it with
+    ``GroupStateTimeout.ProcessingTimeTimeout`` + per-group timeouts
+    (drop buckets idle past the horizon), the same eviction story as
+    ``dedup_stream``'s watermark. Emitted Jaccard is the raw IEEE
+    ratio |∩|/|∪| (unrounded; the batch twin rounds half-up at 6dp —
+    compare pairs exactly and values to 5e-7)."""
+    import math
+
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spark_query_engine.operators.dedup import minhash_banded_rows
+
+    banded = minhash_banded_rows(
+        docs, id_col, text_col, shingle_k, num_hashes, bands
+    )
+
+    def bucket_pairs(key, pdfs, state):
+        if state.exists:
+            ids, sets = state.get
+            ids = list(ids)
+            sets = [list(s) for s in sets]
+        else:
+            ids, sets = [], []
+        arrivals: list[tuple[int, list[str]]] = []
+        for pdf in pdfs:
+            for did, sh in zip(pdf["id"], pdf["shingles"]):
+                arrivals.append((int(did), list(sh)))
+        arrivals.sort()  # deterministic intra-batch order
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for did, sh in arrivals:
+            if did in ids:
+                continue  # at-least-once redelivery of the same doc
+            sset = set(sh)
+            for pid, psh in zip(ids, sets):
+                pset = set(psh)
+                inter = len(sset & pset)
+                union = len(sset) + len(pset) - inter
+                jac = inter / union if union else 0.0
+                # threshold on the HALF-UP 6dp rounding, mirroring the
+                # batch verify's F.round(jaccard, 6) >= threshold
+                if math.floor(jac * 1e6 + 0.5) / 1e6 >= threshold:
+                    out_a.append(min(did, pid))
+                    out_b.append(max(did, pid))
+                    out_j.append(jac)
+            ids.append(did)
+            sets.append(sh)
+        state.update((ids, sets))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        bucket_pairs,
+        outputStructType="id_a long, id_b long, jaccard double",
+        stateStructType="ids array<long>, shingle_sets array<array<string>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_foreach_batch_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ):

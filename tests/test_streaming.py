@@ -167,6 +167,62 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     assert sorted(ids) == [1, 2, 3]
 
 
+def test_minhash_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming MinHash-band near-dup dedup ≡ batch: drive the
+    sf0.001 documents through `minhash_dedup_stream` in THREE
+    micro-batches (cross-batch state is the point — pairs whose
+    members arrive in different batches must still emit) and assert
+    the distinct emitted pair set equals `minhash_near_duplicates` on
+    the same documents, with per-pair Jaccard agreeing to 1e-9."""
+    from spark_query_engine.operators.dedup import minhash_near_duplicates
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tmp_path / "docstream"
+    d.mkdir()
+    # three files = three micro-batches (maxFilesPerTrigger=1), split
+    # round-robin so near-dup partners usually land in DIFFERENT batches
+    pdf = docs.toPandas()
+    for i in range(3):
+        pdf[pdf["doc_id"] % 3 == i].to_parquet(d / f"part{i}.parquet")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    pairs = ST.minhash_dedup_stream(
+        stream, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
+    )
+    ST.run_to_memory_sink(pairs, "minhash_dedup_out", mode="append")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b, jaccard FROM minhash_dedup_out"
+        ).collect()
+    }
+
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+            threshold=0.6,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert len(want) > 0
+    for k in want:
+        # batch emits the 6dp-rounded jaccard, stream the raw ratio
+        assert abs(got[k] - want[k]) <= 5.001e-7, k
+
+
 def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path, events_stream):
     """foreachBatch sink: every input row lands in the output parquet
     exactly once, stamped with its micro-batch id."""
