@@ -584,6 +584,41 @@ def corpus_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pq_codebook_audit",
+    oracle=f"""
+        {_pq_trained_ctes()}
+        SELECT j, code, generate_subscripts(c, 1) AS pos, unnest(c) AS val
+        FROM t{_PQT_ITERS}
+    """,
+)
+def corpus_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verify the PQ TRAINER ITSELF, cell by cell: every
+    (subspace, code, position) entry of the trained codebooks —
+    {_PQT_M}·{_PQT_K}·{_PQT_SD} rows — against the oracle's replay of
+    the batched per-subspace Lloyd chain. ``corpus_pq_trained_recall``
+    certifies the trained index END-TO-END; this row pins the learned
+    MODEL STATE, so a training regression shows up as the exact cell
+    that moved rather than a recall delta. The model is k·m·sub_dim
+    floats of driver state (the kmeans_fit contract); materializing it
+    as a relation is a createDataFrame of that state, not a data-plane
+    collect."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = C._vectors(emb, "vec_id", "embedding")
+    cbs = S.pq_train_codebooks(
+        v, _PQT_M, _PQT_SD, k=_PQT_K, iters=_PQT_ITERS
+    )
+    rows = [
+        (j, code, pos, float(val))
+        for j, cb in enumerate(cbs)
+        for code, cent in enumerate(cb)
+        for pos, val in enumerate(cent, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "j bigint, code bigint, pos bigint, val double"
+    )
+
+
+@query(
     "corpus_cluster_cohesion",
     oracle=f"""
         {_kmeans_ctes()}

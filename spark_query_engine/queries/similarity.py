@@ -859,3 +859,72 @@ def vec_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+def _cp_ann_oracle() -> str:
+    from spark_query_engine.queries.dedup import _cp_key_ctes
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        {_cp_key_ctes(bands=16, rank=2)},
+        cand AS (SELECT DISTINCT id_b AS id FROM cpcand WHERE id_a = 0),
+        qf AS (SELECT vec AS qvec FROM v WHERE id = 0)
+        SELECT c.id,
+               ROUND(list_cosine_similarity(v.vec, qf.qvec), 6) AS cos_sim
+        FROM cand c JOIN v USING (id), qf
+        ORDER BY cos_sim DESC, id
+        LIMIT 5
+    """
+
+
+@query("ann_cp_topk", oracle=_cp_ann_oracle())
+def ann_cp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k probing CROSS-POLYTOPE buckets — the CP hash family's
+    third consumer (after the near-dup blocker and its band audit),
+    closing the loop with the sign-LSH probe ``ann_lsh_topk``: the
+    query's rank-1/rank-2 keys select candidate buckets across 16
+    bands, candidates rank by exact cosine, top-5 out. The probe is a
+    BROADCAST hash join of the corpus key relation against the 16-row
+    query-key relation on the band column — bucket selection costs one
+    scan of the (persisted) signature relation, and at scale the
+    (band, key) pair is the partition key, so each probe reads only
+    its buckets (the ann_lsh_topk pruning contract, with CP's steeper
+    collision curve). The oracle replays rotations, keys, multiprobe
+    candidates, and the rounded-cosine ranking from md5 alone."""
+    from spark_query_engine.operators import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings")
+    keys = SIM.cp_keys(
+        emb, "vec_id", "embedding", SIM.cp_rotations(16, 64)
+    )
+    qk = keys.where(F.col("id") == 0).select(
+        "band", F.col("k1").alias("qk1"), F.col("k2").alias("qk2")
+    )
+    cand = (
+        keys.where(F.col("id") != 0)
+        .join(F.broadcast(qk), "band")
+        .where(
+            (F.col("qk1") == F.col("k1"))
+            | (F.col("qk1") == F.col("k2"))
+            | (F.col("qk2") == F.col("k1"))
+        )
+        .select("id")
+        .distinct()
+    )
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    qvec = _query_vec(spark, sf_dir, 0)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    from spark_query_engine.operators.dedup import cosine
+
+    return (
+        cand.join(v, "id")
+        .select("id", F.round(cosine(F.col("vec"), qlit), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "id")
+        .limit(5)
+    )

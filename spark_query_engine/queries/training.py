@@ -2211,3 +2211,127 @@ def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("f") * F.col("n_t")) / F.sum("f"), 6
         ).alias("fertility"),
     )
+
+
+@query(
+    "graph_components_deep_chain",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderkey,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+                   MIN(o_orderkey) OVER (PARTITION BY o_orderpriority) AS m
+            FROM orders
+        )
+        SELECT o_orderkey AS id, m AS component
+        FROM g WHERE n >= 2
+    """,
+)
+def graph_components_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on an adversarially DEEP graph — the shape
+    that breaks min-label propagation: orders chain consecutively
+    (by o_orderkey) within their priority class, giving 5 path
+    components whose diameter is n/5 (thousands at sf0.01, ~30k at
+    sf0.1). Label propagation needs diameter rounds (it now raises at
+    max_iter rather than silently splitting the chain — measured: a
+    1000-node path at 25 rounds came back as 975 bogus components);
+    large-star/small-star contracts the same chains in O(log n)
+    rounds of equi-join + min-aggregation, so the registered query
+    runs the star operator at its design point.
+
+    The oracle sidesteps recursion entirely: consecutive-rank edges
+    make each priority class exactly one path, so every member's
+    component is the class MIN — a window aggregate, exact at any sf.
+    The Spark side gets NO such shortcut: it sees only the edge list
+    and must actually converge. Edge construction is one ranked
+    window (lead over the priority partition); groups of one order
+    would contribute no edge and drop from the output, mirrored by
+    the oracle's n >= 2 guard."""
+    from spark_query_engine.operators import dedup as D
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    edges = (
+        orders.withColumn("nxt", F.lead("o_orderkey").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("id_a"), F.col("nxt").alias("id_b")
+        )
+    )
+    return D.connected_components_star(edges)
+
+
+@query(
+    "vec_matryoshka_audit",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.id, a.vec AS va, b.vec AS vb
+            FROM v a JOIN v b ON b.id = a.id + 1
+        ),
+        d AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+        scored AS (
+            SELECT d.dims,
+                   ROUND(list_cosine_similarity(va, vb), 6) AS cf,
+                   ROUND(list_cosine_similarity(va[1:d.dims],
+                                                vb[1:d.dims]), 6) AS ct
+            FROM p, d
+        )
+        SELECT dims,
+               COUNT(*) AS n_pairs,
+               ROUND(AVG(ABS(ct - cf)), 6) AS mean_abs_err,
+               ROUND(MAX(ABS(ct - cf)), 6) AS max_abs_err,
+               CAST(SUM(CASE WHEN (ct >= 0) <> (cf >= 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sign_flips
+        FROM scored GROUP BY dims
+    """,
+)
+def vec_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation fidelity audit: can the leading d' dims of
+    the embedding stand in for all 64 (the MRL deployment question —
+    truncated vectors cut ANN index memory d/d' fold)? Over the
+    deterministic consecutive-id pair sample, per prefix length:
+    mean/max absolute cosine error and sign flips versus the full
+    vector. On THIS corpus's iid embeddings the error is large by
+    construction (no dimension ordering — exactly what the audit
+    should show for non-MRL vectors); MRL-trained embeddings would
+    show the front-loaded fidelity that licenses truncation.
+
+    Plan: the pair sample is a self-join on id+1 (shuffle hash join,
+    O(n)); scoring fans each pair across the 4-row prefix dimension
+    (constant fan-out) and aggregates per prefix — one scan, one
+    small-key hash agg. All cosines on 6dp-rounded sequential folds,
+    replayed by the oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    a = v.select("id", F.col("vec").alias("va"))
+    b = v.select((F.col("id") - 1).alias("id"), F.col("vec").alias("vb"))
+    p = a.join(b, "id")
+    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "dims int")
+    scored = p.crossJoin(F.broadcast(dims)).select(
+        "dims",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cf"),
+        F.round(
+            cosine(
+                F.slice(F.col("va"), 1, F.col("dims")),
+                F.slice(F.col("vb"), 1, F.col("dims")),
+            ),
+            6,
+        ).alias("ct"),
+    )
+    err = F.abs(F.col("ct") - F.col("cf"))
+    return scored.groupBy("dims").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(err), 6).alias("mean_abs_err"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+        F.sum(
+            ((F.col("ct") >= 0) != (F.col("cf") >= 0)).cast("int")
+        ).cast("bigint").alias("n_sign_flips"),
+    )

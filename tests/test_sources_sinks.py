@@ -299,3 +299,30 @@ def test_text_source_reads_lines(ctx, tmp_path):
     df = ctx.text(str(p))
     rows = [r["value"] for r in df.to_spark().collect()]
     assert sorted(rows) == ["alpha 1", "beta 2", "gamma 3"]
+
+
+def test_ivf_index_write_prunes_probe_partitions(spark, sf_dir, tmp_path):
+    """The IVF index BUILD story end-to-end: assign the corpus to
+    learned k-means centroids, write PARTITIONED BY centroid (the
+    inverted lists become a physical layout), and verify a probe of
+    one list plans a PartitionFilters-pruned scan that reads only that
+    list's files — list probes cost 1/k of the corpus at ANY scale,
+    which is the claim ann_ivf_topk's docstring makes and this test
+    pins to the physical plan."""
+    from spark_query_engine.operators import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = C.kmeans_assign(spark, emb, "vec_id", "embedding", k=4, iters=1)
+    out = str(tmp_path / "ivf_index")
+    assigned.select("id", "vec", "centroid").write.partitionBy(
+        "centroid"
+    ).parquet(out)
+
+    index = spark.read.parquet(out)
+    probe = index.where(F.col("centroid") == 1)
+    plan = formatted_explain(probe)
+    assert "PartitionFilters" in plan
+    assert "centroid" in plan.split("PartitionFilters", 1)[1][:200]
+    # the probe reads only its list: row count equals that list's size
+    want = assigned.where(F.col("centroid") == 1).count()
+    assert probe.count() == want
