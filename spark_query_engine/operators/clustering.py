@@ -99,6 +99,46 @@ def kmeans_assign(
     return assign_to_centroids(v, cents)
 
 
+def covariance_matrix(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Distributed covariance matrix of an embedding column — the input
+    relation of classical distributed PCA (covariance here, eigen-
+    decomposition on the driver: a d×d float problem, model state not
+    data). Upper triangle only: (i, j, cov) with 1-based i ≤ j,
+    cov = Σ (x_i-μ_i)(x_j-μ_j)/n, 6dp-rounded; means 6dp-quantized
+    first so the oracle replays bit-for-bit.
+
+    Plan: one mean aggregation (d output rows, broadcast back), then
+    the (id, i, v) element relation self-joins on id restricted to
+    i ≤ j — n·d(d+1)/2 product rows into a (i, j)-keyed hash agg with
+    map-side combine. Linear in n; d² is the OUTPUT size, constant per
+    corpus."""
+    v = _vectors(df, id_col, vec_col)
+    el = v.select(
+        "id", F.posexplode("vec").alias("i", "x")
+    ).select("id", (F.col("i") + 1).alias("i"), "x")
+    mu = el.groupBy("i").agg(F.round(F.avg("x"), 6).alias("mu"))
+    n = v.count()
+    a = el.join(F.broadcast(mu), "i").select(
+        "id", "i", (F.col("x") - F.col("mu")).alias("cx")
+    )
+    b = a.select(
+        F.col("id").alias("id_b"),
+        F.col("i").alias("j"),
+        F.col("cx").alias("cy"),
+    )
+    return (
+        a.join(b, (F.col("id") == F.col("id_b")) & (F.col("i") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.round(F.sum(F.col("cx") * F.col("cy")) / F.lit(float(n)), 6).alias(
+                "cov"
+            )
+        )
+    )
+
+
 def semantic_dedup(
     assigned: DataFrame, threshold: float
 ) -> DataFrame:

@@ -2468,3 +2468,77 @@ def corpus_source_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.round(F.col("mx") / F.col("t"), 6).alias("largest_share"),
     )
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle="""
+        WITH tok AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_tokens) AS t FROM tok),
+        u AS (
+            SELECT source, n_docs, n_tokens,
+                   ROUND(n_tokens * 1.0 / t, 6) AS nat_share,
+                   ROUND(SQRT(ROUND(n_tokens * 1.0 / t, 6)), 6) AS u6
+            FROM tok, tot
+        ),
+        s AS (SELECT ROUND(SUM(u6), 6) AS su FROM u)
+        SELECT source, n_docs, n_tokens, nat_share,
+               ROUND(u6 / su, 6) AS target_share,
+               ROUND(ROUND(u6 / su, 6) * t / n_tokens, 6) AS epochs,
+               LEAST(1.0, ROUND(ROUND(u6 / su, 6) * t / n_tokens, 6))
+                   AS sample_rate
+        FROM u, s, tot
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining dataset-mixture planner (the Llama/Gopher source-
+    weighting computation): per source — token inventory, natural
+    share, temperature-adjusted target share (τ=0.5 ⇒ sqrt, which
+    up-weights small sources without letting any source dominate),
+    and the resulting epochs/sampling-rate at a budget equal to the
+    corpus size. epochs > 1 means the source repeats (up-sampled);
+    sample_rate caps the keep probability for down-sampled sources.
+    This is the decision TABLE the sampler (`corpus_temperature_sample`)
+    executes row-by-row.
+
+    Scale/determinism: one token-count aggregation over the corpus →
+    a |sources|-row relation; every subsequent step is arithmetic on
+    that tiny relation (the 1-row totals broadcast). Float discipline:
+    sqrt (IEEE correctly-rounded — unlike pow, which differs across
+    libms) over 6dp-quantized shares, every normalization re-quantized
+    at 6dp, so the oracle reproduces each value bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    u = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "t",
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("nat_share"),
+        F.round(
+            F.sqrt(F.round(F.col("n_tokens") / F.col("t"), 6)), 6
+        ).alias("u6"),
+    )
+    s = u.agg(F.round(F.sum("u6"), 6).alias("su"))
+    out = u.crossJoin(F.broadcast(s))
+    tshare = F.round(F.col("u6") / F.col("su"), 6)
+    epochs = F.round(tshare * F.col("t") / F.col("n_tokens"), 6)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "nat_share",
+        tshare.alias("target_share"),
+        epochs.alias("epochs"),
+        F.least(F.lit(1.0), epochs).alias("sample_rate"),
+    )

@@ -651,3 +651,37 @@ def corpus_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cent_sim"), 6).alias("min_sim"),
         F.round(F.max("cent_sim"), 6).alias("max_sim"),
     )
+
+
+@query(
+    "vec_covariance_matrix",
+    oracle="""
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings),
+        el AS (SELECT id, generate_subscripts(vec, 1) AS i, unnest(vec) AS x
+               FROM v),
+        mu AS (SELECT i, ROUND(AVG(x), 6) AS mu FROM el GROUP BY i),
+        cx AS (SELECT el.id, el.i, el.x - mu.mu AS cx
+               FROM el JOIN mu USING (i)),
+        n AS (SELECT COUNT(*) AS n FROM v)
+        SELECT a.i, b.i AS j,
+               ROUND(SUM(a.cx * b.cx) / n.n, 6) AS cov
+        FROM cx a JOIN cx b ON a.id = b.id AND a.i <= b.i, n
+        GROUP BY a.i, b.i, n.n
+    """,
+)
+def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding corpus — the PCA input
+    relation: classical distributed PCA is exactly (1) THIS d×d
+    aggregate computed over the corpus, (2) an eigendecomposition of
+    it on the driver (d×d floats = model state), (3) the eigenvector
+    projection broadcast back over the corpus. Step 1 is the only
+    data-scale step and it is hash-verified here, upper triangle as
+    (i, j, cov); steps 2-3 are covered by the pytest property
+    (tests/test_operators.py::test_distributed_pca_projection) since
+    no SQL engine replays an eigensolver. Diagonal ≈ 1/64 and
+    off-diagonal ≈ 0 on this corpus's iid unit vectors — the audit
+    that says 'no linear structure to compress' (contrast
+    vec_matryoshka_audit, same conclusion from the truncation side)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return C.covariance_matrix(emb, "vec_id", "embedding")

@@ -474,3 +474,53 @@ def test_wav_codec_real_roundtrip_and_stdlib_parse():
     )
     rate2, got2 = decode_wav(patched)
     assert rate2 == 8000 and (got2 == s).all()
+
+
+def test_distributed_pca_projection(spark, sf_dir):
+    """Classical distributed PCA end-to-end: the covariance relation
+    (hash-verified separately as vec_covariance_matrix) collects to a
+    d×d driver matrix — MODEL state, not data — numpy eigendecomposes
+    it, and the top-2 eigenvectors broadcast back as literals to
+    project the corpus in one scan. Checks the linear-algebra
+    contract: per-component projected variance equals its eigenvalue,
+    and the two components are uncorrelated."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_query_engine.operators.clustering import covariance_matrix
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cov_rows = covariance_matrix(emb, "vec_id", "embedding").collect()
+    d = 64
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1]
+    top = [[float(x) for x in evecs[:, order[c]]] for c in range(2)]
+
+    v = emb.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    proj = v.select(
+        *[
+            F.aggregate(
+                F.zip_with("vec", F.lit(top[c]), lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"pc{c}")
+            for c in range(2)
+        ]
+    )
+    stats = proj.agg(
+        F.var_pop("pc0").alias("v0"),
+        F.var_pop("pc1").alias("v1"),
+        F.covar_pop("pc0", "pc1").alias("c01"),
+    ).collect()[0]
+    lam0, lam1 = float(evals[order[0]]), float(evals[order[1]])
+    # 6dp quantization of cov entries bounds the eigen perturbation
+    assert abs(stats["v0"] - lam0) < 1e-3
+    assert abs(stats["v1"] - lam1) < 1e-3
+    assert abs(stats["c01"]) < 1e-3
+    assert lam0 >= lam1 > 0
