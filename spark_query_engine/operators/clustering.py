@@ -106,35 +106,63 @@ def covariance_matrix(
     relation of classical distributed PCA (covariance here, eigen-
     decomposition on the driver: a d×d float problem, model state not
     data). Upper triangle only: (i, j, cov) with 1-based i ≤ j,
-    cov = Σ (x_i-μ_i)(x_j-μ_j)/n, 6dp-rounded; means 6dp-quantized
-    first so the oracle replays bit-for-bit.
+    cov ≈ (Σxy − ΣxΣy/n)/n on 1e-6-quantized elements, 6dp-rounded.
 
-    Plan: one mean aggregation (d output rows, broadcast back), then
-    the (id, i, v) element relation self-joins on id restricted to
-    i ≤ j — n·d(d+1)/2 product rows into a (i, j)-keyed hash agg with
-    map-side combine. Linear in n; d² is the OUTPUT size, constant per
-    corpus."""
+    Float discipline (the repo's exact-integer-moment rule, adopted
+    round 3 after built-in stddev diverged cross-engine): elements
+    quantize to 1e6-scaled BIGINTs via FLOOR (deterministic on
+    identical doubles), the raw moments Σxq·yq, Σxq, Σyq accumulate
+    EXACTLY as decimal(38,0) integers — order-independent, so Spark's
+    partition-order float summation can never flip a 6dp rounding
+    boundary (the round-4 vec_covariance_matrix hash flip) — and the
+    covariance derives once per output cell from identical integers
+    on both engines.
+
+    Plan: the (id, i, xq) element relation self-joins on id restricted
+    to i ≤ j — n·d(d+1)/2 product rows into a (i, j)-keyed hash agg
+    with map-side combine; one d-row marginal agg joins back on i/j.
+    Linear in n; d² is the OUTPUT size, constant per corpus."""
     v = _vectors(df, id_col, vec_col)
-    el = v.select(
-        "id", F.posexplode("vec").alias("i", "x")
-    ).select("id", (F.col("i") + 1).alias("i"), "x")
-    mu = el.groupBy("i").agg(F.round(F.avg("x"), 6).alias("mu"))
     n = v.count()
-    a = el.join(F.broadcast(mu), "i").select(
-        "id", "i", (F.col("x") - F.col("mu")).alias("cx")
+    el = (
+        v.select("id", F.posexplode("vec").alias("i", "x"))
+        .select(
+            "id",
+            (F.col("i") + 1).alias("i"),
+            F.floor(F.col("x") * F.lit(1000000.0)).alias("xq"),
+        )
     )
-    b = a.select(
-        F.col("id").alias("id_b"),
-        F.col("i").alias("j"),
-        F.col("cx").alias("cy"),
+    b = el.select(
+        F.col("id").alias("id_b"), F.col("i").alias("j"), F.col("xq").alias("yq")
     )
-    return (
-        a.join(b, (F.col("id") == F.col("id_b")) & (F.col("i") <= F.col("j")))
+    sxy = (
+        el.join(b, (F.col("id") == F.col("id_b")) & (F.col("i") <= F.col("j")))
         .groupBy("i", "j")
         .agg(
-            F.round(F.sum(F.col("cx") * F.col("cy")) / F.lit(float(n)), 6).alias(
-                "cov"
-            )
+            F.sum((F.col("xq") * F.col("yq")).cast("decimal(38,0)")).alias("s_xy")
+        )
+    )
+    marg = el.groupBy("i").agg(F.sum(F.col("xq").cast("decimal(38,0)")).alias("s"))
+    nn = float(n)
+    return (
+        sxy.join(F.broadcast(marg.select(F.col("i"), F.col("s").alias("s_x"))), "i")
+        .join(
+            F.broadcast(marg.select(F.col("i").alias("j"), F.col("s").alias("s_y"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("s_xy").cast("double")
+                    - F.col("s_x").cast("double")
+                    * F.col("s_y").cast("double")
+                    / F.lit(nn)
+                )
+                / F.lit(nn * 1e12),
+                6,
+            ).alias("cov"),
         )
     )
 

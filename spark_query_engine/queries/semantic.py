@@ -624,7 +624,8 @@ def corpus_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_kmeans_ctes()}
         SELECT centroid,
                COUNT(*) AS n_members,
-               ROUND(SUM(sim), 4) AS sim_mass,
+               ROUND(SUM(CAST(ROUND(sim * 1000000) AS BIGINT))
+                     / 1000000.0, 4) AS sim_mass,
                ROUND(MIN(sim), 6) AS min_sim,
                ROUND(MAX(sim), 6) AS max_sim
         FROM a_final GROUP BY centroid
@@ -638,16 +639,22 @@ def corpus_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     is doing nothing; empty-adjacent sizes flag a bad k). Pure rollup
     over the assignment relation ``corpus_kmeans`` already produces;
     the oracle replays the unrolled Lloyd fit and aggregates the same
-    sims. Sim mass is the 4dp-rounded SUM (the repo's aggregate
-    discipline) rather than an avg whose division lands on rounding
-    boundaries."""
+    sims. Sim mass follows the exact-integer-moment discipline: the
+    6dp-quantized sims scale to 1e6 BIGINTs and SUM exactly — a float
+    SUM over a corpus-sized group can flip a rounding boundary with
+    partition order (the round-4 vec_covariance_matrix lesson); an
+    integer SUM cannot."""
     emb = load(spark, sf_dir, "embeddings")
     assigned = C.kmeans_assign(
         spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
     )
     return assigned.groupBy("centroid").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.sum("cent_sim"), 4).alias("sim_mass"),
+        F.round(
+            F.sum(F.round(F.col("cent_sim") * 1000000, 0).cast("bigint"))
+            / 1000000.0,
+            4,
+        ).alias("sim_mass"),
         F.round(F.min("cent_sim"), 6).alias("min_sim"),
         F.round(F.max("cent_sim"), 6).alias("max_sim"),
     )
@@ -658,16 +665,21 @@ def corpus_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
                    FROM embeddings),
-        el AS (SELECT id, generate_subscripts(vec, 1) AS i, unnest(vec) AS x
+        el AS (SELECT id, generate_subscripts(vec, 1) AS i,
+                      CAST(FLOOR(unnest(vec) * 1000000.0) AS BIGINT) AS xq
                FROM v),
-        mu AS (SELECT i, ROUND(AVG(x), 6) AS mu FROM el GROUP BY i),
-        cx AS (SELECT el.id, el.i, el.x - mu.mu AS cx
-               FROM el JOIN mu USING (i)),
+        sxy AS (SELECT a.i, b.i AS j, SUM(a.xq * b.xq) AS s_xy
+                FROM el a JOIN el b ON a.id = b.id AND a.i <= b.i
+                GROUP BY a.i, b.i),
+        marg AS (SELECT i, SUM(xq) AS s FROM el GROUP BY i),
         n AS (SELECT COUNT(*) AS n FROM v)
-        SELECT a.i, b.i AS j,
-               ROUND(SUM(a.cx * b.cx) / n.n, 6) AS cov
-        FROM cx a JOIN cx b ON a.id = b.id AND a.i <= b.i, n
-        GROUP BY a.i, b.i, n.n
+        SELECT sxy.i, sxy.j,
+               ROUND((CAST(s_xy AS DOUBLE)
+                      - CAST(mx.s AS DOUBLE) * CAST(my.s AS DOUBLE) / n.n)
+                     / (n.n * 1e12), 6) AS cov
+        FROM sxy
+        JOIN marg mx ON mx.i = sxy.i
+        JOIN marg my ON my.i = sxy.j, n
     """,
 )
 def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -471,7 +471,8 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_with_zero_component,
                ROUND(MIN(norm), 6) AS min_norm,
                ROUND(MAX(norm), 6) AS max_norm,
-               ROUND(SUM(norm), 4) AS norm_mass
+               ROUND(SUM(CAST(ROUND(norm * 1000000) AS BIGINT))
+                     / 1000000.0, 4) AS norm_mass
         FROM n GROUP BY label
     """,
 )
@@ -518,7 +519,15 @@ def vec_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_with_zero_component"),
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
-        F.round(F.sum("norm"), 4).alias("norm_mass"),
+        # exact-integer-moment discipline: quantize per-row norms to
+        # 1e6-scaled BIGINTs and SUM exactly — a float SUM over a
+        # corpus-sized group can flip the 4dp round with partition
+        # order (the round-4 vec_covariance_matrix lesson)
+        F.round(
+            F.sum(F.round(F.col("norm") * 1000000, 0).cast("bigint"))
+            / 1000000.0,
+            4,
+        ).alias("norm_mass"),
     )
 
 

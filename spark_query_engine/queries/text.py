@@ -617,7 +617,14 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate tail. One explode + (doc, char)-keyed count + per-doc
     rollup; each doc's term count is bounded by the alphabet. The
     p·log2(p) terms divide exact integers so both engines sum
-    identical doubles (rounded at 6dp for partial-agg order)."""
+    identical doubles (rounded at 6dp for partial-agg order).
+
+    Float-sum audit (round 5): this SUM is alphabet-bounded (≤ ~100
+    terms of magnitude ≤ 0.53), so summation-order error is ~1e-15
+    absolute — a 6dp/3.0-gate flip needs the true value within 1e-15
+    of a boundary (~1e-9 per doc). Justified as-is; contrast the
+    corpus-sized sums (sim_mass, norm_mass, dsir log_weight,
+    covariance) converted to exact integer moments."""
     d = load(spark, sf_dir, "documents")
     chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
     dist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))

@@ -334,7 +334,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_features,
-               ROUND(SUM(model.lr), 4) AS log_weight
+               ROUND(SUM(CAST(ROUND(model.lr * 1000000) AS BIGINT))
+                     / 1000000.0, 4) AS log_weight
         FROM bi JOIN model USING (bg)
         GROUP BY doc_id
         ORDER BY log_weight DESC, doc_id
@@ -357,8 +358,9 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations that BROADCAST to the scorer; totals are a 1-row
     cross-joined aggregate. Nothing shuffles except bigram counts and
     the per-doc sum — at 100 TB the selection is two corpus scans
-    regardless of corpus size. Per-term log-ratios round at 6dp and
-    the doc sum at 4dp on both engines (float discipline)."""
+    regardless of corpus size. Per-term log-ratios round at 6dp; the
+    doc sum accumulates the 1e6-scaled ratios as exact BIGINTs on
+    both engines (integer-moment float discipline)."""
     docs = load(spark, sf_dir, "documents")
     bi = docs.select(
         "doc_id",
@@ -393,7 +395,16 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_features"),
-            F.round(F.sum("lr"), 4).alias("log_weight"),
+            # exact-integer-moment discipline: the 6dp-quantized
+            # per-term log-ratios scale to 1e6 BIGINTs and SUM
+            # exactly — this sum ORDERS the top-100 selection, so a
+            # partition-order float flip would change set membership,
+            # not just a digit
+            F.round(
+                F.sum(F.round(F.col("lr") * 1000000, 0).cast("bigint"))
+                / 1000000.0,
+                4,
+            ).alias("log_weight"),
         )
         .orderBy(F.col("log_weight").desc(), F.col("doc_id"))
         .limit(100)

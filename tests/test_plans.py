@@ -376,6 +376,19 @@ def test_headline_plans_have_no_scale_killers(spark):
         # itself is a hash equi-join on (band, key)
         "dedup_embedding_cosine",
         "dedup_embedding_scaled",
+        # the bands-row cross-polytope rotation relation (model state,
+        # 32 rows, F.broadcast()'d at operators/similarity.py) fans
+        # into the signature scan — the same bounded rotation-matrix
+        # broadcast as dedup_embedding_cosine; the candidate probe
+        # join is a hash equi-join on (band, key)
+        "ann_cp_topk",
+        # same rotation-relation broadcast feeding the per-band bucket
+        # census; the occupancy stats are 1-row aggregate crosses
+        "dedup_cp_band_balance",
+        # the 4-row Matryoshka prefix-length dimension crosses the
+        # embedding scan — a constant-width fan-out (the CMS
+        # hash-dimension shape), never a data-plane join
+        "vec_matryoshka_audit",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
