@@ -498,11 +498,17 @@ def connected_components_star(
 
     Returns (id, component) for every node appearing in ``pairs``."""
     e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # eager localCheckpoint, not persist: lineage truncates (the
+    # upstream pairs pipeline never re-runs for the final join) and
+    # the backing blocks are reclaimed by the ContextCleaner when the
+    # result is dropped — a persist here leaked across repeated
+    # invocations (bench runs each query 3×) because the success path
+    # never reached an unpersist
     nodes = (
         e0.select(F.col("u").alias("n"))
         .union(e0.select(F.col("v").alias("n")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     edges = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
     prev_sig = None
@@ -553,7 +559,6 @@ def connected_components_star(
             break
         prev_sig = sig
     else:
-        nodes.unpersist()
         raise RuntimeError(
             f"connected_components_star: no fixpoint in {max_iter} "
             "rounds — raise max_iter (round count is O(log n), so "

@@ -289,7 +289,13 @@ def cp_keys(
                 ),
             ).alias("y"),
         )
-        .persist()
+        # eager localCheckpoint, not persist: the barrier still stops
+        # Catalyst re-inlining the O(dim²) rotation fold into every
+        # key expression (the measured 8× blowup), but the backing
+        # blocks are GC-reclaimed with the result instead of leaking
+        # across repeated invocations (persist here never reached an
+        # unpersist — bench runs each query 3×)
+        .localCheckpoint()
     )
     y = F.col("y")
     a = F.transform(y, lambda e: F.abs(e))
@@ -346,7 +352,10 @@ def cp_near_duplicates(
     v = widen(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     )
-    keys = cp_keys(df, id_col, vec_col, cp_rotations(bands, dim)).persist()
+    # cp_keys is checkpoint-backed (yb), so deriving roles twice (the
+    # a/b sides of the self-join) re-runs only the cheap argmax
+    # projection — no extra persist needed here
+    keys = cp_keys(df, id_col, vec_col, cp_rotations(bands, dim))
     roles = keys.select(
         "id",
         "band",
@@ -372,7 +381,11 @@ def cp_near_duplicates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .persist()
+        # eager localCheckpoint: candidates materialize once for both
+        # the fraction count and the verify join, lineage truncates,
+        # and the blocks are GC-reclaimed (the persist it replaces
+        # leaked across invocations)
+        .localCheckpoint()
     )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     n_vec = v.agg(F.count(F.lit(1)).alias("n"))

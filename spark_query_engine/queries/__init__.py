@@ -182,12 +182,36 @@ _WINDOW_FIRST = (
     "events_rolling_wau",
 )
 
+#: Queries whose implementation was REWRITTEN after their last green
+#: driver row, so the committed evidence predates the code now
+#: running (the round-4 CP-LSH / star-CC rewrites; the round-5
+#: integer-moment conversions). Unlike _WINDOW_FIRST these pin to the
+#: front EVEN THOUGH _driver_verified() contains them — the round-4
+#: verdict (task 4) wants fresh driver rows under the current code.
+#: Drop a name once a CORRECTNESS round NEWER than its rewrite lands.
+_REPIN_REWRITTEN = (
+    # r4 rewrites (driver rows predate): CP-LSH embedding dedup,
+    # star-CC components, keep-best rollup, recursive-chain dedup
+    "dedup_embedding_cosine",
+    "dedup_embedding_scaled",
+    "dedup_cluster_components",
+    "corpus_dedup_keep_best",
+    "dedup_chain_recursive",
+    # r5 rewrite: norm_mass switched to exact integer moments
+    "vec_quality_checks",
+)
+
 
 def _reorder_registry() -> None:
     verified = _driver_verified()
     order = list(REGISTRY.items())
 
-    pinned = [n for n in _WINDOW_FIRST if n in REGISTRY and n not in verified]
+    pinned = [n for n in _REPIN_REWRITTEN if n in REGISTRY]
+    pinned += [
+        n
+        for n in _WINDOW_FIRST
+        if n in REGISTRY and n not in verified and n not in pinned
+    ]
 
     # Group the remaining unverified names by family, families in
     # priority order, queries within a family in registration order.
