@@ -167,6 +167,77 @@ def covariance_matrix(
     )
 
 
+def _rnd_half_away(x: float) -> int:
+    """ROUND to nearest integer, halves away from zero — the rounding
+    both DuckDB's ROUND and Spark's HALF_UP implement, mirrored here
+    so driver-side arithmetic replays engine-side expressions."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def pca_power_basis(
+    cov_rows: list[dict], d: int, iters: int = 8
+) -> tuple[list[int], list[int]]:
+    """Top-2 PCA basis from the covariance relation via EXACT-INTEGER
+    power iteration with rank-1 deflation — step 2 of classical
+    distributed PCA, formulated so a SQL oracle replays it term for
+    term (no SQL engine ships an eigensolver, but every engine can
+    do exact integer mat-vec products and one float division per
+    step).
+
+    Arithmetic contract (mirrored by the ``vec_pca_project`` oracle
+    CTEs): covariance cells quantize to 1e6-scaled BIGINTs; each
+    iteration computes w = C·v exactly in integers, then rescales
+    v ← ROUND(w·1e6 / max|w|) — the only float ops are one cast, one
+    multiply, one divide per component, identical IEEE sequences on
+    both engines; deflation subtracts the integer-quantized rank-1
+    Rayleigh term. Fully deterministic: no summation-order float
+    accumulation anywhere.
+
+    This is d×d driver-side MODEL state (the kmeans_fit contract).
+    Note the spectrum caveat: on near-isotropic input (this corpus's
+    iid unit vectors — see vec_covariance_matrix) the eigengap is
+    tiny and ``iters`` rounds land near the start direction; the
+    eigen-contract itself (projected variance = eigenvalue) is
+    certified by the numpy-eigh pytest property
+    (test_distributed_pca_projection), while THIS path certifies the
+    distributed chain end-to-end by hash."""
+    cq = [[0] * d for _ in range(d)]
+    for r in cov_rows:
+        q = _rnd_half_away(r["cov"] * 1000000.0)
+        cq[r["i"] - 1][r["j"] - 1] = q
+        cq[r["j"] - 1][r["i"] - 1] = q
+
+    def power(c: list[list[int]]) -> list[int]:
+        v = [1000000] * d
+        for _ in range(iters):
+            w = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+            m = max(abs(x) for x in w)
+            v = [_rnd_half_away(float(x) * 1000000.0 / float(m)) for x in w]
+        return v
+
+    v1 = power(cq)
+    num = sum(cq[i][j] * v1[i] * v1[j] for i in range(d) for j in range(d))
+    den = sum(x * x for x in v1)
+    c2 = [
+        [
+            cq[i][j]
+            - _rnd_half_away(
+                float(num)
+                / float(den)
+                / float(den)
+                * float(v1[i])
+                * float(v1[j])
+            )
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v2 = power(c2)
+    return v1, v2
+
+
 def semantic_dedup(
     assigned: DataFrame, threshold: float
 ) -> DataFrame:

@@ -697,3 +697,140 @@ def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_matryoshka_audit, same conclusion from the truncation side)."""
     emb = load(spark, sf_dir, "embeddings")
     return C.covariance_matrix(emb, "vec_id", "embedding")
+
+
+_PCA_D = 64
+_PCA_ITERS = 8
+
+
+def _pca_ctes() -> str:
+    """Unrolled power-iteration CTE chain mirroring
+    ``C.pca_power_basis`` — exact-integer mat-vec per round, one
+    identical float rescale expression, rank-1 deflation, then the
+    projection. Every aggregate is an integer SUM (exact in any
+    order); every float expression is a fixed IEEE op sequence both
+    engines evaluate identically."""
+    base = f"""
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings),
+        el AS MATERIALIZED (SELECT id, generate_subscripts(vec, 1) AS i,
+                      CAST(FLOOR(unnest(vec) * 1000000.0) AS BIGINT) AS xq
+               FROM v),
+        sxy AS (SELECT a.i, b.i AS j, SUM(a.xq * b.xq) AS s_xy
+                FROM el a JOIN el b ON a.id = b.id AND a.i <= b.i
+                GROUP BY a.i, b.i),
+        marg AS (SELECT i, SUM(xq) AS s FROM el GROUP BY i),
+        n AS (SELECT COUNT(*) AS n FROM v),
+        cov AS (SELECT sxy.i, sxy.j,
+                       ROUND((CAST(s_xy AS DOUBLE)
+                              - CAST(mx.s AS DOUBLE) * CAST(my.s AS DOUBLE)
+                                / n.n)
+                             / (n.n * 1e12), 6) AS cov
+                FROM sxy JOIN marg mx ON mx.i = sxy.i
+                         JOIN marg my ON my.i = sxy.j, n),
+        cfull AS MATERIALIZED (
+                  SELECT i, j, CAST(ROUND(cov * 1000000) AS BIGINT) AS cq
+                  FROM cov
+                  UNION ALL
+                  SELECT j, i, CAST(ROUND(cov * 1000000) AS BIGINT)
+                  FROM cov WHERE i < j)"""
+
+    def chain(p: str, mat: str) -> str:
+        out = f""",
+        {p}0 AS (SELECT unnest(range(1, {_PCA_D + 1})) AS i,
+                        CAST(1000000 AS BIGINT) AS vq)"""
+        for t in range(1, _PCA_ITERS + 1):
+            out += f""",
+        {p}w{t} AS (SELECT c.i, SUM(c.cq * p.vq) AS w
+                 FROM {mat} c JOIN {p}{t - 1} p ON p.i = c.j GROUP BY c.i),
+        {p}m{t} AS (SELECT MAX(ABS(w)) AS m FROM {p}w{t}),
+        {p}{t} AS MATERIALIZED (
+                SELECT i, CAST(ROUND(CAST(w AS DOUBLE) * 1000000.0
+                               / CAST(m AS DOUBLE)) AS BIGINT) AS vq
+                FROM {p}w{t}, {p}m{t})"""
+        return out
+
+    a_last = f"a{_PCA_ITERS}"
+    b_last = f"b{_PCA_ITERS}"
+    defl = f""",
+        dn AS (SELECT SUM(c.cq * pa.vq * pb.vq) AS num
+               FROM cfull c JOIN {a_last} pa ON pa.i = c.i
+                            JOIN {a_last} pb ON pb.i = c.j),
+        dd AS (SELECT SUM(vq * vq) AS den FROM {a_last}),
+        c2full AS MATERIALIZED (SELECT c.i, c.j,
+                          c.cq - CAST(ROUND(CAST(num AS DOUBLE)
+                                            / CAST(den AS DOUBLE)
+                                            / CAST(den AS DOUBLE)
+                                            * CAST(pa.vq AS DOUBLE)
+                                            * CAST(pb.vq AS DOUBLE))
+                                      AS BIGINT) AS cq
+                   FROM cfull c JOIN {a_last} pa ON pa.i = c.i
+                                JOIN {a_last} pb ON pb.i = c.j, dn, dd)"""
+    proj = f""",
+        pj AS (SELECT el.id, SUM(el.xq * pa.vq) AS da,
+                      SUM(el.xq * pb.vq) AS db
+               FROM el JOIN {a_last} pa ON pa.i = el.i
+                       JOIN {b_last} pb ON pb.i = el.i
+               GROUP BY el.id),
+        nm AS (SELECT (SELECT SUM(vq * vq) FROM {a_last}) AS na,
+                      (SELECT SUM(vq * vq) FROM {b_last}) AS nb)
+        SELECT id,
+               ROUND(CAST(da AS DOUBLE)
+                     / (1000000.0 * sqrt(CAST(na AS DOUBLE))), 6) AS pc1,
+               ROUND(CAST(db AS DOUBLE)
+                     / (1000000.0 * sqrt(CAST(nb AS DOUBLE))), 6) AS pc2
+        FROM pj, nm"""
+    return base + chain("a", "cfull") + defl + chain("b", "c2full") + proj
+
+
+@query("vec_pca_project", oracle=_pca_ctes())
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step 3 of classical distributed PCA, hash-verified end-to-end:
+    covariance relation (``vec_covariance_matrix``, exact integer
+    moments) → driver-side top-2 basis via exact-integer power
+    iteration + deflation (``C.pca_power_basis`` — the SQL-replayable
+    stand-in for the eigensolver; the numpy-eigh eigen-contract is
+    pytest-certified separately) → the 64×2 basis broadcasts back as
+    a 64-row relation and the corpus projects in ONE scan with exact
+    integer dot products.
+
+    Scale: the covariance aggregate is the only corpus-scale step
+    (linear in n, see vec_covariance_matrix); the basis is kilobytes
+    of driver model state; the projection is a broadcast join +
+    map-side-combined per-id sum — the same 100 TB shape as every
+    model-scoring pass here."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    cov_rows = [
+        r.asDict()
+        for r in C.covariance_matrix(emb, "vec_id", "embedding").collect()
+    ]
+    v1, v2 = C.pca_power_basis(cov_rows, d=_PCA_D, iters=_PCA_ITERS)
+    na = sum(x * x for x in v1)
+    nb = sum(x * x for x in v2)
+    den_a = 1000000.0 * math.sqrt(float(na))
+    den_b = 1000000.0 * math.sqrt(float(nb))
+    v = C._vectors(emb, "vec_id", "embedding")
+    el = v.select("id", F.posexplode("vec").alias("i", "x")).select(
+        "id",
+        (F.col("i") + 1).alias("i"),
+        F.floor(F.col("x") * F.lit(1000000.0)).alias("xq"),
+    )
+    basis = spark.createDataFrame(
+        [(i + 1, v1[i], v2[i]) for i in range(_PCA_D)],
+        "i int, va bigint, vb bigint",
+    )
+    return (
+        el.join(F.broadcast(basis), "i")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("xq") * F.col("va")).alias("da"),
+            F.sum(F.col("xq") * F.col("vb")).alias("db"),
+        )
+        .select(
+            "id",
+            F.round(F.col("da").cast("double") / F.lit(den_a), 6).alias("pc1"),
+            F.round(F.col("db").cast("double") / F.lit(den_b), 6).alias("pc2"),
+        )
+    )
