@@ -172,6 +172,7 @@ def minhash_banded_rows(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hot_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-ROW MinHash banding: (id, shingles, band_idx, band_key) with
     the signature computed inside the row's projection (array_min over
@@ -181,7 +182,16 @@ def minhash_banded_rows(
     with NO aggregation, which makes it legal on a STREAMING DataFrame
     ahead of a stateful operator. The batch pipeline keeps the groupBy
     form (shingle rows feed the verify join there); this is the
-    ingestion-time form."""
+    ingestion-time form.
+
+    ``hot_shingles``: optional STATIC (shingle) relation of boilerplate
+    shingles to exclude before hashing — the streaming-legal form of
+    the batch ``max_shingle_df`` guard (a document-frequency count is
+    an aggregation and cannot precede a stateful op on a stream, so
+    the hot list is computed batch-side over a reference corpus and
+    broadcast; stream-static joins are allowed). Excluded shingles
+    disappear from both the signature and the verify set, exactly like
+    the batch guard."""
     df = widen(df)
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
@@ -195,6 +205,18 @@ def minhash_banded_rows(
     base = df.where(n >= shingle_k).select(
         F.col(id_col).alias("id"), F.array_distinct(shingle).alias("shingles")
     )
+    if hot_shingles is not None:
+        # the hot list is bounded model state (boilerplate shingles) —
+        # ship it as a literal so the exclusion stays a stream-legal
+        # per-row projection, no join at all
+        hot = sorted(
+            r["shingle"]
+            for r in hot_shingles.select("shingle").distinct().collect()
+        )
+        base = base.select(
+            "id",
+            F.array_except(F.col("shingles"), F.lit(hot)).alias("shingles"),
+        ).where(F.size("shingles") > 0)
 
     def h(s):
         return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
@@ -271,9 +293,16 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
     → candidate equi-join → exact-Jaccard verify.
+
+    ``max_shingle_df`` is the hot-shingle guard (same knob as
+    ``ngram_jaccard_pairs``): shingles appearing in more than that
+    many documents — boilerplate — are dropped before BOTH the
+    signature and the verify set, bounding band-bucket occupancy on
+    boilerplate-heavy corpora. Off by default (exact-oracle parity).
 
     The shingle relation feeds both the signature aggregation and the
     verification join, and the signature relation feeds both sides of
@@ -281,7 +310,16 @@ def minhash_near_duplicates(
     re-executes the scan+explode(+agg) lineage. At cluster scale the
     same pattern applies with MEMORY_AND_DISK (the default) or a
     checkpoint between the candidate and verify stages."""
-    sh = word_shingles(df, id_col, text_col, shingle_k).persist()
+    sh = word_shingles(df, id_col, text_col, shingle_k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("id").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes).persist()
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     return verify_jaccard(sh, cand, threshold)

@@ -684,6 +684,18 @@ def pq_train_codebooks(
     bit-for-bit. Returns codebooks[j][code] = sub-centroid."""
     v = v.persist()
     init = v.where(F.col("id") < k).select("id", "vec").collect()
+    # The oracle's init CTE keys codes BY ID (`id AS code`), while the
+    # list below keys them by POSITION in the id-sorted collect — the
+    # two agree only when the ids are exactly {0..k-1}. Guard it: on a
+    # corpus with sparse/offset ids the codebook would silently train
+    # with <k cells and every code would diverge from the oracle's.
+    got = sorted(int(r["id"]) for r in init)
+    if got != list(range(k)):
+        raise ValueError(
+            f"pq_train_codebooks: init expects ids 0..{k - 1} present "
+            f"(got {got[:5]}{'...' if len(got) > 5 else ''}); re-key "
+            "the corpus or pass explicit seed vectors"
+        )
     cbs: list[list[list[float]]] = [
         [
             [round(float(x), 6) for x in r["vec"][j * sub_dim:(j + 1) * sub_dim]]

@@ -336,6 +336,8 @@ def minhash_dedup_stream(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
+    hot_shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-duplicate detection — the MinHash-band completion
     of ``dedup_stream`` (which is exact-key only): as documents arrive,
@@ -354,10 +356,19 @@ def minhash_dedup_stream(
     stream≡batch equivalence test).
 
     Scale: state is partitioned by bucket across executors; per-bucket
-    work is O(occupancy²) exactly like the batch band self-join, and
-    the banding keeps buckets small (hot-key guard = the same
-    max-df-style shingle cap as batch). State grows with the corpus
-    within the dedup horizon — in production, bound it with
+    work is O(occupancy²) exactly like the batch band self-join. Two
+    optional hot-key guards (neither on by default — defaults match
+    the batch twin exactly): ``hot_shingles``, a STATIC relation of
+    boilerplate shingles excluded before hashing (the streaming-legal
+    form of the batch ``max_shingle_df`` guard — a df count is an
+    aggregation and cannot precede the stateful op on the stream, so
+    the list is computed batch-side and ships as a literal), and
+    ``max_bucket_size``, which stops appending NEW occupants to a
+    bucket past the cap (arrivals still verify against the capped
+    bucket, so recall within the cap is unchanged; pairs both of
+    whose members overflowed the same degenerate bucket are the
+    documented loss). State grows with the corpus within the dedup
+    horizon — in production, bound it with
     ``GroupStateTimeout.ProcessingTimeTimeout`` + per-group timeouts
     (drop buckets idle past the horizon), the same eviction story as
     ``dedup_stream``'s watermark. Emitted Jaccard is the raw IEEE
@@ -371,7 +382,8 @@ def minhash_dedup_stream(
     from spark_query_engine.operators.dedup import minhash_banded_rows
 
     banded = minhash_banded_rows(
-        docs, id_col, text_col, shingle_k, num_hashes, bands
+        docs, id_col, text_col, shingle_k, num_hashes, bands,
+        hot_shingles=hot_shingles,
     )
 
     def bucket_pairs(key, pdfs, state):
@@ -404,8 +416,9 @@ def minhash_dedup_stream(
                     out_a.append(min(did, pid))
                     out_b.append(max(did, pid))
                     out_j.append(jac)
-            ids.append(did)
-            sets.append(sh)
+            if max_bucket_size is None or len(ids) < max_bucket_size:
+                ids.append(did)
+                sets.append(sh)
         state.update((ids, sets))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 

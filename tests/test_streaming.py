@@ -641,3 +641,110 @@ def test_session_window_operator_matches_lag_cumsum_algorithm(spark, sf_dir):
         for r in lagged.collect()
     }
     assert got == want
+
+
+def test_minhash_stream_hot_shingle_guard_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming hot-shingle guard (static exclusion list) must
+    equal the batch pipeline run on documents with the same shingles
+    stripped: compute the df>threshold hot list batch-side, pass it to
+    `minhash_dedup_stream`, and compare pair sets against
+    `minhash_near_duplicates(..., max_shingle_df=...)` with the SAME
+    cutoff — the two guards are different mechanics (literal exclusion
+    vs left-anti on a df count) over the same shingle set."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_query_engine.operators.dedup import (
+        minhash_near_duplicates,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    max_df = 5
+    hot = (
+        word_shingles(docs, "doc_id", "text", 3)
+        .groupBy("shingle")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+
+    d = tmp_path / "docstream_hot"
+    d.mkdir()
+    pdf = docs.toPandas()
+    for i in range(2):
+        pdf[pdf["doc_id"] % 2 == i].to_parquet(d / f"part{i}.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    pairs = ST.minhash_dedup_stream(
+        stream, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6, hot_shingles=hot,
+    )
+    ST.run_to_memory_sink(pairs, "minhash_hot_out", mode="append")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM minhash_hot_out"
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+            threshold=0.6, max_shingle_df=max_df,
+        ).collect()
+    }
+    assert got == want
+    assert hot.count() > 0  # the guard actually excluded something
+
+
+def test_minhash_stream_bucket_cap_bounds_state(spark, sf_dir, tmp_path):
+    """max_bucket_size stops bucket growth: with cap=1 every bucket
+    holds a single occupant, so the only emitted pairs are arrivals
+    verifying against that first occupant — a subset of the uncapped
+    run — and pairs in which BOTH members arrived after the cap are
+    gone. The cap must never ADD pairs."""
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tmp_path / "docstream_cap"
+    d.mkdir()
+    docs.toPandas().to_parquet(d / "part0.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run(sink, cap):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        pairs = ST.minhash_dedup_stream(
+            stream, "doc_id", "text", shingle_k=3, num_hashes=16,
+            bands=4, threshold=0.6, max_bucket_size=cap,
+        )
+        ST.run_to_memory_sink(pairs, sink, mode="append")
+        return {
+            (r["id_a"], r["id_b"])
+            for r in spark.sql(
+                f"SELECT DISTINCT id_a, id_b FROM {sink}"
+            ).collect()
+        }
+
+    capped = run("minhash_cap1_out", 1)
+    uncapped = run("minhash_uncapped_out", None)
+    assert capped <= uncapped
+    assert len(uncapped) > 0
