@@ -2346,3 +2346,264 @@ def vec_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("ct") >= 0) != (F.col("cf") >= 0)).cast("int")
         ).cast("bigint").alias("n_sign_flips"),
     )
+
+
+#: Sequence-packing geometry: context window of 64 tokens, 8 packing
+#: shards (each shard packs independently — the parallel unit).
+_PACK_C, _PACK_SHARDS = 64, 8
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        o AS (
+            SELECT doc_id, shard, n_toks,
+                   CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        - n_toks AS BIGINT) AS off
+            FROM t
+        ),
+        b AS (
+            SELECT doc_id, shard, n_toks, off,
+                   unnest(range(CAST(off // {_PACK_C} AS BIGINT),
+                                CAST((off + n_toks - 1) // {_PACK_C} + 1
+                                     AS BIGINT))) AS bin
+            FROM o
+        )
+        SELECT shard, bin AS bin_id, doc_id,
+               GREATEST(off, bin * {_PACK_C}) - bin * {_PACK_C} AS bin_off,
+               LEAST(off + n_toks, (bin + 1) * {_PACK_C})
+                   - GREATEST(off, bin * {_PACK_C}) AS n_in_bin,
+               GREATEST(off, bin * {_PACK_C}) - off AS doc_off
+        FROM b
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing — the pretraining loader's
+    concatenate-and-split step: within each shard, documents
+    concatenate in deterministic (doc_id) order into one token stream
+    that is cut into fixed {_PACK_C}-token context windows; a document
+    straddling a window boundary SPLITS across bins (the standard
+    packing used when nothing may be dropped — contrast
+    ``corpus_chunk_sliding``, which overlaps windows per-doc instead).
+    Output: one row per (document × bin) intersection with the bin
+    offset, in-bin token count, and the document-side offset — exactly
+    what a loader needs to materialize packed examples + attention
+    segment ids.
+
+    Scale: packing is sequential BY DEFINITION within a stream, so the
+    parallel unit is the shard (doc_id mod {_PACK_SHARDS}; production:
+    md5-bucket to thousands of shards — each shard is an independent
+    stream, embarrassingly parallel). The cumulative offset is a
+    window-partitioned running sum (one shuffle on shard), the
+    bin fan-out a per-row ``sequence``+``explode`` — no global
+    ordering anywhere, which is what makes this shape survive 100 TB
+    where a single global cumsum cannot."""
+    docs = load(spark, sf_dir, "documents")
+    W = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = _PACK_C
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    o = t.select(
+        "doc_id",
+        "shard",
+        "n_toks",
+        (F.sum("n_toks").over(W) - F.col("n_toks")).alias("off"),
+    )
+    b = o.select(
+        "doc_id",
+        "shard",
+        "n_toks",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off DIV {c}"),
+                F.expr(f"(off + n_toks - 1) DIV {c}"),
+            )
+        ).alias("bin"),
+    )
+    seg_start = F.greatest(F.col("off"), F.col("bin") * c)
+    seg_end = F.least(F.col("off") + F.col("n_toks"), (F.col("bin") + 1) * c)
+    return b.select(
+        "shard",
+        F.col("bin").alias("bin_id"),
+        "doc_id",
+        (seg_start - F.col("bin") * c).alias("bin_off"),
+        (seg_end - seg_start).alias("n_in_bin"),
+        (seg_start - F.col("off")).alias("doc_off"),
+    )
+
+
+#: Export sharding: 16 output shards, balanced by token mass.
+_SHARD_N = 16
+
+
+@query(
+    "data_shard_balance",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source, n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_toks DESC, doc_id) AS rk
+            FROM t
+        ),
+        a AS (
+            SELECT doc_id, n_toks,
+                   CAST((rk - 1 + ('0x' || substr(md5(source), 1, 8))::BIGINT)
+                        % {_SHARD_N} AS BIGINT) AS shard
+            FROM r
+        ),
+        s AS (
+            SELECT shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM a GROUP BY shard
+        ),
+        g AS (SELECT MAX(n_tokens) AS mx, MIN(n_tokens) AS mn,
+                     SUM(n_tokens) AS tot FROM s)
+        SELECT s.shard, s.n_docs, s.n_tokens,
+               ROUND(s.n_tokens * 1.0 * {_SHARD_N} / g.tot, 6) AS load_factor,
+               ROUND(g.mx * 1.0 / g.mn, 6) AS imbalance
+        FROM s, g
+    """,
+)
+def data_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced export sharding — the training-data WRITE step:
+    assign every document to one of {_SHARD_N} output shards so shard
+    token masses stay even (uneven shards mean uneven data-loader
+    steps and stragglers at epoch boundaries). Longest-processing-time
+    scheduling is inherently sequential, so the scalable surrogate is
+    sorted round-robin WITHIN each source (rank docs by token count
+    descending, deal them out mod {_SHARD_N} with an md5 per-source
+    offset so all sources don't start dealing at shard 0) — a
+    partitioned window, never a global one. Output is the per-shard
+    census with each shard's load factor (1.0 = perfectly even) and
+    the global max/min imbalance ratio as audited columns.
+
+    Scale: one window shuffle on source + one shard aggregate; the
+    {_SHARD_N}-row census crossJoins its own 1-row max/min aggregate
+    (bounded-BNLJ class). Balance quality is the POINT of the audit:
+    sorted round-robin bounds any shard's excess by one max-length
+    document per source."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("n_toks").desc(), F.col("doc_id")
+        )
+    )
+    src_off = F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long")
+    a = t.select(
+        "doc_id",
+        "n_toks",
+        ((rk - 1 + src_off) % _SHARD_N).cast("long").alias("shard"),
+    )
+    s = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    g = s.agg(
+        F.max("n_tokens").alias("mx"),
+        F.min("n_tokens").alias("mn"),
+        F.sum("n_tokens").alias("tot"),
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 * _SHARD_N / F.col("tot"), 6).alias(
+            "load_factor"
+        ),
+        F.round(F.col("mx") * 1.0 / F.col("mn"), 6).alias("imbalance"),
+    )
+
+
+@query(
+    "udtf_run_length",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, w[pos] AS tok, pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE doc_id < 200),
+                 UNNEST(range(1, len(w) + 1)) AS t(pos)
+        ),
+        marked AS (
+            SELECT doc_id, tok, pos,
+                   CASE WHEN tok IS DISTINCT FROM
+                             LAG(tok) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                        THEN 1 ELSE 0 END AS is_start
+            FROM toks
+        ),
+        runs AS (
+            SELECT doc_id, tok, pos,
+                   SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS run_idx
+            FROM marked
+        )
+        SELECT doc_id, CAST(run_idx AS BIGINT) AS run_idx,
+               MIN(tok) AS token,
+               CAST(COUNT(*) AS BIGINT) AS run_len,
+               CAST(MIN(pos) AS BIGINT) AS start_pos
+        FROM runs GROUP BY doc_id, run_idx
+    """,
+)
+def udtf_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4's user-defined TABLE function —
+    the §2.11 row the UDAF/mapInPandas showcases don't cover): a
+    run-length encoder collapsing consecutive repeated tokens, the
+    primitive behind Gopher-style repetition filters ('batch batch
+    batch' → one run of length 3). One input row yields a variable
+    number of output rows — the defining UDTF shape, impossible for a
+    scalar UDF.
+
+    The oracle replays it declaratively (lag → run-start flags →
+    partitioned cumsum → per-run rollup), which is also the plan to
+    PREFER at scale: the UDTF exists to certify the API surface, and
+    like every Python-boundary op here it is gated to a bounded slice
+    (doc_id < 200) rather than the corpus hot path. Arrow-batched
+    (``useArrow``) so rows cross the boundary in columnar batches."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, run_idx bigint, token string, "
+            "run_len bigint, start_pos bigint"
+        ),
+        useArrow=True,
+    )
+    class RunLength:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            run_idx, start = 0, 0
+            for i in range(1, len(toks) + 1):
+                if i == len(toks) or toks[i] != toks[start]:
+                    run_idx += 1
+                    yield (doc_id, run_idx, toks[start], i - start, start + 1)
+                    start = i
+
+    spark.udtf.register("run_length", RunLength)
+    docs = load(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") < 200).select("doc_id", "text").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT u.doc_id, u.run_idx, u.token, u.run_len, u.start_pos "
+        "FROM _udtf_docs d, LATERAL run_length(d.doc_id, d.text) u"
+    )
