@@ -169,6 +169,12 @@ HEADLINE = [
     # across ~15 star rounds), not a throughput workload — registered
     # and oracle-checked, measured in SCALING.md instead
     "vec_matryoshka_audit",
+    # round 5
+    "vec_pca_project",
+    "corpus_pack_sequences",
+    "data_shard_balance",
+    "udtf_run_length",
+    "corpus_kmeanspp_init",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

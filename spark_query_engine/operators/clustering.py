@@ -271,3 +271,166 @@ def semantic_dedup(
             F.col("id_b").isNull().alias("is_kept"),
         )
     )
+
+
+def kmeans_parallel_init(
+    spark: SparkSession,
+    v: DataFrame,
+    k: int,
+    rounds: int = 3,
+    l: int = 16,
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB'12) — the
+    SCALABLE replacement for both random init and sequential
+    k-means++: instead of k strictly sequential center draws, run
+    ``rounds`` oversampling passes that each select ~``l`` points with
+    probability l·d²(x,C)/φ, then weight the candidates by how many
+    points they serve and keep the top ``k`` (the deterministic
+    weighted-top-k variant of the final re-clustering step).
+
+    Determinism discipline (every stochastic piece replayable by a
+    SQL oracle): the seed center is id 0; the 'coin flip' is the md5
+    fraction of ``kpp:<round>:<id>`` (the repo's standard md5-uniform
+    trick); per-point distances are 6dp-rounded squared L2 then
+    1e6-quantized to BIGINT so the potential φ = Σ d² is an EXACT
+    integer sum (the selection threshold l·d²/φ is then one fixed
+    IEEE expression over identical integers on both engines).
+
+    Scale: per round — one broadcast-literal distance scan (centers
+    are driver model state, like ``assign_to_centroids``), one exact
+    integer aggregate for φ, one filtered collect of ~l rows. Nothing
+    all-pairs, nothing shuffled but the aggregates; candidate count
+    is 1 + rounds·l regardless of corpus size. Driver round-trips are
+    bounded scalars/center rows (the kmeans_fit contract).
+
+    Output: (center_id, round_added, weight, rk) for the k chosen
+    centers plus audit columns — n_candidates and phi_ratio_naive =
+    φ(naive id<k init) / φ(k-means|| init), the measured quality gain
+    of the algorithm (>1 means better-spread centers)."""
+    v = v.select("id", "vec").persist()
+
+    def d2_to(centers: list[tuple[int, list[float]]]):
+        cl = F.lit([[float(x) for x in c] for _cid, c in centers])
+        return F.array_min(
+            F.transform(
+                cl,
+                lambda c: F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("vec"), c, lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    ),
+                    6,
+                ),
+            )
+        )
+
+    def frac(r: int):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("kpp"), F.lit(str(r)), F.col("id"))), 1, 8),
+            16,
+            10,
+        ).cast("double") / F.lit(4294967296.0)
+
+    seed = v.where(F.col("id") == 0).collect()
+    centers: list[tuple[int, list[float]]] = [
+        (int(r["id"]), [float(x) for x in r["vec"]]) for r in seed
+    ]
+    added_round = {centers[0][0]: 0}
+    for r in range(1, rounds + 1):
+        d2q = F.round(d2_to(centers) * 1000000, 0).cast("bigint")
+        scored = v.select("id", "vec", d2q.alias("d2q"))
+        phi = scored.agg(F.sum("d2q").alias("phi")).collect()[0]["phi"]
+        sel = scored.where(
+            frac(r)
+            < (F.lit(float(l)) * F.col("d2q").cast("double"))
+            / F.lit(float(phi))
+        ).collect()
+        for row in sorted(sel, key=lambda x: int(x["id"])):
+            cid = int(row["id"])
+            if cid not in added_round:
+                centers.append((cid, [float(x) for x in row["vec"]]))
+                added_round[cid] = r
+
+    # weight candidates: points served (argmin with ties -> lowest id)
+    cl = F.lit([[float(x) for x in c] for _cid, c in centers])
+    ids = F.lit([int(cid) for cid, _c in centers])
+    dists = F.transform(
+        cl,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(F.col("vec"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+            6,
+        ),
+    )
+    nearest = v.select(
+        F.element_at(ids, F.array_position(dists, F.array_min(dists)).cast("int")).alias(
+            "center_id"
+        )
+    )
+    weights = nearest.groupBy("center_id").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    from pyspark.sql import Window as W
+
+    cand = spark.createDataFrame(
+        [(cid, added_round[cid]) for cid, _c in centers],
+        "center_id bigint, round_added int",
+    )
+    ranked = (
+        cand.join(weights, "center_id", "left")
+        .na.fill({"weight": 0})
+        .select(
+            "center_id",
+            "round_added",
+            F.col("weight").cast("bigint").alias("weight"),
+            F.row_number()
+            .over(W.orderBy(F.col("weight").desc(), F.col("center_id")))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= k)
+    )
+    chosen = {int(r["center_id"]) for r in ranked.select("center_id").collect()}
+
+    def phi_of(center_list: list[list[float]]) -> int:
+        cl2 = F.lit([[float(x) for x in c] for c in center_list])
+        d2 = F.array_min(
+            F.transform(
+                cl2,
+                lambda c: F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("vec"), c, lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    ),
+                    6,
+                ),
+            )
+        )
+        q = F.round(d2 * 1000000, 0).cast("bigint")
+        return int(v.agg(F.sum(q)).collect()[0][0])
+
+    phi_kpp = phi_of([c for cid, c in centers if cid in chosen])
+    naive = v.where(F.col("id") < k).orderBy("id").collect()
+    phi_naive = phi_of([[float(x) for x in r["vec"]] for r in naive])
+    audit = spark.createDataFrame(
+        [(len(centers), phi_naive, phi_kpp)],
+        "n_candidates bigint, phi_naive_q bigint, phi_kpp_q bigint",
+    ).select(
+        "n_candidates",
+        F.round(
+            F.col("phi_naive_q").cast("double")
+            / F.col("phi_kpp_q").cast("double"),
+            6,
+        ).alias("phi_ratio_naive"),
+    )
+    out = ranked.crossJoin(F.broadcast(audit))
+    v.unpersist()
+    return out

@@ -2607,3 +2607,120 @@ def udtf_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT u.doc_id, u.run_idx, u.token, u.run_len, u.start_pos "
         "FROM _udtf_docs d, LATERAL run_length(d.doc_id, d.text) u"
     )
+
+
+#: k-means|| geometry: k=8 centers, 3 oversampling rounds, l=16.
+_KPP_K, _KPP_ROUNDS, _KPP_L = 8, 3, 16
+
+
+def _kpp_ctes() -> str:
+    """DuckDB CTE chain replaying ``C.kmeans_parallel_init`` round for
+    round: md5-coin selection against the exact-integer potential,
+    cumulative candidate relation, weighted top-k, φ audits."""
+    d2 = (
+        "ROUND(list_sum(list_transform(range(1, 65), "
+        "i -> (v.vec[i] - c.vec[i]) * (v.vec[i] - c.vec[i]))), 6)"
+    )
+    parts = [
+        """v AS MATERIALIZED (SELECT vec_id AS id,
+                CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)""",
+        "c0 AS (SELECT id, vec, 0 AS rnd FROM v WHERE id = 0)",
+    ]
+    for r in range(1, _KPP_ROUNDS + 1):
+        p = r - 1
+        parts += [
+            f"""d{r} AS MATERIALIZED (
+                SELECT v.id, CAST(ROUND(MIN({d2}) * 1000000) AS BIGINT) AS d2q
+                FROM v, c{p} c GROUP BY v.id)""",
+            f"p{r} AS (SELECT SUM(d2q) AS phi FROM d{r})",
+            f"""s{r} AS (
+                SELECT d.id FROM d{r} d, p{r}
+                WHERE (('0x' || substr(md5('kpp:{r}:' ||
+                            CAST(d.id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0)
+                      < {_KPP_L} * CAST(d.d2q AS DOUBLE)
+                        / CAST(p{r}.phi AS DOUBLE)
+                  AND d.id NOT IN (SELECT id FROM c{p}))""",
+            f"""c{r} AS (SELECT id, vec, rnd FROM c{p}
+                UNION ALL
+                SELECT v.id, v.vec, {r} AS rnd
+                FROM v JOIN s{r} USING (id))""",
+        ]
+    last = f"c{_KPP_ROUNDS}"
+    parts += [
+        f"""near AS (
+            SELECT id, center_id FROM (
+                SELECT v.id, c.id AS center_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.id
+                                          ORDER BY {d2}, c.rnd, c.id) AS rn
+                FROM v, {last} c) WHERE rn = 1)""",
+        """w AS (SELECT center_id, COUNT(*) AS weight
+             FROM near GROUP BY center_id)""",
+        f"""ranked AS (
+            SELECT c.id AS center_id, CAST(c.rnd AS BIGINT) AS round_added,
+                   CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight,
+                   ROW_NUMBER() OVER (ORDER BY COALESCE(w.weight, 0) DESC,
+                                      c.id) AS rk
+            FROM {last} c LEFT JOIN w ON w.center_id = c.id)""",
+        f"""chosen AS (SELECT center_id FROM ranked WHERE rk <= {_KPP_K})""",
+        f"""phik AS (
+            SELECT SUM(mq) AS phi FROM (
+                SELECT v.id, CAST(ROUND(MIN({d2}) * 1000000) AS BIGINT) AS mq
+                FROM v, (SELECT c.id, c.vec FROM {last} c
+                         JOIN chosen ON chosen.center_id = c.id) c
+                GROUP BY v.id))""",
+        f"""phin AS (
+            SELECT SUM(mq) AS phi FROM (
+                SELECT v.id, CAST(ROUND(MIN({d2}) * 1000000) AS BIGINT) AS mq
+                FROM v, (SELECT id, vec FROM v WHERE id < {_KPP_K}) c
+                GROUP BY v.id))""",
+        f"""aud AS (SELECT (SELECT COUNT(*) FROM {last}) AS n_candidates,
+                    ROUND(CAST(phin.phi AS DOUBLE)
+                          / CAST(phik.phi AS DOUBLE), 6) AS phi_ratio_naive
+             FROM phin, phik)""",
+    ]
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "corpus_kmeanspp_init",
+    oracle=f"""
+        {_kpp_ctes()}
+        SELECT r.center_id, r.round_added, r.weight, CAST(r.rk AS BIGINT) AS rk,
+               CAST(aud.n_candidates AS BIGINT) AS n_candidates,
+               aud.phi_ratio_naive
+        FROM ranked r, aud WHERE r.rk <= {_KPP_K}
+    """,
+)
+def corpus_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB'12) over the
+    embedding corpus — upgrading the Lloyd family's documented id<k
+    init stand-in with the algorithm actually used at scale. Each
+    oversampling round selects ~{_KPP_L} points with probability
+    l·d²(x,C)/φ (md5-deterministic coins, exact-integer φ), candidates
+    are weighted by points served, and the top {_KPP_K} become the
+    init. The ``phi_ratio_naive`` audit column is the measured payoff:
+    φ(id<k init) / φ(k-means|| init) — how much lower the starting
+    potential is than the naive seed's.
+
+    Scale: per round one broadcast-literal distance scan + one exact
+    integer aggregate + a ~l-row collect; candidate count is
+    1 + rounds·l independent of corpus size; the rank window runs over
+    that bounded candidate relation, never the corpus. See
+    ``C.kmeans_parallel_init`` for the full determinism contract."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = C.kmeans_parallel_init(
+        spark,
+        C._vectors(emb, "vec_id", "embedding"),
+        k=_KPP_K,
+        rounds=_KPP_ROUNDS,
+        l=_KPP_L,
+    )
+    return v.select(
+        "center_id",
+        F.col("round_added").cast("bigint").alias("round_added"),
+        "weight",
+        F.col("rk").cast("bigint").alias("rk"),
+        "n_candidates",
+        "phi_ratio_naive",
+    )

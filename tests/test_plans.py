@@ -389,6 +389,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # embedding scan — a constant-width fan-out (the CMS
         # hash-dimension shape), never a data-plane join
         "vec_matryoshka_audit",
+        # the 16-row shard census crosses its own 1-row max/min
+        # aggregate (the data_skew_report shape)
+        "data_shard_balance",
+        # the bounded candidate relation (1 + rounds·l rows of model
+        # state) crosses its 1-row phi-audit aggregate
+        "corpus_kmeanspp_init",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
@@ -412,6 +418,10 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the rank + regression run over the top-200 vocabulary
         # relation (TakeOrderedAndProject feeds it)
         "text_zipf_fit",
+        # the weighted top-k rank runs over the bounded k-means||
+        # candidate relation (1 + rounds·l rows of driver model
+        # state), never the corpus
+        "corpus_kmeanspp_init",
     }
 
     def global_windows(plan: str) -> list[str]:
