@@ -11,6 +11,7 @@ from spark_query_engine.streaming.events import (
     dedup_stream,
     interval_join_streams,
     minhash_dedup_stream,
+    pack_sequences_stream,
     ohlc_stream,
     run_to_memory_sink,
     per_type_counts_tws,
@@ -35,6 +36,7 @@ __all__ = [
     "interval_join_streams",
     "dedup_stream",
     "minhash_dedup_stream",
+    "pack_sequences_stream",
     "write_foreach_batch_parquet",
     "run_to_memory_sink",
 ]

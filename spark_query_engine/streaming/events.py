@@ -539,3 +539,78 @@ def per_type_counts_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def pack_sequences_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming sequence packing — the ingest-time twin of
+    ``corpus_pack_sequences``: documents append to their shard's token
+    stream as they arrive and packed (doc × context-window) rows emit
+    incrementally. The ENTIRE state is one running token offset per
+    shard (a single long — contrast the dedup streams whose state
+    grows with the corpus), because concat-and-split packing is a
+    prefix-sum: everything already emitted is immutable, the offset is
+    all the future needs. That O(shards) state bound is what makes
+    packing a true streaming operator at any corpus size.
+
+    Equivalence contract (tested): when each shard's documents arrive
+    in ascending ``doc_id`` order across micro-batches (append-ordered
+    ingest — the production log-ingest pattern), the emitted row set
+    equals the batch query's exactly. Out-of-order arrival WITHIN one
+    micro-batch is fine (the handler sorts intra-batch); out-of-order
+    across batches changes the concatenation order, as it must —
+    packing is order-defined.
+
+    Plan: one stateless projection (token counts), then ONE
+    ``applyInPandasWithState`` keyed by shard with Arrow batch
+    transfer; output rows stream straight to the sink."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % shards).cast("long").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_toks"),
+    )
+
+    def pack(key, pdfs, state):
+        off = state.get[0] if state.exists else 0
+        arrivals: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            arrivals.extend(
+                (int(d), int(n)) for d, n in zip(pdf["doc_id"], pdf["n_toks"])
+            )
+        arrivals.sort()  # deterministic intra-batch order
+        rows = []
+        for did, n in arrivals:
+            end = off + n
+            for b in range(off // context, (end - 1) // context + 1):
+                s = max(off, b * context)
+                e = min(end, (b + 1) * context)
+                rows.append((key[0], b, did, s - b * context, e - s, s - off))
+            off = end
+        state.update((off,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard", "bin_id", "doc_id", "bin_off", "n_in_bin",
+                    "doc_off",
+                ],
+            )
+
+    return t.groupBy("shard").applyInPandasWithState(
+        pack,
+        outputStructType=(
+            "shard long, bin_id long, doc_id long, bin_off long, "
+            "n_in_bin long, doc_off long"
+        ),
+        stateStructType="off long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -748,3 +748,51 @@ def test_minhash_stream_bucket_cap_bounds_state(spark, sf_dir, tmp_path):
     uncapped = run("minhash_uncapped_out", None)
     assert capped <= uncapped
     assert len(uncapped) > 0
+
+
+def test_pack_sequences_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming packing ≡ batch under append-ordered ingest: drive
+    the documents in three doc_id-RANGE micro-batches (each shard sees
+    ascending ids across batches — the log-ingest pattern the operator
+    contracts on) and assert the emitted (shard, bin, doc, offsets)
+    row set equals corpus_pack_sequences exactly. Also pin the state
+    bound: the handler's state is ONE long per shard."""
+    from pyspark.sql import types as T
+
+    from spark_query_engine.queries import queries
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tmp_path / "packstream"
+    d.mkdir()
+    pdf = docs.toPandas().sort_values("doc_id")
+    n = len(pdf)
+    for i in range(3):
+        pdf.iloc[i * n // 3:(i + 1) * n // 3].to_parquet(
+            d / f"part{i}.parquet"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    packed = ST.pack_sequences_stream(stream, "doc_id", "text")
+    ST.run_to_memory_sink(packed, "pack_stream_out", mode="append")
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT shard, bin_id, doc_id, bin_off, n_in_bin, doc_off "
+            "FROM pack_stream_out"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in queries()["corpus_pack_sequences"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
