@@ -2724,3 +2724,137 @@ def corpus_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates",
         "phi_ratio_naive",
     )
+
+
+@query(
+    "dedup_fuzzy_typenames",
+    oracle="""
+        WITH names AS (
+            SELECT p_name AS name,
+                   string_split(p_name, ' ')[-1] AS noun,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY p_name
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        FROM names a JOIN names b
+          ON a.noun = b.noun AND a.name < b.name
+        WHERE abs(length(a.name) - length(b.name)) <= 3
+          AND levenshtein(a.name, b.name) BETWEEN 1 AND 3
+    """,
+)
+def dedup_fuzzy_typenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage on NAME TYPES — the edit-distance
+    complement to the shingle/MinHash family (typo-level near-dups
+    that token-set similarity misses entirely): block candidate pairs
+    by the head noun, band by length (|Δlen| ≤ 3 — any lev ≤ 3 pair
+    satisfies it, so the band is lossless), verify with exact
+    Levenshtein 1..3.
+
+    Scale is the point of the TYPE-level formulation (the BPE
+    word-type trick): distinct names are vocabulary-bounded, so the
+    blocked self-join runs over a relation orders of magnitude
+    smaller than the part table no matter how many rows carry each
+    name — the per-name part counts ride along for the record-level
+    rollup. The noun block + length band bound each verify bucket;
+    nothing is all-pairs on the data plane."""
+    p = load(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    ).withColumn("noun", F.element_at(F.split("name", " "), -1))
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where(
+            (
+                F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name")))
+                <= 3
+            )
+            & F.levenshtein(F.col("a.name"), F.col("b.name")).between(1, 3)
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name"))
+            .cast("bigint")
+            .alias("lev"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+#: k-anonymity threshold for the governance audit.
+_KANON = 5
+
+
+@query(
+    "data_kanonymity_audit",
+    oracle=f"""
+        WITH q AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   COUNT(*) AS sz
+            FROM customer
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n FROM q)
+        SELECT CAST(MIN(q.sz) AS BIGINT) AS k_anonymity,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN q.sz < {_KANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_classes,
+               CAST(SUM(CASE WHEN q.sz < {_KANON} THEN q.sz ELSE 0 END)
+                    AS BIGINT) AS n_rows_at_risk,
+               ROUND(SUM(CASE WHEN q.sz < {_KANON} THEN q.sz ELSE 0 END)
+                     * 1.0 / tot.n, 6) AS suppression_rate
+        FROM q, tot GROUP BY tot.n
+    """,
+)
+def data_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity governance audit over the customer quasi-identifier
+    tuple (nation, market segment, account-balance band): the dataset
+    is k-anonymous at the MIN equivalence-class size; every class
+    under {_KANON} is a re-identification risk and the rows it holds
+    are what a release would have to suppress or generalize. The
+    privacy complement to ``data_dp_noisy_counts`` (which protects
+    aggregates; this audits row-level release) and
+    ``text_pii_redact`` (which scrubs direct identifiers; this
+    measures the QUASI-identifier risk that survives scrubbing).
+
+    Scale: one hash aggregate over the quasi-identifier tuple, one
+    1-row census rollup — two shuffles, output O(1)."""
+    c = load(spark, sf_dir, "customer")
+    q = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    tot = q.agg(F.sum("sz").cast("bigint").alias("n"))
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.min("sz").cast("bigint").alias("k_anonymity"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("sz") < _KANON, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(F.when(F.col("sz") < _KANON, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+        .select(
+            "k_anonymity",
+            "n_classes",
+            "n_violating_classes",
+            "n_rows_at_risk",
+            F.round(F.col("n_rows_at_risk") * 1.0 / F.col("n"), 6).alias(
+                "suppression_rate"
+            ),
+        )
+    )
