@@ -175,6 +175,9 @@ HEADLINE = [
     "data_shard_balance",
     "udtf_run_length",
     "corpus_kmeanspp_init",
+    "dedup_fuzzy_typenames",
+    "data_kanonymity_audit",
+    "vec_pca_variance",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -395,6 +395,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the bounded candidate relation (1 + rounds·l rows of model
         # state) crosses its 1-row phi-audit aggregate
         "corpus_kmeanspp_init",
+        # the quasi-identifier class census crosses its own 1-row
+        # total (the data_skew_report shape)
+        "data_kanonymity_audit",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
