@@ -44,6 +44,7 @@ def test_driver_window_prioritizes_unverified_families():
     zero driver verification (the r01 mistake)."""
     from spark_query_engine.queries import (
         REGISTRY,
+        _REPIN_REWRITTEN,
         _WINDOW_FIRST,
         _driver_verified,
         _ensure_loaded,
@@ -52,7 +53,9 @@ def test_driver_window_prioritizes_unverified_families():
 
     _ensure_loaded()
     names = list(REGISTRY)
-    verified = _driver_verified()
+    # re-pinned rewrites count as unverified: their committed driver
+    # evidence predates the code now running (round-4 verdict task 4)
+    verified = _driver_verified() - set(_REPIN_REWRITTEN)
     flags = [n in verified for n in names]
     # all unverified come before all verified
     if True in flags and False in flags:
@@ -78,8 +81,10 @@ def test_driver_window_prioritizes_unverified_families():
     missing = fams - {_family_rank(n) for n in unv[:50]}
     assert not missing, f"families with no query in the driver window: {missing}"
     # no unknown-family (new-module) query registers before any
-    # known-family unverified query
-    ranks = [_family_rank(n) for n in unv if n not in pinned_unv]
+    # known-family unverified query (re-pinned rewrites are front-
+    # pinned by design and excluded like the verdict pins)
+    pinned_all = set(pinned_unv) | set(_REPIN_REWRITTEN)
+    ranks = [_family_rank(n) for n in unv if n not in pinned_all]
     if any(r >= known_rank for r in ranks) and any(r < known_rank for r in ranks):
         first_new = ranks.index(next(r for r in ranks if r >= known_rank))
         last_old = max(i for i, r in enumerate(ranks) if r < known_rank)
@@ -90,7 +95,7 @@ def test_driver_window_prioritizes_unverified_families():
     # appear once (round-robin fairness)
     tail = [
         n for n in unv
-        if n not in pinned_unv and _family_rank(n) < known_rank
+        if n not in pinned_all and _family_rank(n) < known_rank
     ]
     tail_fams = {_family_rank(n) for n in tail}
     first_cycle = [_family_rank(n) for n in tail[: len(tail_fams)]]
