@@ -289,13 +289,16 @@ def cp_keys(
                 ),
             ).alias("y"),
         )
-        # eager localCheckpoint, not persist: the barrier still stops
-        # Catalyst re-inlining the O(dim²) rotation fold into every
-        # key expression (the measured 8× blowup), but the backing
-        # blocks are GC-reclaimed with the result instead of leaking
-        # across repeated invocations (persist here never reached an
-        # unpersist — bench runs each query 3×)
-        .localCheckpoint()
+        # persist, deliberately: the barrier stops Catalyst
+        # re-inlining the O(dim²) rotation fold into every key
+        # expression (the measured 8× blowup). A localCheckpoint
+        # (eager OR lazy) was tried as a leak-proof replacement and
+        # measured 25-35% slower end-to-end on the CP queries at
+        # sf0.1, so the persist stays; the cache is released by the
+        # caller's spark.catalog.clearCache() between queries (bench
+        # does this), which is the repo's cache-lifetime contract for
+        # operator-internal persists
+        .persist()
     )
     y = F.col("y")
     a = F.transform(y, lambda e: F.abs(e))
@@ -412,10 +415,10 @@ def cp_near_duplicates(
     v = widen(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     )
-    # cp_keys is checkpoint-backed (yb), so deriving roles twice (the
-    # a/b sides of the self-join) re-runs only the cheap argmax
-    # projection — no extra persist needed here
-    keys = cp_keys(df, id_col, vec_col, cp_rotations(bands, dim))
+    # persist the small (id, band, k1, k2) key relation: the a/b
+    # sides of the candidate self-join both read it (cache lifetime =
+    # caller clearCache, see cp_keys)
+    keys = cp_keys(df, id_col, vec_col, cp_rotations(bands, dim)).persist()
     roles = keys.select(
         "id",
         "band",
@@ -441,11 +444,10 @@ def cp_near_duplicates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        # eager localCheckpoint: candidates materialize once for both
-        # the fraction count and the verify join, lineage truncates,
-        # and the blocks are GC-reclaimed (the persist it replaces
-        # leaked across invocations)
-        .localCheckpoint()
+        # persist: candidates are read by both the fraction count and
+        # the verify join (cache lifetime = caller clearCache, see
+        # cp_keys — the checkpoint variant measured 25-35% slower)
+        .persist()
     )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     n_vec = v.agg(F.count(F.lit(1)).alias("n"))
