@@ -2858,3 +2858,110 @@ def data_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+        WITH ev AS (SELECT event_id,
+                           CAST(date_trunc('microseconds', ts) AS TIMESTAMP)
+                               AS ts,
+                           user_id, event_type, value, props FROM events),
+        d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS vq
+            FROM ev GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(vq) AS BIGINT) AS s
+            FROM d GROUP BY event_type
+        ),
+        y AS (
+            SELECT d.event_type, d.day, d.vq, t.n, t.s,
+                   CAST(SUM(d.vq * t.n - t.s) OVER (
+                        PARTITION BY d.event_type ORDER BY d.day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS yc
+            FROM d JOIN t USING (event_type)
+        ),
+        c AS (
+            SELECT event_type, day, vq, n, s, yc,
+                   CAST(LEAST(0, MIN(yc) OVER (
+                        PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS ymin,
+                   CAST(GREATEST(0, MAX(yc) OVER (
+                        PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS ymax
+            FROM y
+        )
+        SELECT event_type, day,
+               ROUND(vq / 100.0, 2) AS day_total,
+               ROUND((yc - ymin) * 1.0 / n / 100.0, 2) AS cusum_pos,
+               ROUND((ymax - yc) * 1.0 / n / 100.0, 2) AS cusum_neg,
+               (yc - ymin) > 2 * s OR (ymax - yc) > 2 * s AS alarm
+        FROM c
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (Page 1954) over the per-type daily value
+    series — the sequential change-point detector behind data-quality
+    monitors, expressed WITHOUT its recursion: the textbook
+    S⁺_t = max(0, S⁺_{t-1} + dev_t) is non-associative, but the
+    prefix-sum identity S⁺_t = y_t − min(0, min_{τ≤t} y_τ) (with
+    y = cumulative deviation) turns it into two PARTITIONED window
+    scans — a cumsum and a running min — so the detector
+    distributes; S⁻ symmetrically via the running max. Alarm = the
+    one-sided cumulative excess worth two average days of mass
+    (excess > 2·Σx/n in original units — a scale-free threshold,
+    compared in exact n-scaled integers). On this synthetic corpus
+    the series are stationary, so zero alarms is the expected
+    readout — the hash-verified signal is the cusum columns
+    themselves (and the identity is property-tested against the
+    sequential max(0, ·) recursion).
+
+    Float discipline: values 1e2-quantize per ROW to BIGINTs and
+    every sum/cumsum/min is exact integer arithmetic; deviations
+    stay integral by working n-scaled (dev_t = n·x_t − Σx, avoiding
+    the mean's division) — both engines derive the 2dp outputs once
+    from identical integers. Scale: two shuffles (the day rollup,
+    the per-type window partition); series per partition = days,
+    bounded."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("vq")
+    )
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vq").cast("bigint").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    y = d.join(F.broadcast(t), "event_type").withColumn(
+        "yc",
+        F.sum(F.col("vq") * F.col("n") - F.col("s")).over(w).cast("bigint"),
+    )
+    c = y.withColumn(
+        "ymin", F.least(F.lit(0).cast("bigint"), F.min("yc").over(w))
+    ).withColumn(
+        "ymax", F.greatest(F.lit(0).cast("bigint"), F.max("yc").over(w))
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.round(F.col("vq") / 100.0, 2).alias("day_total"),
+        F.round((F.col("yc") - F.col("ymin")) * 1.0 / F.col("n") / 100.0, 2)
+        .alias("cusum_pos"),
+        F.round((F.col("ymax") - F.col("yc")) * 1.0 / F.col("n") / 100.0, 2)
+        .alias("cusum_neg"),
+        (
+            ((F.col("yc") - F.col("ymin")) > 2 * F.col("s"))
+            | ((F.col("ymax") - F.col("yc")) > 2 * F.col("s"))
+        ).alias("alarm"),
+    )

@@ -846,3 +846,31 @@ def test_bloom_filter_matches_set_model(spark, members, probes):
     assert got == want
     for p in probes & members:
         assert got[p], "false negative is structurally impossible"
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_cusum_prefix_identity_matches_recursion(xs):
+    """The window formulation behind events_cusum_drift: for any
+    integer series, y_t - min(0, min_prefix(y)) equals the textbook
+    recursion S_t = max(0, S_{t-1} + d_t) (and symmetrically for the
+    negative side via the running max)."""
+    # n-scaled deviations, exactly as the query builds them
+    n, s = len(xs), sum(xs)
+    devs = [x * n - s for x in xs]
+
+    sp = sn = 0
+    y = 0
+    ymin = ymax = 0
+    for d in devs:
+        sp = max(0, sp + d)
+        sn = max(0, sn - d)
+        y += d
+        ymin = min(ymin, y)
+        ymax = max(ymax, y)
+        assert sp == y - min(0, ymin)
+        assert sn == max(0, ymax) - y
