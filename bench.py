@@ -178,6 +178,7 @@ HEADLINE = [
     "dedup_fuzzy_typenames",
     "data_kanonymity_audit",
     "vec_pca_variance",
+    "events_cusum_drift",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -874,3 +874,68 @@ def test_cusum_prefix_identity_matches_recursion(xs):
         ymax = max(ymax, y)
         assert sp == y - min(0, ymin)
         assert sn == max(0, ymax) - y
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+    st.integers(min_value=4, max_value=16),
+)
+@settings(max_examples=15, deadline=None, derandomize=True)
+def test_pack_sequences_matches_sequential_concat_split(spark, toks, context):
+    """corpus_pack_sequences' windowed-cumsum formulation vs the
+    sequential reference: concatenate docs in id order into one token
+    stream, split at context boundaries — every (doc × bin)
+    intersection row must match, including docs straddling 2+ bins
+    and docs longer than the context window."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = [(i, " ".join(["t"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # distributed: the exact plan shape of corpus_pack_sequences with
+    # ONE shard (the per-shard stream is the unit under test)
+    w = W.partitionBy(F.lit(0)).orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    t = df.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+    o = t.select(
+        "doc_id", "n_toks", (F.sum("n_toks").over(w) - F.col("n_toks")).alias("off")
+    )
+    b = o.select(
+        "doc_id",
+        "n_toks",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off DIV {context}"),
+                F.expr(f"(off + n_toks - 1) DIV {context}"),
+            )
+        ).alias("bin"),
+    )
+    seg_s = F.greatest(F.col("off"), F.col("bin") * context)
+    seg_e = F.least(F.col("off") + F.col("n_toks"), (F.col("bin") + 1) * context)
+    got = {
+        (r["doc_id"], r["bin"], r["bo"], r["nb"], r["do"])
+        for r in b.select(
+            "doc_id",
+            "bin",
+            (seg_s - F.col("bin") * context).alias("bo"),
+            (seg_e - seg_s).alias("nb"),
+            (seg_s - F.col("off")).alias("do"),
+        ).collect()
+    }
+
+    # sequential reference
+    want = set()
+    off = 0
+    for i, n in enumerate(toks):
+        end = off + n
+        for bin_ in range(off // context, (end - 1) // context + 1):
+            s = max(off, bin_ * context)
+            e = min(end, (bin_ + 1) * context)
+            want.add((i, bin_, s - bin_ * context, e - s, s - off))
+        off = end
+    assert got == want
+    # coverage law: every token lands in exactly one (doc, bin) row
+    assert sum(r[3] for r in want) == sum(toks)
