@@ -179,6 +179,8 @@ HEADLINE = [
     "data_kanonymity_audit",
     "vec_pca_variance",
     "events_cusum_drift",
+    "events_trend_slope",
+    "data_ldiversity_audit",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -2965,3 +2965,185 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("ymax") - F.col("yc")) > 2 * F.col("s"))
         ).alias("alarm"),
     )
+
+
+@query(
+    "events_trend_slope",
+    oracle="""
+        WITH ev AS (SELECT CAST(date_trunc('microseconds', ts) AS TIMESTAMP)
+                               AS ts,
+                           event_type, value FROM events),
+        d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS vq
+            FROM ev GROUP BY 1, 2
+        ),
+        x AS (
+            SELECT event_type, vq,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY day) - 1 AS BIGINT) AS xi
+            FROM d
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xi) AS BIGINT) AS sx,
+                   CAST(SUM(vq) AS BIGINT) AS sy,
+                   CAST(SUM(xi * vq) AS BIGINT) AS sxy,
+                   CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+                   CAST(SUM(vq * vq) AS BIGINT) AS syy
+            FROM x GROUP BY event_type
+        ),
+        sl AS (
+            SELECT event_type, n, sx, sy, sxy, sxx, syy,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+            FROM m
+        )
+        SELECT event_type, n AS n_days,
+               ROUND(b / 100.0, 4) AS slope_per_day,
+               ROUND((CAST(sy AS DOUBLE) / n - b * CAST(sx AS DOUBLE) / n)
+                     / 100.0, 4) AS intercept,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     / CAST(n * syy - sy * sy AS DOUBLE), 6) AS r2
+        FROM sl
+    """,
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of the daily value series — the slow-
+    drift complement to ``events_cusum_drift`` (CUSUM fires on step
+    changes; OLS slope measures gradual ones): least-squares slope,
+    intercept, and R² computed from EXACT integer moments (n, Σx, Σy,
+    Σxy, Σx², Σy² over 1e2-quantized day totals and 0-based day
+    indexes — the events_burstiness discipline extended to
+    regression), so both engines derive every float once from
+    identical integers; no regr_slope built-in whose internal
+    accumulation order could differ.
+
+    Scale: the day rollup shuffle + a per-type moment aggregate; the
+    window assigning day indexes partitions by type. Slope is in
+    original value units per day."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("vq")
+    )
+    x = d.select(
+        "event_type",
+        "vq",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+            - 1
+        )
+        .cast("bigint")
+        .alias("xi"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum("vq").cast("bigint").alias("sy"),
+        F.sum(F.col("xi") * F.col("vq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sxx"),
+        F.sum(F.col("vq") * F.col("vq")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    b = (num / den).alias("b")
+    sl = m.select("event_type", "n", "sx", "sy", "sxy", "sxx", "syy", b)
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sl.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.col("b") / 100.0, 4).alias("slope_per_day"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - F.col("b") * F.col("sx").cast("double") / F.col("n")
+            )
+            / 100.0,
+            4,
+        ).alias("intercept"),
+        F.round(num * num / den / deny, 6).alias("r2"),
+    )
+
+
+#: l-diversity threshold for the governance audit.
+_LDIV = 3
+
+
+@query(
+    "data_ldiversity_audit",
+    oracle=f"""
+        WITH q AS (
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS sz,
+                   COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                       AS l
+            FROM customer
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n FROM q)
+        SELECT CAST(MIN(q.l) AS BIGINT) AS l_diversity,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN q.l < {_LDIV} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_classes,
+               CAST(SUM(CASE WHEN q.l < {_LDIV} THEN q.sz ELSE 0 END)
+                    AS BIGINT) AS n_rows_at_risk,
+               ROUND(SUM(CASE WHEN q.l < {_LDIV} THEN q.sz ELSE 0 END)
+                     * 1.0 / tot.n, 6) AS at_risk_rate
+        FROM q, tot GROUP BY tot.n
+    """,
+)
+def data_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement to
+    ``data_kanonymity_audit``: a class can be k-anonymous yet leak
+    its SENSITIVE attribute if every member shares one value
+    (homogeneity attack). Here the quasi-identifier is (nation,
+    segment) and the sensitive attribute the account-balance band;
+    a class with fewer than {_LDIV} distinct bands tells an attacker
+    the member's balance range without re-identification. Output:
+    the dataset's l (min distinct sensitive values per class),
+    violating classes, and the at-risk row share.
+
+    Scale: one aggregate with a distinct-count over the class key —
+    Spark plans the count-distinct as a two-phase expand/agg, all
+    shuffles on the class key; 1-row output."""
+    c = load(spark, sf_dir, "customer")
+    q = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+        ).alias("l"),
+    )
+    tot = q.agg(F.sum("sz").cast("bigint").alias("n"))
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.min("l").cast("bigint").alias("l_diversity"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("l") < _LDIV, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(F.when(F.col("l") < _LDIV, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+        .select(
+            "l_diversity",
+            "n_classes",
+            "n_violating_classes",
+            "n_rows_at_risk",
+            F.round(F.col("n_rows_at_risk") * 1.0 / F.col("n"), 6).alias(
+                "at_risk_rate"
+            ),
+        )
+    )

@@ -398,6 +398,7 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the quasi-identifier class census crosses its own 1-row
         # total (the data_skew_report shape)
         "data_kanonymity_audit",
+        "data_ldiversity_audit",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
