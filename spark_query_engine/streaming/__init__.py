@@ -12,6 +12,7 @@ from spark_query_engine.streaming.events import (
     interval_join_streams,
     minhash_dedup_stream,
     pack_sequences_stream,
+    cusum_stream,
     ohlc_stream,
     run_to_memory_sink,
     per_type_counts_tws,
@@ -37,6 +38,7 @@ __all__ = [
     "dedup_stream",
     "minhash_dedup_stream",
     "pack_sequences_stream",
+    "cusum_stream",
     "write_foreach_batch_parquet",
     "run_to_memory_sink",
 ]

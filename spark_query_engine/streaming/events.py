@@ -614,3 +614,72 @@ def pack_sequences_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_stream(
+    events: DataFrame,
+    reference: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Streaming CUSUM (Page 1954) per event type — the online form of
+    the batch ``events_cusum_drift`` detector. The batch query
+    references each series' own mean (a two-pass statistic no stream
+    can know); the streaming form takes a FIXED ``reference`` (the
+    expected per-event value from history or SLOs) and ``slack`` k,
+    the textbook parameterization: S⁺ ← max(0, S⁺ + (x − ref − k)),
+    S⁻ ← max(0, S⁻ − (x − ref + k)) per arrival.
+
+    Exact-integer state: values, reference, and slack 1e2-quantize so
+    the two accumulators are BIGINT state (one pair per event type —
+    O(types) state total, the same bounded-state story as
+    ``pack_sequences_stream``). Emits the running S⁺/S⁻ per type per
+    micro-batch plus alarm flags when ``threshold`` is set
+    (outputMode update). Arrivals fold in deterministic
+    (ts, event_id) order within each batch."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rq = int(round(reference * 100))
+    kq = int(round(slack * 100))
+    hq = None if threshold is None else int(round(threshold * 100))
+
+    t = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vq"),
+    )
+
+    def step(key, pdfs, state):
+        sp, sn = state.get if state.exists else (0, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (t, int(e), int(v))
+                for t, e, v in zip(pdf["ts"], pdf["event_id"], pdf["vq"])
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        for _ts, _eid, vq in rows:
+            sp = max(0, sp + (vq - rq - kq))
+            sn = max(0, sn - (vq - rq + kq))
+        state.update((sp, sn))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "cusum_pos": [sp / 100.0],
+                "cusum_neg": [sn / 100.0],
+                "alarm": [hq is not None and (sp > hq or sn > hq)],
+            }
+        )
+
+    return t.groupBy("event_type").applyInPandasWithState(
+        step,
+        outputStructType=(
+            "event_type string, cusum_pos double, cusum_neg double, "
+            "alarm boolean"
+        ),
+        stateStructType="sp long, sn long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -545,3 +545,27 @@ def test_cp_config_measured_curve():
     assert cp_config(0.7, 1.0) == (16, 2)
     # below the lowest calibration: fall back to its row
     assert cp_config(0.3, 1.0) == (32, 2)
+
+
+def test_integer_moment_queries_are_run_deterministic(spark, sf_dir):
+    """The round-5 float-discipline contract: queries rebuilt on exact
+    integer moments must produce BIT-IDENTICAL values across repeated
+    runs (the round-4 vec_covariance_matrix red row was a
+    partition-order float flip at a rounding boundary — by
+    construction impossible now). Two full executions, exact value
+    compare, no tolerance."""
+    from spark_query_engine.queries import queries
+
+    qs = queries()
+    for name in (
+        "vec_covariance_matrix",
+        "corpus_cluster_cohesion",
+        "corpus_dsir_select",
+        "events_trend_slope",
+    ):
+        fn = qs[name]
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.catalog.clearCache()
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.catalog.clearCache()
+        assert a == b, f"{name}: values changed between runs"

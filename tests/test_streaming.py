@@ -796,3 +796,64 @@ def test_pack_sequences_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_cusum_stream_matches_sequential_recursion(spark, sf_dir, tmp_path):
+    """Streaming CUSUM ≡ the textbook recursion: drive the events in
+    two time-ordered micro-batches and check each type's final S⁺/S⁻
+    against a sequential max(0, ·) fold over the full (ts, event_id)-
+    ordered series in the same exact-integer arithmetic."""
+    from pyspark.sql import types as T
+
+    ref, slack = 50.0, 5.0
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"])
+    d = tmp_path / "cusumstream"
+    d.mkdir()
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(d / "part0.parquet")
+    pdf.iloc[n // 2:].to_parquet(d / "part1.parquet")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = ST.cusum_stream(stream, reference=ref, slack=slack, threshold=100.0)
+    ST.run_to_memory_sink(out, "cusum_out", mode="update")
+    got = {
+        r["event_type"]: (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+        for r in spark.sql(
+            "SELECT * FROM cusum_out"
+        ).collect()
+    }
+
+    rq, kq, hq = int(ref * 100), int(slack * 100), int(100.0 * 100)
+    want = {}
+    for r in pdf.itertuples():
+        vq = int(round(float(r.value) * 100))
+        sp, sn = want.get(r.event_type, (0, 0))
+        sp = max(0, sp + (vq - rq - kq))
+        sn = max(0, sn - (vq - rq + kq))
+        want[r.event_type] = (sp, sn)
+    want = {
+        t: (sp / 100.0, sn / 100.0, sp > hq or sn > hq)
+        for t, (sp, sn) in want.items()
+    }
+    assert got == want
+    assert len(want) > 0
