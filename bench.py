@@ -181,6 +181,8 @@ HEADLINE = [
     "events_cusum_drift",
     "events_trend_slope",
     "data_ldiversity_audit",
+    "corpus_pack_utilization",
+    "ann_ndcg_eval",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -3147,3 +3147,174 @@ def data_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "corpus_pack_utilization",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        s AS (
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM t GROUP BY shard
+        )
+        SELECT shard, n_docs, n_tokens,
+               CAST((n_tokens + {_PACK_C} - 1) // {_PACK_C} AS BIGINT)
+                   AS n_bins,
+               CAST((n_tokens + {_PACK_C} - 1) // {_PACK_C} * {_PACK_C}
+                    - n_tokens AS BIGINT) AS pad_tokens,
+               ROUND(n_tokens * 1.0
+                     / ((n_tokens + {_PACK_C} - 1) // {_PACK_C}
+                        * {_PACK_C}), 6) AS utilization
+        FROM s
+    """,
+)
+def corpus_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit for ``corpus_pack_sequences``: because
+    concat-and-split wastes tokens ONLY in each shard's final partial
+    window, utilization is n_tokens / (n_bins·{_PACK_C}) — derived in
+    closed form from the per-shard token census, no packing run
+    needed. This is the number that justifies packing over per-doc
+    padding (where every document pads to the window): utilization
+    here approaches 1 as shards grow, while padded loading wastes
+    (1 − avg_len/context) of every batch.
+
+    Scale: one aggregate, {_PACK_SHARDS} output rows; pure
+    integer arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    c = _PACK_C
+    s = docs.groupBy(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    bins = F.expr(f"(n_tokens + {c - 1}) DIV {c}")
+    return s.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        bins.cast("bigint").alias("n_bins"),
+        (bins * c - F.col("n_tokens")).cast("bigint").alias("pad_tokens"),
+        F.round(F.col("n_tokens") * 1.0 / (bins * c), 6).alias("utilization"),
+    )
+
+
+def _ndcg_oracle() -> str:
+    from spark_query_engine.queries.similarity import _planes_values_sql
+
+    return f"""
+        WITH planes(p, d, w) AS (VALUES {_planes_values_sql()}),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        dots AS (SELECT e.id, pl.p, SUM(pl.w * e.vec[pl.d + 1]) AS dot
+                 FROM v e, planes pl GROUP BY 1, 2),
+        buckets AS (SELECT id,
+                           SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p)
+                               ELSE 0 END) AS bucket
+                    FROM dots GROUP BY id),
+        q AS (SELECT v.id AS qid, v.vec AS qvec, b.bucket AS qbucket
+              FROM v JOIN buckets b USING (id) WHERE v.id < {_NQ}),
+        corpus AS (SELECT v.id, v.vec, b.bucket
+                   FROM v JOIN buckets b USING (id) WHERE v.id >= {_NQ}),
+        truth AS (SELECT qid, id FROM (
+            SELECT q.qid, c.id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    c.vec, q.qvec), 6) DESC, c.id) AS rn
+            FROM corpus c CROSS JOIN q) WHERE rn <= {_BATCH_K}),
+        approx AS (SELECT qid, id, rn FROM (
+            SELECT qid, id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    vec, qvec), 6) DESC, id) AS rn
+            FROM (SELECT q.qid, c.id, c.vec, q.qvec
+                  FROM corpus c JOIN q ON c.bucket = q.qbucket))
+            WHERE rn <= {_BATCH_K}),
+        rel AS (SELECT a.qid, a.rn FROM approx a JOIN truth t
+                USING (qid, id)),
+        gains AS (SELECT qid,
+                         CAST(COUNT(*) AS BIGINT) AS n_hits,
+                         SUM(1.0 / log2(rn + 1)) AS dcg,
+                         1.0 / MIN(rn) AS mrr
+                  FROM rel GROUP BY qid),
+        idcg AS (SELECT SUM(1.0 / log2(r + 1)) AS v
+                 FROM (SELECT unnest(range(1, {_BATCH_K} + 1)) AS r))
+        SELECT q.qid,
+               COALESCE(g.n_hits, 0) AS n_hits,
+               ROUND(COALESCE(g.dcg, 0.0) / idcg.v, 6) AS ndcg_at_k,
+               ROUND(COALESCE(g.mrr, 0.0), 6) AS mrr
+        FROM q LEFT JOIN gains g USING (qid), idcg
+    """
+
+
+@query("ann_ndcg_eval", oracle=_ndcg_oracle())
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality audit for the LSH probe — recall@k says WHETHER
+    the true neighbors surface, NDCG@k and MRR say WHERE: position-
+    discounted gain (1/log2(rank+1)) of each true-top-{_BATCH_K}
+    member in the probe's ranking, normalized by the ideal ordering,
+    and the reciprocal rank of the first relevant hit. The pair
+    completes the IR-metric set next to ``ann_recall_eval`` on the
+    same probe, so index tuning sees ordering degradation, not just
+    set membership.
+
+    Float discipline: every gain term is 1/log2(small integer) — the
+    bounded-term class (≤{_BATCH_K} terms per query, alphabet-bounded
+    sums justification) — and the rank integers themselves are exact.
+    Plan shape identical to ann_recall_eval: broadcast query batch,
+    bucket equi-join probe, per-query rank windows."""
+    from spark_query_engine.queries.similarity import _PLANES
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = S.lsh_bucket(emb, "vec_id", "embedding", _PLANES)
+    qbatch = bucketed.where(F.col("id") < _NQ).select(
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    corpus = bucketed.where(F.col("id") >= _NQ)
+    sim = F.round(cosine(F.col("vec"), F.col("qvec")), 6)
+    win = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("id")
+    )
+    truth = (
+        corpus.crossJoin(F.broadcast(qbatch.select("qid", "qvec")))
+        .select("qid", "id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= _BATCH_K)
+        .select("qid", "id")
+    )
+    approx = (
+        corpus.join(F.broadcast(qbatch), F.col("bucket") == F.col("qbucket"))
+        .select("qid", "id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= _BATCH_K)
+        .select("qid", "id", "rn")
+    )
+    rel = approx.join(truth, ["qid", "id"])
+    gains = rel.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rn") + 1)).alias("dcg"),
+        (F.lit(1.0) / F.min("rn")).alias("mrr"),
+    )
+    import math
+
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, _BATCH_K + 1))
+    return (
+        qbatch.select("qid")
+        .join(gains, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.lit(idcg), 6
+            ).alias("ndcg_at_k"),
+            F.round(F.coalesce(F.col("mrr"), F.lit(0.0)), 6).alias("mrr"),
+        )
+    )
