@@ -326,3 +326,40 @@ def test_ivf_index_write_prunes_probe_partitions(spark, sf_dir, tmp_path):
     # the probe reads only its list: row count equals that list's size
     want = assigned.where(F.col("centroid") == 1).count()
     assert probe.count() == want
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the runtime half of partition
+    pruning: the fact side is partitioned on the join key, the dim
+    side carries a selective NON-partition filter, and Spark injects
+    a dynamicpruning subquery so the fact scan reads only the
+    partitions the filtered dim can match, decided at RUNTIME from
+    the dim's build side. This is the plan feature that turns a
+    star-schema month filter into a 1/12th fact scan at 100 TB
+    without the fact query mentioning the month at all."""
+    out = str(tmp_path / "lineitem_by_suppkey_band")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "supp_band", (F.col("l_suppkey") % 8).cast("int")
+    )
+    li.write.partitionBy("supp_band").mode("overwrite").parquet(out)
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").withColumn(
+        "supp_band", (F.col("s_suppkey") % 8).cast("int")
+    )
+    fact = spark.read.parquet(out)
+    dim = supp.where(F.col("s_nationkey") == 3).select(
+        "supp_band", "s_suppkey", "s_nationkey"
+    ).distinct()
+    joined = fact.join(dim, "supp_band")
+
+    plan = formatted_explain(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    # correctness: identical to the unpartitioned join
+    want = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("supp_band", (F.col("l_suppkey") % 8).cast("int"))
+        .join(dim, "supp_band")
+        .count()
+    )
+    assert joined.count() == want
