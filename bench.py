@@ -183,6 +183,7 @@ HEADLINE = [
     "data_ldiversity_audit",
     "corpus_pack_utilization",
     "ann_ndcg_eval",
+    "pipeline_dedup_cascade",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

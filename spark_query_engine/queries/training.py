@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
+from spark_query_engine.operators import dedup as D
 from spark_query_engine.operators.dedup import cosine
 from spark_query_engine.queries import load, query
 
@@ -3318,3 +3319,158 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("mrr"), F.lit(0.0)), 6).alias("mrr"),
         )
     )
+
+
+#: Dedup-cascade thresholds: lexical near-dup Jaccard, semantic cosine.
+_CASC_J, _CASC_COS = 0.6, 0.9
+
+
+@query(
+    "pipeline_dedup_cascade",
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id, text,
+                   md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+                       AS fp
+            FROM documents
+        ),
+        k1 AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY fp),
+        s1 AS (SELECT n.doc_id, n.text FROM norm n JOIN k1 USING (doc_id)),
+        words AS (SELECT doc_id, string_split(text, ' ') AS w FROM s1),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        d2 AS (
+            SELECT DISTINCT id_b AS doc_id FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6)
+                  >= {_CASC_J}
+        ),
+        s2 AS (SELECT doc_id FROM s1
+               WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+              FROM embeddings),
+        s2e AS (SELECT s2.doc_id, e.vec, e.label
+                FROM s2 JOIN e ON e.vec_id = s2.doc_id),
+        d3 AS (
+            SELECT DISTINCT b.doc_id
+            FROM s2e a JOIN s2e b
+              ON a.label = b.label AND a.doc_id < b.doc_id
+            WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6)
+                  >= {_CASC_COS}
+        ),
+        s3 AS (SELECT doc_id FROM s2
+               WHERE doc_id NOT IN (SELECT doc_id FROM d3)),
+        c AS (SELECT (SELECT COUNT(*) FROM documents) AS n0,
+                     (SELECT COUNT(*) FROM s1) AS n1,
+                     (SELECT COUNT(*) FROM s2) AS n2,
+                     (SELECT COUNT(*) FROM s3) AS n3)
+        SELECT 1 AS stage, 'exact' AS stage_name,
+               CAST(n0 AS BIGINT) AS n_in, CAST(n1 AS BIGINT) AS n_out,
+               CAST(n0 - n1 AS BIGINT) AS n_dropped FROM c
+        UNION ALL
+        SELECT 2, 'minhash_jaccard', CAST(n1 AS BIGINT),
+               CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'semantic_cosine', CAST(n2 AS BIGINT),
+               CAST(n3 AS BIGINT), CAST(n2 - n3 AS BIGINT) FROM c
+    """,
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE in one query — cheap stages first,
+    each stage seeing only the previous stage's survivors: (1) exact
+    dedup on the whitespace-normalized md5 fingerprint, (2) MinHash-
+    LSH lexical near-dup (exact-Jaccard verify ≥ {_CASC_J}, drop the
+    higher id of each pair), (3) semantic near-dup over the linked
+    embeddings (label-blocked exact cosine ≥ {_CASC_COS} — the label
+    stands in for the k-means cluster blocking ``corpus_semdedup``
+    does for real). Output: the per-stage attrition census — the
+    funnel report every dedup pipeline publishes.
+
+    Stage ordering is the cost argument: exact is one hash aggregate
+    and removes the mass duplicates; MinHash's banded equi-join then
+    runs on fewer docs; the O(n²/blocks) semantic verify sees only
+    what survives both. Each stage's drop rule (any surviving smaller
+    near-twin kills you) is deterministic and engine-mirrored. Keep
+    rule caveat vs ``corpus_dedup_keep_best``: pairwise drop, not
+    transitive-component collapse — documented difference, same on
+    both engines."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))))
+    norm = docs.select("doc_id", "text", fp.alias("fp"))
+    k1 = norm.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # persist each stage's survivor set: s1 feeds the MinHash stage,
+    # the anti-join, AND its census count; s2 feeds the semantic
+    # stage, the anti-join, and its count — without the barriers every
+    # census count re-runs the whole upstream cascade (measured 15.5 s
+    # -> 9.0 s at sf0.1). Cache lifetime = caller clearCache (the
+    # cp_keys contract).
+    s1 = (
+        norm.join(k1.select("doc_id"), "doc_id")
+        .select("doc_id", "text")
+        .persist()
+    )
+    pairs2 = D.minhash_near_duplicates(
+        s1, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=_CASC_J,
+    )
+    d2 = pairs2.select(F.col("id_b").alias("doc_id")).distinct()
+    s2 = s1.join(d2, "doc_id", "left_anti").select("doc_id").persist()
+    e = load(spark, sf_dir, "embeddings")
+    s2e = s2.join(
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+            "label",
+        ),
+        "doc_id",
+    )
+    a, b = s2e.alias("a"), s2e.alias("b")
+    d3 = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6) >= _CASC_COS
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(d3, "doc_id", "left_anti")
+    n0 = docs.agg(F.count(F.lit(1)).alias("n0"))
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    c = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+    rows = [
+        (1, "exact", "n0", "n1"),
+        (2, "minhash_jaccard", "n1", "n2"),
+        (3, "semantic_cosine", "n2", "n3"),
+    ]
+    parts = [
+        c.select(
+            F.lit(st).alias("stage"),
+            F.lit(nm).alias("stage_name"),
+            F.col(i).cast("bigint").alias("n_in"),
+            F.col(o).cast("bigint").alias("n_out"),
+            (F.col(i) - F.col(o)).cast("bigint").alias("n_dropped"),
+        )
+        for st, nm, i, o in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
