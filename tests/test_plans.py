@@ -399,6 +399,13 @@ def test_headline_plans_have_no_scale_killers(spark):
         # total (the data_skew_report shape)
         "data_kanonymity_audit",
         "data_ldiversity_audit",
+        # the four 1-row stage-census aggregates assemble by crossJoin
+        # (the graph_triangle_count census shape); every data-plane
+        # stage join is a hash equi-join or left-anti
+        "pipeline_dedup_cascade",
+        # ground-truth pass scores the corpus against the broadcast
+        # 8-row query batch (the ann_batch_topk/ann_recall_eval shape)
+        "ann_ndcg_eval",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
