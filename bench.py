@@ -184,6 +184,9 @@ HEADLINE = [
     "corpus_pack_utilization",
     "ann_ndcg_eval",
     "pipeline_dedup_cascade",
+    "corpus_preference_pairs",
+    "events_snaive_backtest",
+    "graph_kcore_peel",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -3474,3 +3474,276 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "corpus_preference_pairs",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source, lang,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source, lang,
+                   CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+                       + CAST(len(toks) AS BIGINT) AS reward
+            FROM t
+        ),
+        best AS (
+            SELECT source, lang, doc_id AS chosen_id, reward AS r_chosen
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+                       ORDER BY reward DESC, doc_id) AS rn FROM r)
+            WHERE rn = 1
+        ),
+        worst AS (
+            SELECT source, lang, doc_id AS rejected_id, reward AS r_rejected
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+                       ORDER BY reward ASC, doc_id) AS rn FROM r)
+            WHERE rn = 1
+        )
+        SELECT b.source, b.lang, b.chosen_id, w.rejected_id,
+               CAST(b.r_chosen - w.r_rejected AS BIGINT) AS reward_gap
+        FROM best b JOIN worst w USING (source, lang)
+        WHERE b.chosen_id <> w.rejected_id
+    """,
+)
+def corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly — the DPO/RLHF data-construction
+    step: within each (source, lang) group (standing in for the
+    per-prompt grouping of a real preference corpus) pair the
+    highest-reward document with the lowest as (chosen, rejected),
+    with the reward gap as the pair's training weight. The reward
+    here is a deterministic integer proxy (distinct-token count
+    lexicographically over length — a trained reward model's scores
+    slot into the same query as a broadcast relation).
+
+    Scale: two WindowGroupLimit-planned top-1 windows over the group
+    key + one group-keyed join — no corpus self-join anywhere; pair
+    count is bounded by the group inventory."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    r = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        (
+            F.size(F.array_distinct(toks)).cast("bigint") * 1000000
+            + F.size(toks).cast("bigint")
+        ).alias("reward"),
+    )
+    wd = Window.partitionBy("source", "lang").orderBy(
+        F.col("reward").desc(), F.col("doc_id")
+    )
+    wa = Window.partitionBy("source", "lang").orderBy(
+        F.col("reward").asc(), F.col("doc_id")
+    )
+    best = (
+        r.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            "lang",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("reward").alias("r_chosen"),
+        )
+    )
+    worst = (
+        r.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            "lang",
+            F.col("doc_id").alias("rejected_id"),
+            F.col("reward").alias("r_rejected"),
+        )
+    )
+    return (
+        best.join(worst, ["source", "lang"])
+        .where(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source",
+            "lang",
+            "chosen_id",
+            "rejected_id",
+            (F.col("r_chosen") - F.col("r_rejected"))
+            .cast("bigint")
+            .alias("reward_gap"),
+        )
+    )
+
+
+@query(
+    "events_snaive_backtest",
+    oracle="""
+        WITH ev AS (SELECT CAST(date_trunc('microseconds', ts) AS TIMESTAMP)
+                               AS ts,
+                           event_type, value FROM events),
+        d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS vq
+            FROM ev GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT a.event_type, a.day, a.vq,
+                   b.vq AS pred,
+                   abs(a.vq - b.vq) AS err
+            FROM d a JOIN d b
+              ON a.event_type = b.event_type AND a.day = b.day + 7
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days_tested,
+               ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*) / 100.0, 4) AS mae,
+               ROUND(CAST(SUM(err) AS DOUBLE)
+                     / CAST(SUM(abs(vq)) AS DOUBLE), 6) AS wmape
+        FROM j GROUP BY event_type
+    """,
+)
+def events_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest — the forecasting BASELINE audit every
+    model must beat: predict each day's per-type total by the value
+    one week earlier and score MAE and weighted-MAPE over all days
+    with a week-old reference. wMAPE = Σ|err| / Σ|actual| is a pure
+    integer ratio (the 1e2-quantized day totals sum exactly), so
+    both engines derive the floats once from identical integers —
+    the per-term e/actual form of MAPE would be an unbounded float
+    sum and is deliberately avoided.
+
+    Scale: the day rollup + one self-equi-join on (type, day−7) +
+    one aggregate; completes the monitoring trio (CUSUM = step
+    drift, trend slope = gradual drift, snaive error = how
+    predictable the series even is)."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("vq")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") == F.date_add(F.col("b.day"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.abs(F.col("a.vq") - F.col("b.vq")).alias("err"),
+        F.abs(F.col("a.vq")).alias("act"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_tested"),
+        F.round(
+            F.sum("err").cast("double") / F.count(F.lit(1)) / 100.0, 4
+        ).alias("mae"),
+        F.round(
+            F.sum("err").cast("double") / F.sum("act").cast("double"), 6
+        ).alias("wmape"),
+    )
+
+
+#: k-core geometry: core order and synchronized peel rounds.
+_KCORE_K, _KCORE_R = 3, 6
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """ed AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)"""
+    ]
+    prev = "ed"
+    for r in range(1, _KCORE_R + 1):
+        parts += [
+            f"""s{r} AS (SELECT u, v FROM {prev}
+                 UNION ALL SELECT v, u FROM {prev})""",
+            f"""k{r} AS (SELECT u AS n FROM s{r}
+                 GROUP BY u HAVING COUNT(*) >= {_KCORE_K})""",
+            f"""e{r} AS MATERIALIZED (
+                 SELECT e.u, e.v FROM {prev} e
+                 JOIN k{r} a ON a.n = e.u
+                 JOIN k{r} b ON b.n = e.v)""",
+        ]
+        prev = f"e{r}"
+    last, before = f"e{_KCORE_R}", f"e{_KCORE_R - 1}"
+    parts += [
+        f"""conv AS (SELECT (SELECT COUNT(*) FROM {before})
+                          = (SELECT COUNT(*) FROM {last}) AS converged)""",
+        f"""fs AS (SELECT u, v FROM {last}
+             UNION ALL SELECT v, u FROM {last})""",
+        """fdeg AS (SELECT u AS part_id, CAST(COUNT(*) AS BIGINT) AS degree
+             FROM fs GROUP BY u)""",
+    ]
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+        {_kcore_oracle()}
+        SELECT part_id, degree, conv.converged
+        FROM fdeg, conv
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the co-purchase graph via synchronized peel
+    rounds (Matula-Beck): each round drops every node whose CURRENT
+    degree is under {_KCORE_K} and restricts the edge set to
+    survivors; the fixpoint is exactly the {_KCORE_K}-core — the
+    density skeleton community detection and graph-sampling prune to
+    first. {_KCORE_R} rounds are unrolled on BOTH engines with a
+    ``converged`` output column (last round removed nothing) so the
+    approximation contract is part of the verified result, not a
+    docstring claim — on this graph the peel converges well inside
+    the unroll.
+
+    Scale: per round one degree aggregate + two semi-join
+    restrictions, all shuffled on node id — the CC/peeling shuffle
+    shape; Spark-side lineage truncates per round (localCheckpoint),
+    and the round count is the knob (synchronized peeling removes
+    whole frontiers at once)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = ed
+    prev_cnt = edges.count()
+    cur_cnt = prev_cnt
+    for _r in range(_KCORE_R):
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select(F.col("u").alias("n"))
+        )
+        ka, kb = keep.alias("ka"), keep.alias("kb")
+        edges = (
+            edges.join(ka, F.col("u") == F.col("ka.n"))
+            .join(kb, F.col("v") == F.col("kb.n"))
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        prev_cnt, cur_cnt = cur_cnt, edges.count()
+    converged = bool(prev_cnt == cur_cnt)
+    fs = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return fs.groupBy(F.col("u").alias("part_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    ).select("part_id", "degree", F.lit(converged).alias("converged"))
