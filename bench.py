@@ -187,6 +187,7 @@ HEADLINE = [
     "corpus_preference_pairs",
     "events_snaive_backtest",
     "graph_kcore_peel",
+    "corpus_span_corruption",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -3747,3 +3747,121 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs.groupBy(F.col("u").alias("part_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     ).select("part_id", "degree", F.lit(converged).alias("converged"))
+
+
+#: Span corruption geometry: start-rate denominator (md5 coin
+#: threshold = 1/20 of the 32-bit space) and raw span length.
+_SC_DEN, _SC_LEN = 20, 3
+
+
+@query(
+    "corpus_span_corruption",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS nt
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, nt, unnest(range(1, nt + 1)) AS p
+            FROM t
+        ),
+        starts AS (
+            SELECT doc_id, nt, p FROM pos
+            WHERE ('0x' || substr(md5('spancorr:' || CAST(doc_id AS VARCHAR)
+                       || ':' || CAST(p AS VARCHAR)), 1, 8))::BIGINT
+                  % {_SC_DEN} = 0
+        ),
+        cover AS (
+            SELECT DISTINCT doc_id, nt, unnest(range(p,
+                       least(p + {_SC_LEN - 1}, nt) + 1)) AS cp
+            FROM starts
+        ),
+        isl AS (
+            SELECT doc_id, nt, cp,
+                   cp - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY cp) AS grp
+            FROM cover
+        ),
+        spans AS (
+            SELECT doc_id, nt, grp,
+                   CAST(MIN(cp) AS BIGINT) AS start_pos,
+                   CAST(COUNT(*) AS BIGINT) AS span_len
+            FROM isl GROUP BY doc_id, nt, grp
+        )
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY start_pos) AS BIGINT)
+                   AS mask_id,
+               start_pos, span_len,
+               ROUND(SUM(span_len) OVER (PARTITION BY doc_id) * 1.0 / nt, 6)
+                   AS corruption_rate
+        FROM spans
+    """,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask construction — the pretraining-
+    objective step that turns clean text into (corrupted input,
+    target spans): deterministic md5 coins pick ~1/{_SC_DEN} of token
+    positions as span starts, each start covers {_SC_LEN} tokens, and
+    OVERLAPPING spans MERGE into maximal masked intervals (the
+    gaps-islands pattern: covered-position minus rank is constant
+    within a contiguous run) — exactly the merge the T5 objective
+    performs so sentinel tokens never abut. Output: one row per
+    merged span with its ordinal sentinel id and the doc's realized
+    corruption rate.
+
+    Scale: one per-row coin projection, one bounded fan-out
+    (≤{_SC_LEN} positions per start), one doc-partitioned window
+    chain — no joins at all; the mask relation streams straight to
+    the example builder. The coins are replayable model state, so
+    masks are reproducible across runs and engines by construction."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt")
+    )
+    pos = t.select(
+        "doc_id", "nt", F.explode(F.sequence(F.lit(1), F.col("nt"))).alias("p")
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("spancorr"), F.col("doc_id"), F.col("p")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    starts = pos.where(coin % _SC_DEN == 0)
+    cover = starts.select(
+        "doc_id",
+        "nt",
+        F.explode(
+            F.sequence(
+                F.col("p"),
+                F.least(F.col("p") + (_SC_LEN - 1), F.col("nt")),
+            )
+        ).alias("cp"),
+    ).distinct()
+    wi = Window.partitionBy("doc_id").orderBy("cp")
+    isl = cover.withColumn(
+        "grp", F.col("cp") - F.row_number().over(wi)
+    )
+    spans = isl.groupBy("doc_id", "nt", "grp").agg(
+        F.min("cp").cast("bigint").alias("start_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("span_len"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("start_pos")
+    wall = Window.partitionBy("doc_id")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(wd).cast("bigint").alias("mask_id"),
+        "start_pos",
+        "span_len",
+        F.round(
+            F.sum("span_len").over(wall) * 1.0 / F.col("nt"), 6
+        ).alias("corruption_rate"),
+    )
