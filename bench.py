@@ -188,6 +188,7 @@ HEADLINE = [
     "events_snaive_backtest",
     "graph_kcore_peel",
     "corpus_span_corruption",
+    "text_source_kl_divergence",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -3865,3 +3865,74 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_len").over(wall) * 1.0 / F.col("nt"), 6
         ).alias("corruption_rate"),
     )
+
+
+@query(
+    "text_source_kl_divergence",
+    oracle="""
+        WITH toks AS (
+            SELECT source, lower(tok) AS tok FROM (
+                SELECT source, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+        gc AS (SELECT tok, SUM(c) AS g FROM sc GROUP BY tok),
+        gt AS (SELECT SUM(g) AS m, COUNT(*) AS v FROM gc),
+        terms AS (
+            SELECT sc.source,
+                   (sc.c + 1.0) / (st.n + gt.v) AS p,
+                   (gc.g + 1.0) / (gt.m + gt.v) AS q
+            FROM sc JOIN st USING (source)
+                    JOIN gc USING (tok), gt
+        )
+        SELECT source,
+               ROUND(SUM(p * log2(p / q)), 6) AS kl_bits,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM terms GROUP BY source
+    """,
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus mixture —
+    the domain-shift meter mixture planning reads (a source whose
+    token distribution sits far from the blend gets different
+    temperature/epoch treatment; near-zero KL means the source adds
+    volume, not diversity). Add-1 smoothing over the corpus
+    vocabulary on both distributions; KL in bits.
+
+    Float discipline: the p·log2(p/q) terms divide exact integer
+    counts so both engines sum identical doubles, and each source's
+    sum is VOCABULARY-bounded (the alphabet-bounded-justification
+    class, same as text_entropy_filter) — this corpus's synthetic
+    vocabulary is ~10² types. Scale: one shared token explode feeds
+    the per-source and global counters; the scorer joins on token
+    with the v-row global relation broadcastable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    gt = gc.agg(F.sum("g").alias("m"), F.count(F.lit(1)).alias("v"))
+    terms = (
+        sc.join(st, "source")
+        .join(F.broadcast(gc), "tok")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            ((F.col("c") + 1.0) / (F.col("n") + F.col("v"))).alias("p"),
+            ((F.col("g") + 1.0) / (F.col("m") + F.col("v"))).alias("q"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum(F.col("p") * F.log2(F.col("p") / F.col("q"))), 6).alias(
+            "kl_bits"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )

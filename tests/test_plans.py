@@ -406,6 +406,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # ground-truth pass scores the corpus against the broadcast
         # 8-row query batch (the ann_batch_topk/ann_recall_eval shape)
         "ann_ndcg_eval",
+        # the 1-row global vocab/mass aggregate broadcasts into the
+        # per-(source, token) scorer (the corpus_lm_score shape)
+        "text_source_kl_divergence",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
