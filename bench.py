@@ -189,6 +189,7 @@ HEADLINE = [
     "graph_kcore_peel",
     "corpus_span_corruption",
     "text_source_kl_divergence",
+    "data_export_manifest",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

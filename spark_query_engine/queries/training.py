@@ -3936,3 +3936,53 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
     )
+
+
+@query(
+    "data_export_manifest",
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id,
+                   CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard,
+                   len(string_split(text, ' ')) AS n_toks,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+            FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_id,
+               CAST(bit_xor(fp) AS BIGINT) AS content_fp
+        FROM a GROUP BY shard
+    """,
+)
+def data_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest — the resumability/verification primitive of a
+    large training-data WRITE: per output shard, the row count, token
+    mass, id range, and an ORDER-INSENSITIVE content fingerprint
+    (XOR of per-doc md5 prefixes — XOR is commutative/associative, so
+    the fingerprint is identical no matter how partitions combined,
+    which is exactly what a distributed writer needs: re-running a
+    shard and comparing manifests verifies byte-level equality
+    without re-reading the export). A resumed job recomputes only
+    shards whose manifest row is missing or mismatched.
+
+    Scale: one hash aggregate, O(shards) output. The 60-bit md5
+    prefix keeps the XOR in BIGINT range on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).cast("bigint").alias("shard"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fp"),
+    )
+    return a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.bit_xor("fp").cast("bigint").alias("content_fp"),
+    )
