@@ -13,6 +13,7 @@ from spark_query_engine.streaming.events import (
     minhash_dedup_stream,
     pack_sequences_stream,
     cusum_stream,
+    manifest_stream,
     ohlc_stream,
     run_to_memory_sink,
     per_type_counts_tws,
@@ -39,6 +40,7 @@ __all__ = [
     "minhash_dedup_stream",
     "pack_sequences_stream",
     "cusum_stream",
+    "manifest_stream",
     "write_foreach_batch_parquet",
     "run_to_memory_sink",
 ]

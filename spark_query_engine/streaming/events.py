@@ -683,3 +683,70 @@ def cusum_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def manifest_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming export manifest — the incremental twin of
+    ``data_export_manifest``: every manifest statistic folds
+    incrementally (counts and token sums add; the content fingerprint
+    is an XOR, commutative and associative, so arrival order across
+    micro-batches cannot change it), which makes the manifest a
+    perfect streaming aggregate: state per shard is five integers.
+    Emits the running manifest row per shard per micro-batch
+    (outputMode update); after any prefix of the stream the emitted
+    rows equal the batch manifest of the documents seen so far —
+    tested against the batch query on the full set."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % shards).cast("long").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_toks"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            n, toks, mn, mx, x = state.get
+        else:
+            n, toks, mn, mx, x = 0, 0, None, None, 0
+        for pdf in pdfs:
+            for did, nt, fp in zip(pdf["doc_id"], pdf["n_toks"], pdf["fp"]):
+                did, nt, fp = int(did), int(nt), int(fp)
+                n += 1
+                toks += nt
+                mn = did if mn is None else min(mn, did)
+                mx = did if mx is None else max(mx, did)
+                x ^= fp
+        state.update((n, toks, mn, mx, x))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "n_docs": [n],
+                "n_tokens": [toks],
+                "min_id": [mn],
+                "max_id": [mx],
+                "content_fp": [x],
+            }
+        )
+
+    return t.groupBy("shard").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "shard long, n_docs long, n_tokens long, min_id long, "
+            "max_id long, content_fp long"
+        ),
+        stateStructType=(
+            "n long, toks long, mn long, mx long, x long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -857,3 +857,49 @@ def test_cusum_stream_matches_sequential_recursion(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_manifest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming manifest ≡ batch: drive the documents in three
+    arbitrary (round-robin, NOT ordered) micro-batches — the XOR
+    fingerprint and the additive stats must be arrival-order-immune —
+    and compare the final per-shard rows to data_export_manifest."""
+    from pyspark.sql import types as T
+
+    from spark_query_engine.queries import queries
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tmp_path / "manifeststream"
+    d.mkdir()
+    pdf = docs.toPandas()
+    for i in range(3):
+        pdf[pdf["doc_id"] % 3 == i].to_parquet(d / f"part{i}.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = ST.manifest_stream(stream, "doc_id", "text")
+    ST.run_to_memory_sink(out, "manifest_out", mode="update")
+    got = {
+        r["shard"]: (
+            r["n_docs"], r["n_tokens"], r["min_id"], r["max_id"],
+            r["content_fp"],
+        )
+        for r in spark.sql("SELECT * FROM manifest_out").collect()
+    }
+    want = {
+        r["shard"]: (
+            r["n_docs"], r["n_tokens"], r["min_id"], r["max_id"],
+            r["content_fp"],
+        )
+        for r in queries()["data_export_manifest"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
