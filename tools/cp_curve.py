@@ -43,9 +43,15 @@ SETTINGS = [
 
 
 def make_corpus(n: int, regime: str, threshold: float) -> np.ndarray:
-    """Deterministic corpus: n unit vectors; the planted regime swaps
-    in partners at cosine ~ threshold+0.02 for 10% of base vectors
-    (planted against the PREVIOUS vector so pair ids are adjacent)."""
+    """Deterministic corpus: n unit vectors.
+    - iid:     isotropic Gaussian directions (the hardest regime —
+               qualifying pairs are the background tail)
+    - planted: iid plus partners at cosine ~ threshold+0.02 for 10%
+               of base vectors (near-dups AT the decision boundary)
+    - lowrank: structured embeddings — 5 latent topic directions plus
+               30% isotropic noise, the shape real text embeddings
+               have; high-cosine pairs are same-topic, so the hash
+               family has real structure to exploit"""
     rng = np.random.RandomState(12345)
     x = rng.randn(n, DIM)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
@@ -57,6 +63,12 @@ def make_corpus(n: int, regime: str, threshold: float) -> np.ndarray:
             u -= u.dot(v) * v
             u /= np.linalg.norm(u)
             x[i] = c * v + np.sqrt(1 - c * c) * u
+    elif regime == "lowrank":
+        topics = rng.randn(5, DIM)
+        topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+        base = topics[rng.randint(0, 5, size=n)]
+        x = 0.7 * base + 0.3 * x
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x
 
 
@@ -76,8 +88,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    regimes = (
+        sys.argv[2].split(",") if len(sys.argv) > 2 else ("iid", "planted")
+    )
     rows = []
-    for regime in ("iid", "planted"):
+    for regime in regimes:
         for t in THRESHOLDS:
             x = make_corpus(n, regime, t)
             # brute-force truth (numpy — n is small, this is the
