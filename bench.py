@@ -190,6 +190,9 @@ HEADLINE = [
     "corpus_span_corruption",
     "text_source_kl_divergence",
     "data_export_manifest",
+    "events_anomaly_mad",
+    "graph_degree_powerlaw",
+    "corpus_sft_loss_mask",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

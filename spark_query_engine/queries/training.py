@@ -3986,3 +3986,222 @@ def data_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("bigint").alias("max_id"),
         F.bit_xor("fp").cast("bigint").alias("content_fp"),
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+        WITH ev AS (SELECT CAST(date_trunc('microseconds', ts) AS TIMESTAMP)
+                               AS ts,
+                           event_type, value FROM events),
+        d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS vq
+            FROM ev GROUP BY 1, 2
+        ),
+        med AS (SELECT event_type, median(vq) AS m FROM d GROUP BY 1),
+        dev AS (
+            SELECT d.event_type, d.day, d.vq, med.m,
+                   abs(d.vq - med.m) AS ad
+            FROM d JOIN med USING (event_type)
+        ),
+        mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+        SELECT dev.event_type, dev.day,
+               ROUND(dev.vq / 100.0, 2) AS day_total,
+               ROUND(dev.m / 100.0, 2) AS median_total,
+               ROUND(mad.mad / 100.0, 2) AS mad,
+               CASE WHEN mad.mad = 0 THEN dev.ad > 0
+                    ELSE dev.ad > 3 * 1.4826 * mad.mad END AS is_outlier
+        FROM dev JOIN mad USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the per-type daily series — median
+    ± 3·MAD·1.4826 (the consistency constant making MAD estimate σ
+    under normality), the detector that survives what breaks the
+    z-score twin (``events_anomaly_zscore``): a single huge outlier
+    inflates the mean AND the stddev enough to hide itself, while
+    median and MAD barely move (breakdown point 50% vs 0%).
+
+    Determinism: day totals are exact 1e2-scaled integers; both
+    engines' ``median`` of integers is the same order statistic
+    (mean of the middle pair for even n — a .5-exact rational);
+    deviations are exact, and the 3·1.4826 gate multiplies identical
+    values once. Scale: day rollup + two per-type median aggregates
+    + one join — output bounded by types × days."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("vq")
+    )
+    med = d.groupBy("event_type").agg(F.median("vq").alias("m"))
+    dev = d.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "vq",
+        "m",
+        F.abs(F.col("vq") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "day",
+        F.round(F.col("vq") / 100.0, 2).alias("day_total"),
+        F.round(F.col("m") / 100.0, 2).alias("median_total"),
+        F.round(F.col("mad") / 100.0, 2).alias("mad"),
+        F.when(F.col("mad") == 0, F.col("ad") > 0)
+        .otherwise(F.col("ad") > 3 * 1.4826 * F.col("mad"))
+        .alias("is_outlier"),
+    )
+
+
+@query(
+    "graph_degree_powerlaw",
+    oracle="""
+        WITH ed AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (SELECT u FROM ed UNION ALL SELECT v FROM ed),
+        deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+        hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                 FROM deg GROUP BY d),
+        pts AS (SELECT log2(CAST(d AS DOUBLE)) AS x,
+                       log2(CAST(n_nodes AS DOUBLE)) AS y
+                FROM hist),
+        m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                     SUM(y * y) AS syy
+              FROM pts)
+        SELECT CAST((SELECT COUNT(*) FROM hist) AS BIGINT)
+                   AS n_degree_buckets,
+               CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_degree,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                   AS loglog_slope,
+               ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / (n * sxx - sx * sx) / (n * syy - sy * sy), 4) AS r2
+        FROM m
+    """,
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution shape audit for the co-purchase graph: the
+    log-log regression of (degree, node count) whose slope ≈ −α for a
+    power law — the number that decides whether skew mitigations
+    (degree orientation in ``graph_triangle_count``, salting) are
+    needed at all, and the graph-side sibling of ``text_zipf_fit``
+    (which correctly reports this synthetic corpus as non-Zipfian).
+
+    Float discipline: the regression runs over the degree HISTOGRAM
+    (bounded by the distinct-degree inventory, ~10² buckets), so the
+    moment sums are the bounded-term class; the histogram counts
+    themselves are exact integers. Scale: one edge build, one degree
+    aggregate, one bucket rollup — the histogram is audit-sized."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    sym = ed.select("u").unionAll(ed.select(F.col("v").alias("u")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    pts = hist.select(
+        F.log2(F.col("d").cast("double")).alias("x"),
+        F.log2(F.col("n_nodes").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nb = hist.agg(F.count(F.lit(1)).cast("bigint").alias("n_degree_buckets"))
+    mx = deg.agg(F.max("d").cast("bigint").alias("max_degree"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n_degree_buckets",
+            "max_degree",
+            F.round(num / den, 4).alias("loglog_slope"),
+            F.round(num * num / den / deny, 4).alias("r2"),
+        )
+    )
+
+
+@query(
+    "corpus_sft_loss_mask",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS nt
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, nt,
+                   CAST(GREATEST(1, LEAST(nt - 1,
+                       CAST(('0x' || substr(md5('sft:'
+                           || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % nt AS BIGINT))) AS BIGINT) AS n_prompt
+            FROM t WHERE nt >= 2
+        )
+        SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, n_prompt,
+               CAST(nt - n_prompt AS BIGINT) AS n_target,
+               ROUND((nt - n_prompt) * 1.0 / nt, 6) AS loss_fraction,
+               n_prompt + 1 AS target_start
+        FROM s
+    """,
+)
+def corpus_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask construction — the instruction-tuning objective
+    step that pairs with ``corpus_span_corruption`` (denoising) and
+    ``corpus_pack_sequences`` (packing): split every example into a
+    PROMPT prefix (loss-masked) and a TARGET suffix (trained on),
+    emitting the boundary and the realized loss fraction the trainer
+    will see. The boundary here is an md5-deterministic stand-in for
+    the template's role-separator position — a chat-template parser
+    slots into the same query as a different ``n_prompt`` expression.
+    Docs under 2 tokens are excluded (no valid split exists).
+
+    Scale: one scan, pure per-row projection, zero shuffles — the
+    mask columns ride with the packing relation into the loader."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt")
+    ).where(F.col("nt") >= 2)
+    coin = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("sft"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    n_prompt = F.greatest(
+        F.lit(1),
+        F.least(F.col("nt") - 1, (coin % F.col("nt")).cast("bigint")),
+    ).cast("bigint")
+    return t.select(
+        "doc_id",
+        F.col("nt").cast("bigint").alias("n_tokens"),
+        n_prompt.alias("n_prompt"),
+        (F.col("nt") - n_prompt).cast("bigint").alias("n_target"),
+        F.round((F.col("nt") - n_prompt) * 1.0 / F.col("nt"), 6).alias(
+            "loss_fraction"
+        ),
+        (n_prompt + 1).alias("target_start"),
+    )

@@ -409,6 +409,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row global vocab/mass aggregate broadcasts into the
         # per-(source, token) scorer (the corpus_lm_score shape)
         "text_source_kl_divergence",
+        # three 1-row audit aggregates (moments, bucket census, max
+        # degree) assemble by crossJoin — the triangle-census shape
+        "graph_degree_powerlaw",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
