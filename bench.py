@@ -193,6 +193,9 @@ HEADLINE = [
     "events_anomaly_mad",
     "graph_degree_powerlaw",
     "corpus_sft_loss_mask",
+    "text_langid_calibration",
+    "corpus_epoch_plan",
+    "corpus_neyman_allocation",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -866,3 +866,110 @@ def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_words") / F.col("t"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "text_langid_calibration",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_distinct(string_split(lower(text), ' ')) AS tokset
+            FROM documents
+        ),
+        s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM t),
+        p AS (
+            SELECT lang AS true_lang,
+                   LEAST(greatest(score_en, score_es, score_de, score_fr), 4)
+                       AS conf_bin,
+                   CASE
+                       WHEN greatest(score_en, score_es, score_de, score_fr)
+                            = 0 THEN 'und'
+                       WHEN score_en = greatest(score_en, score_es,
+                                                score_de, score_fr)
+                           THEN 'en'
+                       WHEN score_es = greatest(score_en, score_es,
+                                                score_de, score_fr)
+                           THEN 'es'
+                       WHEN score_de = greatest(score_en, score_es,
+                                                score_de, score_fr)
+                           THEN 'de'
+                       ELSE 'fr'
+                   END AS predicted
+            FROM s
+        ),
+        b AS (
+            SELECT conf_bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN predicted = true_lang
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+            FROM p GROUP BY conf_bin
+        ),
+        g AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(SUM(ABS(4 * n_correct - n * conf_bin)) AS BIGINT)
+                       AS ece_num
+            FROM b
+        )
+        SELECT CAST(conf_bin AS BIGINT) AS conf_bin, n, n_correct,
+               ROUND(n_correct * 1.0 / n, 6) AS accuracy,
+               ROUND(conf_bin / 4.0, 6) AS confidence,
+               ROUND(ABS(4 * n_correct - n * conf_bin) / 4.0 / n, 6)
+                   AS calibration_gap,
+               ROUND(ece_num / 4.0 / total, 6) AS ece
+        FROM b, g
+    """,
+)
+def text_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    stopword language classifier — the calibration audit that pairs
+    with ``text_langid_confusion`` (which measures WHERE it errs,
+    this measures whether its CONFIDENCE means anything): bin docs by
+    the classifier's confidence (stopword hits, capped at 4 = the
+    quality_score saturation point, so confidence = hits/4), and per
+    bin compare claimed confidence against empirical accuracy. A
+    well-calibrated gate lets the mix planner trust per-bucket
+    routing; a badly calibrated one means the confidence column is
+    decoration.
+
+    Float discipline (exact-integer-moment class): accuracy, gap, and
+    ECE all reduce to ratios of INTEGER aggregates — ECE =
+    Σ_b |acc_b − conf_b|·n_b/N = Σ_b |4·n_correct_b − n_b·bin_b| /
+    (4N), so the only float ops are final single divisions; no float
+    is ever summed. Scale: one classification scan (codegen'd
+    stopword intersections), one 5-bucket aggregate — the reliability
+    relation is O(bins), never corpus-sized."""
+    from spark_query_engine.operators import textanalysis as TA
+
+    docs = load(spark, sf_dir, "documents")
+    pred = TA.language_id(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        F.col("predicted_lang").alias("predicted"),
+        F.least(F.col("stopword_hits"), F.lit(4)).alias("conf_bin"),
+    )
+    p = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    b = p.groupBy("conf_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("true_lang"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    gap_num = F.abs(4 * F.col("n_correct") - F.col("n") * F.col("conf_bin"))
+    g = b.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.abs(4 * F.col("n_correct") - F.col("n") * F.col("conf_bin")))
+        .cast("bigint")
+        .alias("ece_num"),
+    )
+    return b.crossJoin(F.broadcast(g)).select(
+        F.col("conf_bin").cast("bigint").alias("conf_bin"),
+        "n",
+        "n_correct",
+        F.round(F.col("n_correct") * 1.0 / F.col("n"), 6).alias("accuracy"),
+        F.round(F.col("conf_bin") / 4.0, 6).alias("confidence"),
+        F.round(gap_num / 4.0 / F.col("n"), 6).alias("calibration_gap"),
+        F.round(F.col("ece_num") / 4.0 / F.col("total"), 6).alias("ece"),
+    )

@@ -4205,3 +4205,275 @@ def corpus_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (n_prompt + 1).alias("target_start"),
     )
+
+
+#: Epoch-plan knobs: budget = 2x corpus tokens, repeat cap = 4 epochs
+#: (the data-constrained-scaling guidance: value of repeated data
+#: decays fast past ~4 epochs).
+_EPOCH_BUDGET_X, _EPOCH_CAP = 2, 4.0
+
+
+@query(
+    "corpus_epoch_plan",
+    oracle=f"""
+        WITH d AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS nt,
+                   length(text) AS nc,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS na
+            FROM documents
+        ),
+        s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS tokens,
+                   CAST(SUM(na) AS BIGINT) AS sa,
+                   CAST(SUM(nc) AS BIGINT) AS sc
+            FROM d GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs, tokens,
+                   CAST(ROUND(1000000.0 * sa / sc) AS BIGINT) AS w_ppm,
+                   CAST(ROUND(1000000.0 * sa / sc) AS BIGINT) * tokens
+                       AS mass
+            FROM s
+        ),
+        g AS (
+            SELECT CAST(SUM(mass) AS BIGINT) AS denom,
+                   CAST({_EPOCH_BUDGET_X} * SUM(tokens) AS BIGINT) AS budget
+            FROM w
+        ),
+        a AS (
+            SELECT source, n_docs, tokens,
+                   ROUND(w_ppm / 1000000.0, 6) AS weight,
+                   ROUND(mass * 1.0 / denom, 6) AS share,
+                   ROUND(budget * (mass * 1.0 / denom) / tokens, 4)
+                       AS epochs_raw,
+                   budget
+            FROM w, g
+        ),
+        e AS (
+            SELECT source, n_docs, tokens, weight, share,
+                   LEAST(epochs_raw, {_EPOCH_CAP}) AS epochs,
+                   epochs_raw > {_EPOCH_CAP} AS capped,
+                   CAST(ROUND(LEAST(epochs_raw, {_EPOCH_CAP}) * tokens)
+                        AS BIGINT) AS alloc_tokens,
+                   budget
+            FROM a
+        )
+        SELECT source, n_docs, tokens, weight, share, epochs, capped,
+               alloc_tokens, budget,
+               ROUND((SELECT SUM(alloc_tokens) FROM e) * 1.0 / budget, 6)
+                   AS utilization
+        FROM e
+    """,
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation — the mixture-planning step
+    that decides how many EPOCHS each source is repeated for when the
+    token budget exceeds the deduplicated corpus (the
+    data-constrained-scaling regime): weight each source by an
+    alpha-ratio quality proxy, allocate the {_EPOCH_BUDGET_X}x-corpus
+    budget proportionally to quality-weighted token mass, and cap at
+    {_EPOCH_CAP} epochs (past which repeated data stops helping).
+    Output: the per-source plan — epochs, realized token allocation,
+    cap flags — plus budget utilization (the head-room the planner
+    re-allocates or leaves on the table). Reads beside
+    ``corpus_temperature_sample`` (down-sampling the over-represented)
+    as the complementary UP-sampling decision.
+
+    Float discipline: quality weights quantized to ppm BIGINTs, token
+    masses and the denominator are exact integer sums; the only float
+    ops are per-row division chains (no float summation anywhere —
+    the utilization numerator is an integer sum of rounded per-source
+    allocations). Scale: two scans (token count + aggregate), a
+    |sources|-row plan relation, constants broadcast."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).alias("nt"),
+        F.length("text").alias("nc"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).alias(
+            "na"
+        ),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("tokens"),
+        F.sum("na").cast("bigint").alias("sa"),
+        F.sum("nc").cast("bigint").alias("sc"),
+    )
+    w_ppm = F.round(F.lit(1000000.0) * F.col("sa") / F.col("sc")).cast(
+        "bigint"
+    )
+    w = s.select(
+        "source",
+        "n_docs",
+        "tokens",
+        w_ppm.alias("w_ppm"),
+        (w_ppm * F.col("tokens")).alias("mass"),
+    )
+    g = w.agg(
+        F.sum("mass").cast("bigint").alias("denom"),
+        (F.lit(_EPOCH_BUDGET_X) * F.sum("tokens")).cast("bigint").alias(
+            "budget"
+        ),
+    )
+    a = w.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("w_ppm") / 1000000.0, 6).alias("weight"),
+        F.round(F.col("mass") * 1.0 / F.col("denom"), 6).alias("share"),
+        F.round(
+            F.col("budget")
+            * (F.col("mass") * 1.0 / F.col("denom"))
+            / F.col("tokens"),
+            4,
+        ).alias("epochs_raw"),
+        "budget",
+    )
+    e = a.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "weight",
+        "share",
+        F.least(F.col("epochs_raw"), F.lit(_EPOCH_CAP)).alias("epochs"),
+        (F.col("epochs_raw") > _EPOCH_CAP).alias("capped"),
+        F.round(
+            F.least(F.col("epochs_raw"), F.lit(_EPOCH_CAP)) * F.col("tokens")
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        "budget",
+    )
+    tot = e.agg(F.sum("alloc_tokens").cast("bigint").alias("alloc_total"))
+    return e.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "weight",
+        "share",
+        "epochs",
+        "capped",
+        "alloc_tokens",
+        "budget",
+        F.round(F.col("alloc_total") * 1.0 / F.col("budget"), 6).alias(
+            "utilization"
+        ),
+    )
+
+
+#: Neyman-allocation sample size (the survey-sampling n).
+_NEYMAN_N = 1000
+
+
+@query(
+    "corpus_neyman_allocation",
+    oracle=f"""
+        WITH d AS (
+            SELECT source, len(string_split(text, ' ')) AS nt
+            FROM documents
+        ),
+        s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS nh,
+                   CAST(SUM(nt) AS BIGINT) AS sx,
+                   CAST(SUM(nt * nt) AS BIGINT) AS sxx
+            FROM d GROUP BY source
+        ),
+        v AS (
+            SELECT source, nh, sx,
+                   (nh * sxx - sx * sx) * 1.0 / nh / nh AS var_h,
+                   sqrt((nh * sxx - sx * sx) * 1.0 / nh / nh) AS s_h
+            FROM s
+        ),
+        m AS (
+            SELECT source, nh, sx, var_h, s_h,
+                   CAST(ROUND(nh * s_h) AS BIGINT) AS mass,
+                   CAST(ROUND(nh * var_h) AS BIGINT) AS nvar
+            FROM v
+        ),
+        g AS (
+            SELECT CAST(SUM(mass) AS BIGINT) AS denom,
+                   CAST(SUM(nvar) AS BIGINT) AS nvar_tot,
+                   CAST(SUM(nh) AS BIGINT) AS n_pop
+            FROM m
+        )
+        SELECT source, nh AS n_docs,
+               ROUND(sx * 1.0 / nh, 6) AS mean_tokens,
+               ROUND(s_h, 6) AS stddev_tokens,
+               CAST(({_NEYMAN_N} * mass) // denom AS BIGINT) AS neyman_n,
+               CAST(({_NEYMAN_N} * nh) // n_pop AS BIGINT)
+                   AS proportional_n,
+               ROUND(denom * denom * 1.0 / n_pop / nvar_tot, 6)
+                   AS neyman_efficiency
+        FROM m, g
+    """,
+)
+def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — the eval-set /
+    annotation-budget splitter: given {_NEYMAN_N} labeling slots and
+    source strata, allocate n_h ∝ N_h·S_h (stratum size × token-count
+    stddev) so high-variance strata get proportionally more budget
+    than flat ones; report it beside naive proportional allocation and
+    the Neyman-vs-proportional efficiency ratio
+    (ΣN_h·S_h)²/(N·ΣN_h·S_h²) ≤ 1 — how much estimator variance the
+    optimal split saves. The third sampling decision beside
+    ``sample_reservoir_group`` (uniform per-group) and
+    ``corpus_temperature_sample`` (share-rebalancing).
+
+    Float discipline: per-stratum variance comes from exact integer
+    moments (N·Σx² − (Σx)²) — the covariance-matrix discipline;
+    N_h·S_h masses are quantized to BIGINTs so every cross-stratum sum
+    is exact, and the allocations themselves are integer floor
+    divisions. Scale: one scan, one |sources|-row aggregate, zero
+    corpus-sized relations past the first groupBy."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("nt")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("nt").cast("bigint").alias("sx"),
+        F.sum(F.col("nt") * F.col("nt")).cast("bigint").alias("sxx"),
+    )
+    var_h = (
+        (F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        / F.col("nh")
+        / F.col("nh")
+    )
+    m = s.select(
+        "source",
+        "nh",
+        "sx",
+        var_h.alias("var_h"),
+        F.sqrt(var_h).alias("s_h"),
+        F.round(F.col("nh") * F.sqrt(var_h)).cast("bigint").alias("mass"),
+        F.round(F.col("nh") * var_h).cast("bigint").alias("nvar"),
+    )
+    g = m.agg(
+        F.sum("mass").cast("bigint").alias("denom"),
+        F.sum("nvar").cast("bigint").alias("nvar_tot"),
+        F.sum("nh").cast("bigint").alias("n_pop"),
+    )
+    return m.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("nh").alias("n_docs"),
+        F.round(F.col("sx") * 1.0 / F.col("nh"), 6).alias("mean_tokens"),
+        F.round(F.col("s_h"), 6).alias("stddev_tokens"),
+        F.expr(f"CAST(({_NEYMAN_N} * mass) div denom AS BIGINT)").alias(
+            "neyman_n"
+        ),
+        F.expr(f"CAST(({_NEYMAN_N} * nh) div n_pop AS BIGINT)").alias(
+            "proportional_n"
+        ),
+        F.round(
+            F.col("denom")
+            * F.col("denom")
+            * 1.0
+            / F.col("n_pop")
+            / F.col("nvar_tot"),
+            6,
+        ).alias("neyman_efficiency"),
+    )

@@ -412,6 +412,16 @@ def test_headline_plans_have_no_scale_killers(spark):
         # three 1-row audit aggregates (moments, bucket census, max
         # degree) assemble by crossJoin — the triangle-census shape
         "graph_degree_powerlaw",
+        # the 5-row reliability-bin census crosses its own 1-row
+        # ECE-numerator aggregate (the data_skew_report shape)
+        "text_langid_calibration",
+        # the |sources|-row plan relation crosses its 1-row budget/
+        # denominator and allocation-total aggregates — scalar
+        # broadcasts over aggregates, never data-plane joins
+        "corpus_epoch_plan",
+        # the |sources|-row stratum relation crosses its 1-row
+        # mass/variance totals (the epoch-plan shape)
+        "corpus_neyman_allocation",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
