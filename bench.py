@@ -196,6 +196,7 @@ HEADLINE = [
     "text_langid_calibration",
     "corpus_epoch_plan",
     "corpus_neyman_allocation",
+    "text_heaps_law",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

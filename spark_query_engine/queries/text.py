@@ -973,3 +973,168 @@ def text_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(gap_num / 4.0 / F.col("n"), 6).alias("calibration_gap"),
         F.round(F.col("ece_num") / 4.0 / F.col("total"), 6).alias("ece"),
     )
+
+
+#: Heaps-law curve resolution: vocabulary measured at this many
+#: equally-spaced doc-id checkpoints.
+_HEAPS_POINTS = 10
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS nt
+            FROM documents
+        ),
+        mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+        cp AS (
+            SELECT i AS checkpoint,
+                   CAST((SELECT max_id FROM mx) * i
+                        // {_HEAPS_POINTS} AS BIGINT) AS cp_doc
+            FROM UNNEST(range(1, {_HEAPS_POINTS} + 1)) AS t(i)
+        ),
+        toks AS (
+            SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        first_occ AS (
+            SELECT tok, MIN(doc_id) AS fd FROM toks
+            WHERE tok <> '' GROUP BY tok
+        ),
+        pts AS (
+            SELECT c.checkpoint, c.cp_doc,
+                   (SELECT CAST(SUM(nt) AS BIGINT) FROM d
+                    WHERE doc_id <= c.cp_doc) AS n_tokens,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM first_occ
+                    WHERE fd <= c.cp_doc) AS vocab
+            FROM cp c
+        ),
+        m AS (
+            SELECT COUNT(*) AS n,
+                   MIN(vocab) = MAX(vocab) AS sat,
+                   MIN(vocab) AS v0,
+                   SUM(log2(n_tokens * 1.0)) AS sx,
+                   SUM(log2(vocab * 1.0)) AS sy,
+                   SUM(log2(n_tokens * 1.0) * log2(vocab * 1.0)) AS sxy,
+                   SUM(log2(n_tokens * 1.0) * log2(n_tokens * 1.0)) AS sxx,
+                   SUM(log2(vocab * 1.0) * log2(vocab * 1.0)) AS syy
+            FROM pts
+        )
+        SELECT CAST(checkpoint AS BIGINT) AS checkpoint, cp_doc,
+               n_tokens, vocab,
+               CASE WHEN sat THEN 0.0
+                    ELSE ROUND((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx), 4) + 0.0
+               END AS heaps_beta,
+               CASE WHEN sat THEN ROUND(log2(v0 * 1.0), 4)
+                    ELSE ROUND((sy - (n * sxy - sx * sy)
+                               / (n * sxx - sx * sx) * sx) / n, 4) + 0.0
+               END AS heaps_log2k,
+               CASE WHEN sat THEN 0.0
+                    ELSE ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / (n * sxx - sx * sx) / (n * syy - sy * sy), 4)
+                         + 0.0
+               END AS r2,
+               sat AS vocab_saturated
+        FROM pts, m
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit — V(n) ≈ K·n^β — the
+    companion to ``text_zipf_fit`` (natural text: β ≈ 0.4-0.6;
+    templated/synthetic corpora saturate early, OCR noise never
+    saturates): measure the distinct-vocabulary count at
+    {_HEAPS_POINTS} doc-id checkpoints and fit the log-log OLS line.
+    The number that sizes tokenizer vocabularies and predicts how
+    much NEW vocabulary another 10x of corpus will bring. On THIS
+    synthetic corpus the audit correctly reports total saturation
+    (31 types, all seen by the first checkpoint → β = 0, r2 = 0,
+    ``vocab_saturated`` true) — the same non-natural-text finding
+    ``text_zipf_fit`` makes from the rank-frequency side.
+
+    Plan shape (no global sort, no global window): each type's FIRST
+    occurrence is one groupBy MIN over the exploded token relation;
+    cumulative vocabulary at a checkpoint = count of types with
+    first_doc ≤ checkpoint, computed by fanning the type relation
+    across the broadcast {_HEAPS_POINTS}-row checkpoint dimension (a
+    constant-width fan-out, the CMS-dimension shape) — likewise the
+    cumulative token counts over the per-doc count relation. The
+    regression runs over {_HEAPS_POINTS} bounded points (the
+    degree-powerlaw bounded-term class). At 100 TB the type relation
+    is vocabulary-sized (sublinear in corpus bytes), the fan-out
+    constant, and nothing ever sorts the corpus globally."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda t: t != F.lit("")
+            )
+        ).alias("nt"),
+    )
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    cp = (
+        spark.range(1, _HEAPS_POINTS + 1)
+        .select(F.col("id").alias("checkpoint"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "checkpoint",
+            F.expr(f"CAST(max_id * checkpoint div {_HEAPS_POINTS} AS BIGINT)")
+            .alias("cp_doc"),
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    first_occ = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    tok_cum = (
+        d.crossJoin(F.broadcast(cp))
+        .where(F.col("doc_id") <= F.col("cp_doc"))
+        .groupBy("checkpoint", "cp_doc")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    voc_cum = (
+        first_occ.crossJoin(F.broadcast(cp))
+        .where(F.col("fd") <= F.col("cp_doc"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    pts = tok_cum.join(voc_cum, "checkpoint")
+    x = F.log2(F.col("n_tokens") * 1.0)
+    y = F.log2(F.col("vocab") * 1.0)
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("vocab") == F.max("vocab")).alias("sat"),
+        F.min("vocab").alias("v0"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = num / den
+    sat = F.col("sat")
+    return pts.crossJoin(F.broadcast(m)).select(
+        F.col("checkpoint").cast("bigint").alias("checkpoint"),
+        "cp_doc",
+        "n_tokens",
+        "vocab",
+        F.when(sat, F.lit(0.0))
+        .otherwise(F.round(beta, 4) + 0.0)
+        .alias("heaps_beta"),
+        F.when(sat, F.round(F.log2(F.col("v0") * 1.0), 4))
+        .otherwise(
+            F.round((F.col("sy") - beta * F.col("sx")) / F.col("n"), 4) + 0.0
+        )
+        .alias("heaps_log2k"),
+        F.when(sat, F.lit(0.0))
+        .otherwise(F.round(num * num / den / deny, 4) + 0.0)
+        .alias("r2"),
+        sat.alias("vocab_saturated"),
+    )

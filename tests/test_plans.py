@@ -422,6 +422,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the |sources|-row stratum relation crosses its 1-row
         # mass/variance totals (the epoch-plan shape)
         "corpus_neyman_allocation",
+        # the broadcast 10-row checkpoint dimension fans into the
+        # per-doc-count and type relations via a bounded non-equi
+        # range predicate (the CMS hash-dimension shape), and the
+        # 10-point regression aggregate crosses back as a 1-row
+        # scalar broadcast
+        "text_heaps_law",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
