@@ -197,6 +197,7 @@ HEADLINE = [
     "corpus_epoch_plan",
     "corpus_neyman_allocation",
     "text_heaps_law",
+    "vec_whitening_audit",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -900,3 +900,113 @@ def vec_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance"),
     )
+
+
+@query(
+    "vec_whitening_audit",
+    oracle=_pca_ctes()
+    + """,
+        q AS (SELECT id,
+                     CAST(ROUND(pc1 * 1000000) AS BIGINT) AS q1,
+                     CAST(ROUND(pc2 * 1000000) AS BIGINT) AS q2
+              FROM scores),
+        mom AS (SELECT COUNT(*) AS n,
+                       SUM(q1) AS s1, SUM(q2) AS s2,
+                       SUM(q1 * q1) AS s11, SUM(q2 * q2) AS s22,
+                       SUM(q1 * q2) AS s12
+                FROM q),
+        c AS (SELECT
+                  ROUND((CAST(s11 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n)) / 1e12, 6) AS c11,
+                  ROUND((CAST(s22 AS DOUBLE) / n
+                         - (CAST(s2 AS DOUBLE) / n)
+                           * (CAST(s2 AS DOUBLE) / n)) / 1e12, 6) AS c22,
+                  ROUND((CAST(s12 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s2 AS DOUBLE) / n)) / 1e12, 6) AS c12
+              FROM mom)
+        SELECT 1 AS i, 1 AS j, c11 AS cov, 1.0 AS whitened_cov,
+               0.0 AS identity_gap FROM c
+        UNION ALL
+        SELECT 1, 2, c12,
+               ROUND(c12 / sqrt(c11 * c22), 6),
+               ABS(ROUND(c12 / sqrt(c11 * c22), 6)) FROM c
+        UNION ALL
+        SELECT 2, 2, c22, 1.0, 0.0 FROM c
+    """,
+)
+def vec_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening audit — the last link of the distributed-PCA
+    chain (covariance → power-iteration basis → projection →
+    per-component variance → THIS): whitening rescales each projected
+    component by 1/sqrt(var), so the whitened covariance must be the
+    identity; the off-diagonal whitened entry is exactly the
+    component correlation, and its magnitude is the audit number (a
+    true eigenbasis decorrelates — residual correlation here measures
+    how far the 8-round power-iteration basis sits from the exact
+    eigenvectors). Diagonals are identically 1 by construction and
+    ship as fixed literals; only the off-diagonal carries
+    information.
+
+    Float discipline: all five moments (Σq1, Σq2, Σq1², Σq2², Σq1q2)
+    are exact integer sums of the 1e6-quantized projections (the
+    vec_pca_variance pattern); covariances and the correlation are
+    fixed per-row IEEE op chains over ROUNDED inputs. Scale: one
+    projection scan + one 1-row moment aggregate — the audit relation
+    is 3 rows."""
+    scores = vec_pca_project(spark, sf_dir)
+    q = scores.select(
+        F.round(F.col("pc1") * 1000000, 0).cast("bigint").alias("q1"),
+        F.round(F.col("pc2") * 1000000, 0).cast("bigint").alias("q2"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    mom = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("q1")).alias("s1"),
+        dec(F.col("q2")).alias("s2"),
+        dec(F.col("q1") * F.col("q1")).alias("s11"),
+        dec(F.col("q2") * F.col("q2")).alias("s22"),
+        dec(F.col("q1") * F.col("q2")).alias("s12"),
+    )
+    n = F.col("n")
+
+    def cov(sab, sa, sb):
+        return F.round(
+            (
+                F.col(sab).cast("double") / n
+                - (F.col(sa).cast("double") / n)
+                * (F.col(sb).cast("double") / n)
+            )
+            / F.lit(1e12),
+            6,
+        )
+
+    c = mom.select(
+        cov("s11", "s1", "s1").alias("c11"),
+        cov("s22", "s2", "s2").alias("c22"),
+        cov("s12", "s1", "s2").alias("c12"),
+    )
+    corr = F.round(F.col("c12") / F.sqrt(F.col("c11") * F.col("c22")), 6)
+    r11 = c.select(
+        F.lit(1).alias("i"),
+        F.lit(1).alias("j"),
+        F.col("c11").alias("cov"),
+        F.lit(1.0).alias("whitened_cov"),
+        F.lit(0.0).alias("identity_gap"),
+    )
+    r12 = c.select(
+        F.lit(1).alias("i"),
+        F.lit(2).alias("j"),
+        F.col("c12").alias("cov"),
+        corr.alias("whitened_cov"),
+        F.abs(corr).alias("identity_gap"),
+    )
+    r22 = c.select(
+        F.lit(2).alias("i"),
+        F.lit(2).alias("j"),
+        F.col("c22").alias("cov"),
+        F.lit(1.0).alias("whitened_cov"),
+        F.lit(0.0).alias("identity_gap"),
+    )
+    return r11.unionAll(r12).unionAll(r22)
