@@ -12,6 +12,7 @@ from spark_query_engine.streaming.events import (
     interval_join_streams,
     minhash_dedup_stream,
     pack_sequences_stream,
+    cms_stream,
     cusum_stream,
     manifest_stream,
     ohlc_stream,
@@ -39,6 +40,7 @@ __all__ = [
     "dedup_stream",
     "minhash_dedup_stream",
     "pack_sequences_stream",
+    "cms_stream",
     "cusum_stream",
     "manifest_stream",
     "write_foreach_batch_parquet",

@@ -750,3 +750,70 @@ def manifest_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch — the incremental twin of the batch
+    ``corpus_sketch_cms`` build: every token fans out to ``depth``
+    (row, bucket) cells (the same md5 bucket function as batch), and
+    each cell is ONE BIGINT counter folded per micro-batch. Counter
+    addition is commutative/associative, so the final state equals
+    the batch sketch regardless of arrival order or batch boundaries
+    — the mergeable-sketch contract, demonstrated on a live stream.
+
+    State is depth x width counters TOTAL (1024 longs at the default
+    geometry) no matter how many tokens stream through — the sketch
+    IS the bounded-state story. Emits the running (d, bucket, c)
+    cells per micro-batch (outputMode update); heavy-hitter probes
+    read MIN over a token's depth cells exactly as in batch."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ds = F.array(*[F.lit(i) for i in range(depth)])
+    t = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .select("word", F.explode(ds).alias("d"))
+        .select(
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("d").cast("string"),
+                                F.lit(":"),
+                                F.col("word"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+    )
+
+    def fold(key, pdfs, state):
+        c = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            c += len(pdf)
+        state.update((c,))
+        yield pd.DataFrame(
+            {"d": [key[0]], "bucket": [key[1]], "c": [c]}
+        )
+
+    return t.groupBy("d", "bucket").applyInPandasWithState(
+        fold,
+        outputStructType="d int, bucket long, c long",
+        stateStructType="c long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

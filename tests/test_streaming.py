@@ -903,3 +903,63 @@ def test_manifest_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_cms_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming CMS ≡ batch sketch: drive the documents in three
+    round-robin (NOT ordered) micro-batches — cell counters are
+    commutative adds, so the final (d, bucket, c) state must equal
+    the batch sketch built in one shot with the same md5 bucket
+    function."""
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tmp_path / "cmsstream"
+    d.mkdir()
+    pdf = docs.toPandas()
+    for i in range(3):
+        pdf[pdf["doc_id"] % 3 == i].to_parquet(d / f"part{i}.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = ST.cms_stream(stream, "text", depth=4, width=64)
+    ST.run_to_memory_sink(out, "cms_out", mode="update")
+    got = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    ds = spark.range(4).select(F.col("id").cast("int").alias("d"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"), F.lit(":"), F.col("word")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    want = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in words.crossJoin(F.broadcast(ds))
+        .groupBy("d", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 4  # the sketch has real occupancy
