@@ -198,6 +198,7 @@ HEADLINE = [
     "corpus_neyman_allocation",
     "text_heaps_law",
     "vec_whitening_audit",
+    "data_sketch_time_rollup",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

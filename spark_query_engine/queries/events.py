@@ -1668,3 +1668,63 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p50_dwell_s"),
     )
+
+
+@query(
+    "data_sketch_time_rollup",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE})
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(DISTINCT CONCAT(CAST(date_trunc('hour', ts)
+                        AS VARCHAR), ':', CAST(user_id AS VARCHAR)))
+                    AS BIGINT) AS n_hour_slots,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS within_5pct
+        FROM ev GROUP BY 1
+    """,
+)
+def data_sketch_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy sketch rollup — the lakehouse pattern that makes
+    daily/weekly distinct-user reporting O(partitions) instead of
+    O(rows): build one HLL partial PER HOUR partition (as the
+    ingest job would, persisted beside each partition's files), then
+    answer the DAY-level distinct-user question by union-merging that
+    day's 24 hour sketches — no rescan of the raw events. The audit
+    joins the merged estimate against the exact per-day distinct
+    count and asserts <5% error per day (``within_5pct`` is
+    hash-verified — a merged-sketch drift turns the row red);
+    ``n_hour_slots`` (distinct hour-user pairs, the sum of per-hour
+    sketch cardinalities) shows the dedup work the merge does.
+
+    Scale: partial sketches are per-partition aggregates with
+    map-side combine (bytes per hour); the day merge touches
+    24 sketches per day regardless of event volume — the same
+    mergeability contract as ``corpus_sketch_merge``, here across the
+    TIME hierarchy, which is how continuous aggregates stay
+    incremental (hour partials also roll to week/month without ever
+    re-reading events)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "user_id",
+    )
+    partials = ev.groupBy("day", "hour").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_hour"),
+    )
+    day = partials.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("n_hour").cast("bigint").alias("n_hour_slots"),
+    )
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return day.join(exact, "day").select(
+        "day",
+        "n_hour_slots",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
