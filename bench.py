@@ -199,6 +199,7 @@ HEADLINE = [
     "text_heaps_law",
     "vec_whitening_audit",
     "data_sketch_time_rollup",
+    "corpus_domain_mixture",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

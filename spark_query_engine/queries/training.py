@@ -4477,3 +4477,122 @@ def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("neyman_efficiency"),
     )
+
+
+#: Mixture-reweighting rounds (unrolled) — multiplicative weights on
+#: the per-source excess-loss proxy.
+_MW_ROUNDS = 3
+
+
+def _mw_oracle() -> str:
+    """Unrolled multiplicative-weights CTE chain: the per-source KL
+    quantizes to ppm BIGINTs, each round multiplies by the integer
+    factor (1e6 + klq div 2) and renormalizes to ppm — every
+    cross-source sum is an exact integer sum."""
+    base = """
+        WITH toks AS (
+            SELECT source, lower(tok) AS tok FROM (
+                SELECT source, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+        gc AS (SELECT tok, SUM(c) AS g FROM sc GROUP BY tok),
+        gt AS (SELECT SUM(g) AS m, COUNT(*) AS v FROM gc),
+        terms AS (
+            SELECT sc.source,
+                   (sc.c + 1.0) / (st.n + gt.v) AS p,
+                   (gc.g + 1.0) / (gt.m + gt.v) AS q
+            FROM sc JOIN st USING (source)
+                    JOIN gc USING (tok), gt
+        ),
+        kl AS (
+            SELECT source,
+                   ROUND(SUM(p * log2(p / q)), 6) AS kl_bits,
+                   CAST(ROUND(ROUND(SUM(p * log2(p / q)), 6) * 1000000)
+                        AS BIGINT) AS klq
+            FROM terms GROUP BY source
+        ),
+        w0 AS (SELECT source, kl_bits, klq,
+                      CAST(1000000 AS BIGINT) AS w
+               FROM kl)"""
+    for t in range(1, _MW_ROUNDS + 1):
+        base += f""",
+        u{t} AS (SELECT source, kl_bits, klq,
+                        w * (1000000 + klq // 2) AS wu
+                 FROM w{t - 1}),
+        s{t} AS (SELECT SUM(wu) AS tot FROM u{t}),
+        w{t} AS (SELECT source, kl_bits, klq,
+                        CAST(ROUND(1000000.0 * wu / tot) AS BIGINT) AS w
+                 FROM u{t}, s{t})"""
+    return base
+
+
+@query(
+    "corpus_domain_mixture",
+    oracle=_mw_oracle()
+    + f""",
+        ns AS (SELECT COUNT(*) AS k FROM w0)
+        SELECT source, kl_bits,
+               ROUND(1.0 / k, 6) AS mix_share_uniform,
+               ROUND(w / 1000000.0, 6) AS mix_share_final,
+               ROUND((w / 1000000.0) * k, 6) AS boost
+        FROM w{_MW_ROUNDS}, ns
+    """,
+)
+def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (DoReMi-shaped, Xie et al. 2023):
+    starting from the uniform mixture, run {_MW_ROUNDS} rounds of
+    multiplicative weights over the per-source EXCESS-LOSS proxy —
+    here the unigram KL divergence from the corpus blend
+    (``text_source_kl_divergence``), the same role DoReMi's
+    reference-model excess loss plays — so sources that add
+    DIVERSITY (high KL) get up-weighted and redundant sources decay.
+    Output: the final mixture share per source beside the uniform
+    baseline and the boost factor the optimizer applied. Swapping in
+    real per-domain eval losses changes one CTE, not the plan.
+
+    Libm-free by construction: the textbook exp(η·loss) update is
+    replaced by the linearized multiplicative factor (1 + η·loss) —
+    cross-engine exp() differs in last ulps, integer multiplication
+    never does. Each round is one |sources|-row map + one exact
+    integer sum; weights re-quantize to ppm every round so the state
+    entering each round is identical on both engines. Scale: the KL
+    pass is the only corpus-scale step (one shared token explode);
+    the optimization loop runs on a |sources|-row relation."""
+    kl = text_source_kl_divergence(spark, sf_dir).select(
+        "source",
+        "kl_bits",
+        F.round(F.round(F.col("kl_bits"), 6) * 1000000)
+        .cast("bigint")
+        .alias("klq"),
+    )
+    w = kl.withColumn("w", F.lit(1000000).cast("bigint"))
+    for _t in range(_MW_ROUNDS):
+        u = w.select(
+            "source",
+            "kl_bits",
+            "klq",
+            (
+                F.col("w")
+                * (F.lit(1000000) + F.expr("klq div 2"))
+            ).alias("wu"),
+        )
+        s = u.agg(F.sum("wu").alias("tot"))
+        w = u.crossJoin(F.broadcast(s)).select(
+            "source",
+            "kl_bits",
+            "klq",
+            F.round(F.lit(1000000.0) * F.col("wu") / F.col("tot"))
+            .cast("bigint")
+            .alias("w"),
+        )
+    ns = w.agg(F.count(F.lit(1)).alias("k"))
+    return w.crossJoin(F.broadcast(ns)).select(
+        "source",
+        "kl_bits",
+        F.round(1.0 / F.col("k"), 6).alias("mix_share_uniform"),
+        F.round(F.col("w") / 1000000.0, 6).alias("mix_share_final"),
+        F.round((F.col("w") / 1000000.0) * F.col("k"), 6).alias("boost"),
+    )

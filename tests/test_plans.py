@@ -428,6 +428,11 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 10-point regression aggregate crosses back as a 1-row
         # scalar broadcast
         "text_heaps_law",
+        # each multiplicative-weights round crosses the |sources|-row
+        # weight relation with its own 1-row normalization sum, plus
+        # the 1-row global vocab/mass aggregate of the KL pass (the
+        # text_source_kl_divergence shape)
+        "corpus_domain_mixture",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
