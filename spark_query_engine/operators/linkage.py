@@ -1,0 +1,126 @@
+"""Record-linkage operators: scale-correct global ranking and
+sorted-neighborhood (merge/purge) candidate generation.
+
+Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995) is the
+classic entity-resolution alternative to attribute blocking
+(``dedup_fuzzy_typenames`` blocks on the head noun; this blocks on
+SORT ORDER): sort all records by a key, slide a window of w over the
+sorted sequence, and compare only records whose positions differ by at
+most w.  Candidate volume is O(n*w) regardless of block-size skew —
+the property that makes it the safe default when attribute blocks can
+be huge (a "Smith" block) — at the price of missing pairs whose sort
+keys diverge early (measured here as blocking recall, not assumed).
+
+Reference parity note: the reference engine (athultr1997/
+rust-query-engine, src/logical_plan/mod.rs:12-18) has no join at all;
+linkage is beyond-parity capability from the brief's training-data
+mandate.
+
+Scale design: the one non-trivial primitive is a GLOBAL rank.  A bare
+``row_number() OVER (ORDER BY key)`` is a single-partition scale
+killer (every row through one task), so :func:`global_rank` uses the
+standard two-pass distributed ranking: range-partition by the key,
+rank WITHIN each partition (a partition-parallel window), count rows
+per partition (a #partitions-row aggregate), prefix-sum those counts
+on the driver (bounded, scalar-only driver state — the repo's model
+discipline), and add the partition offset back with a broadcast join.
+The window band-join that follows is rank-arithmetic — an equi/range
+join on integers, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global rank by ``order_cols`` without a
+    single-partition window.
+
+    Two-pass distributed ranking: ``repartitionByRange`` places rows
+    in globally ordered partitions, ``row_number`` partitioned by
+    ``spark_partition_id()`` ranks locally in parallel, and the
+    per-partition row counts (collected to the driver — one long per
+    partition) prefix-sum into offsets that a broadcast join adds
+    back.  The ranked relation is localCheckpoint-ed first so the
+    count job and the rank job see the SAME physical partitioning
+    (range boundaries are sampled and would otherwise be free to
+    differ between jobs).
+
+    ``order_cols`` must be a total order (unique key tuples) for the
+    rank — and anything downstream that is hash-verified — to be
+    deterministic.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # one row per partition — bounded driver state, like the CC
+    # fixpoint signature (operators/dedup.py) and k-row centroids.
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "pid int, _offset long")
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    )
+    return (
+        ranged.withColumn("_local", local)
+        .join(off, ranged["_pid"] == off["pid"])
+        .withColumn(rank_col, (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "pid", "_offset", "_local")
+    )
+
+
+def sorted_neighborhood_pairs(
+    ranked: DataFrame,
+    window: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Candidate pairs from a ranked relation: all (a, b) with
+    ``0 < rank_b - rank_a <= window``.
+
+    A raw ``ON b.rank - a.rank BETWEEN 1 AND w`` theta join would plan
+    as a nested loop over the DATA plane — a scale killer.  Instead
+    the band is bucketized into an EQUI join (the repo's range-join
+    discipline): with bucket width = w, any qualifying pair sits in
+    the same bucket or adjacent buckets, so the left side fans out to
+    its two candidate right-buckets (``explode`` — 2x, a constant)
+    and the join key is the integer bucket id; the exact gap predicate
+    then filters inside the hash join.  Each (a, b) pair is seen
+    exactly once because the two exploded keys are distinct.  Output
+    is O(n*w) pairs through a shuffled equi join — the skew-immunity
+    that motivates sorted-neighborhood blocking.
+    """
+    rk = F.col(rank_col)
+    bucket = F.floor((rk - F.lit(1)) / F.lit(window)).cast("long")
+    a = ranked.withColumn(
+        "_jk", F.explode(F.array(bucket, bucket + F.lit(1)))
+    ).alias("a")
+    b = ranked.withColumn("_jk", bucket).alias("b")
+    gap = F.col(f"b.{rank_col}") - F.col(f"a.{rank_col}")
+    pairs = a.join(b, F.col("a._jk") == F.col("b._jk")).where(
+        (gap > F.lit(0)) & (gap <= F.lit(window))
+    )
+    keep = [
+        F.col(f"a.{c}").alias(f"a_{c}") for c in ranked.columns if c != rank_col
+    ] + [
+        F.col(f"b.{c}").alias(f"b_{c}") for c in ranked.columns if c != rank_col
+    ]
+    return pairs.select(*keep, gap.cast("long").alias("rank_gap"))

@@ -2790,6 +2790,149 @@ def dedup_fuzzy_typenames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sorted-neighborhood window sizes audited (max drives the band join).
+_SN_WINDOWS = (2, 8, 32)
+
+
+@query(
+    "linkage_sorted_neighborhood",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        pos AS (
+            SELECT name,
+                   2 + (('0x' || substr(md5(name), 1, 8))::BIGINT
+                        % (length(name) - 2)) AS p
+            FROM names
+        ),
+        u AS (
+            SELECT name, name AS orig, 'a' AS src FROM names
+            UNION ALL
+            SELECT substr(name, 1, CAST(p - 1 AS INT))
+                   || substr(name, CAST(p + 1 AS INT), 1000000) AS name,
+                   name AS orig, 'b' AS src
+            FROM pos
+        ),
+        r AS (
+            SELECT *, row_number() OVER (ORDER BY name, src, orig) AS rk
+            FROM u
+        ),
+        pr AS (
+            SELECT x.src AS a_src, x.orig AS a_orig,
+                   y.src AS b_src, y.orig AS b_orig,
+                   y.rk - x.rk AS gap
+            FROM r x JOIN r y ON y.rk - x.rk BETWEEN 1 AND {max(_SN_WINDOWS)}
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM names)
+        SELECT w.w AS w,
+               CAST(COUNT(*) FILTER (WHERE gap <= w.w) AS BIGINT)
+                   AS n_candidates,
+               CAST(COUNT(*) FILTER (WHERE gap <= w.w AND a_src <> b_src)
+                   AS BIGINT) AS n_cross_source,
+               CAST(COUNT(*) FILTER (WHERE gap <= w.w AND a_src <> b_src
+                                       AND a_orig = b_orig) AS BIGINT)
+                   AS n_matched,
+               ROUND(100.0 * COUNT(*) FILTER (WHERE gap <= w.w
+                         AND a_src <> b_src AND a_orig = b_orig)
+                     / ANY_VALUE(tot.n), 2) + 0.0 AS recall_pct
+        FROM (VALUES ({_SN_WINDOWS[0]}), ({_SN_WINDOWS[1]}),
+                     ({_SN_WINDOWS[2]})) w(w)
+        CROSS JOIN pr, tot
+        GROUP BY w.w
+    """,
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez-Stolfo
+    merge/purge) with MEASURED blocking recall: source A = the
+    distinct part-name vocabulary, source B = the same names each
+    deterministically corrupted by one md5-chosen character deletion
+    (the classic data-entry typo), both sources sorted together on the
+    (corrupted) name, and candidate pairs drawn only from a sliding
+    rank window.  For each window size w in {_SN_WINDOWS} the audit
+    reports candidate volume (the O(n*w) cost) against cross-source
+    matches recovered (``a_orig = b_orig`` — the planted ground
+    truth), so the recall-vs-cost frontier of sort-order blocking is a
+    hash-verified output, not a docstring claim: early-position
+    deletions move a record far from its original in sort order, which
+    is exactly the known failure mode of the method (vs the attribute
+    blocking of ``dedup_fuzzy_typenames``, which is immune to prefix
+    damage but exposed to block-size skew).
+
+    Scale: the global sort rank is the two-pass distributed ranking of
+    ``linkage.global_rank`` (range partition -> partition-parallel
+    row_number -> #partitions-row driver prefix-sum -> broadcast
+    offset join — no single-partition window anywhere), and the rank
+    band join is bucketized into an equi join
+    (``linkage.sorted_neighborhood_pairs``) so candidate generation is
+    a shuffled hash join producing O(n*w) pairs regardless of name
+    skew.  The TYPE-level formulation (distinct names, the BPE
+    vocabulary trick) bounds everything by vocabulary size, not corpus
+    rows."""
+    from spark_query_engine.operators import linkage as L
+
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pos = names.withColumn(
+        "p",
+        F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("long")
+        % (F.length("name") - F.lit(2))
+        + F.lit(2),
+    )
+    corrupted = pos.select(
+        F.concat(
+            F.expr("substring(name, 1, CAST(p - 1 AS INT))"),
+            F.expr("substring(name, CAST(p + 1 AS INT), 1000000)"),
+        ).alias("name"),
+        F.col("name").alias("orig"),
+        F.lit("b").alias("src"),
+    )
+    u = names.select(
+        "name", F.col("name").alias("orig"), F.lit("a").alias("src")
+    ).unionByName(corrupted)
+    # checkpoint so the band self-join's two branches reuse one ranking
+    # pass (and the n_names count below rides the same materialization)
+    ranked = L.global_rank(u, ["name", "src", "orig"], rank_col="rk").localCheckpoint()
+    n_names = ranked.where(F.col("src") == "b").count()
+    pairs = L.sorted_neighborhood_pairs(ranked, max(_SN_WINDOWS), rank_col="rk")
+    cross = F.col("a_src") != F.col("b_src")
+    match = cross & (F.col("a_orig") == F.col("b_orig"))
+    gap = F.col("rank_gap")
+    aggs = []
+    for w in _SN_WINDOWS:
+        inw = gap <= F.lit(w)
+        aggs += [
+            F.coalesce(F.sum(F.when(inw, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"cand_{w}"),
+            F.coalesce(F.sum(F.when(inw & cross, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"cross_{w}"),
+            F.coalesce(F.sum(F.when(inw & match, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"match_{w}"),
+        ]
+    wide = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"{w}L, cand_{w}, cross_{w}, match_{w}" for w in _SN_WINDOWS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_SN_WINDOWS)}, {stack_args}) AS "
+            "(w, n_candidates, n_cross_source, n_matched)"
+        )
+    ).select(
+        "w",
+        "n_candidates",
+        "n_cross_source",
+        "n_matched",
+        F.round(F.lit(100.0) * F.col("n_matched") / F.lit(n_names), 2).alias(
+            "recall_pct"
+        ),
+    )
+
+
 #: k-anonymity threshold for the governance audit.
 _KANON = 5
 

@@ -569,3 +569,56 @@ def test_integer_moment_queries_are_run_deterministic(spark, sf_dir):
         b = sorted(map(tuple, fn(spark, sf_dir).collect()))
         spark.catalog.clearCache()
         assert a == b, f"{name}: values changed between runs"
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """Two-pass distributed ranking == the naive single-partition
+    row_number, on data with enough rows to span many range
+    partitions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_query_engine.operators.linkage import global_rank
+
+    rng = random.Random(7)
+    rows = [(f"k{rng.randrange(10**6):06d}", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "key string, id long")
+    got = {
+        (r["key"], r["id"]): r["rank"]
+        for r in global_rank(df, ["key", "id"], num_partitions=16).collect()
+    }
+    want = {
+        (k, i): rank
+        for rank, (k, i) in enumerate(sorted((k, i) for k, i in rows), start=1)
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_equal_theta_join(spark):
+    """Bucketized band join produces EXACTLY the 0 < gap <= w pair set
+    (each pair once), for a window that doesn't divide n evenly."""
+    from pyspark.sql import functions as F
+
+    from spark_query_engine.operators.linkage import (
+        global_rank,
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(f"v{i:03d}",) for i in range(97)], "key string"
+    )
+    ranked = global_rank(df, ["key"], num_partitions=8).localCheckpoint()
+    w = 7
+    got = sorted(
+        (r["a_key"], r["b_key"], r["rank_gap"])
+        for r in sorted_neighborhood_pairs(ranked, w).collect()
+    )
+    rk = {r["key"]: r["rank"] for r in ranked.collect()}
+    want = sorted(
+        (a, b, rk[b] - rk[a])
+        for a in rk
+        for b in rk
+        if 0 < rk[b] - rk[a] <= w
+    )
+    assert got == want
