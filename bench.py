@@ -200,6 +200,7 @@ HEADLINE = [
     "vec_whitening_audit",
     "data_sketch_time_rollup",
     "corpus_domain_mixture",
+    "linkage_sorted_neighborhood",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal
