@@ -22,6 +22,8 @@ order cannot flip the hash.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -4739,3 +4741,608 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w") / 1000000.0, 6).alias("mix_share_final"),
         F.round((F.col("w") / 1000000.0) * F.col("k"), 6).alias("boost"),
     )
+
+
+#: Adamic-Adar link prediction: md5 edge-sparsification modulus (keep
+#: ~1/17 of co-purchase edges), hub pivot cap, and the 1/ln(d) weight
+#: table quantized to 1e9-scaled integers IN PYTHON so both engines
+#: consume identical constants (libm-free cross-engine scoring — the
+#: corpus_domain_mixture discipline applied to graph weights).
+_AA_MOD = 17
+_AA_CAP = 64
+_AA_W = {d: round(1e9 / math.log(d)) for d in range(2, _AA_CAP + 1)}
+_AA_TOPK = 100
+
+
+def _aa_weight_values() -> str:
+    return ", ".join(f"({d}, {w})" for d, w in sorted(_AA_W.items()))
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+        WITH ed0 AS (
+            SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                            GREATEST(a.l_partkey, b.l_partkey) AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        ed AS (
+            SELECT u, v FROM ed0
+            WHERE ('0x' || substr(md5(u::VARCHAR || ':' || v::VARCHAR),
+                                  1, 8))::BIGINT % {_AA_MOD} = 0
+        ),
+        deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM ed UNION ALL SELECT v FROM ed
+            ) GROUP BY n
+        ),
+        wt(d, w) AS (VALUES {{AA_VALUES}}),
+        adj AS (
+            SELECT u AS z, v AS x FROM ed
+            UNION ALL SELECT v AS z, u AS x FROM ed
+        ),
+        piv AS (
+            SELECT adj.z, adj.x, wt.w
+            FROM adj JOIN deg ON deg.n = adj.z
+                     JOIN wt ON wt.d = deg.d
+            WHERE deg.d BETWEEN 2 AND {_AA_CAP}
+        ),
+        sc AS (
+            SELECT a1.x AS id_a, a2.x AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                   SUM(a1.w) AS aa_q
+            FROM piv a1 JOIN piv a2
+              ON a1.z = a2.z AND a1.x < a2.x
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, common_neighbors,
+               ROUND(aa_q / 1000000000.0, 6) AS aa_score
+        FROM sc
+        WHERE NOT EXISTS (SELECT 1 FROM ed
+                          WHERE ed.u = sc.id_a AND ed.v = sc.id_b)
+        ORDER BY aa_q DESC, id_a, id_b
+        LIMIT {_AA_TOPK}
+    """.replace("{AA_VALUES}", _aa_weight_values()),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the (sparsified) co-purchase
+    graph: for every non-adjacent pair sharing at least one neighbor,
+    score = sum over common neighbors z of 1/ln(deg(z)) — rare shared
+    neighbors are evidence, hubs are noise — and return the top-{k}
+    predicted links. The graph is md5-edge-sparsified (keep 1/{mod} of
+    edges, DOULION-style deterministic sampling) because the raw
+    co-purchase graph is near-complete at small SF; pivots with degree
+    above {cap} are excluded outright (the standard frequency cap:
+    their per-pair weight 1/ln(d) is the smallest possible AND their
+    d-choose-2 fan-out is the largest — worst signal at the highest
+    cost, the same hot-key discipline as MinHash's max_shingle_df).
+
+    Engine-identical scoring: the 1/ln(d) weights for d in
+    [2, {cap}] are PRECOMPUTED in Python as 1e9-scaled integers and
+    embedded as literals in both the Spark plan (broadcast dim) and
+    the oracle (VALUES) — scores are exact integer SUMs, so the
+    top-k cutoff under (score DESC, id_a, id_b) is bit-deterministic
+    with no cross-engine libm or float-summation dependence.
+
+    Scale: degree cap bounds wedge fan-out per pivot to {cap}^2;
+    candidate generation is one equi self-join on the pivot; the
+    existing-edge anti-join and weight lookup are equi joins (the
+    weight relation is {cap} rows, broadcast); top-k plans as
+    TakeOrderedAndProject, never a global sort."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .where(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("u").cast("string"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _AA_MOD
+            == 0
+        )
+    )
+    deg = (
+        ed.select(F.col("u").alias("n"))
+        .unionByName(ed.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wt = F.broadcast(
+        spark.createDataFrame(sorted(_AA_W.items()), "d long, w long")
+    )
+    adj = ed.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
+        ed.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    piv = (
+        adj.join(deg, adj["z"] == deg["n"])
+        .where((F.col("d") >= 2) & (F.col("d") <= _AA_CAP))
+        .join(wt, "d")
+        .select("z", "x", "w")
+    )
+    a1, a2 = piv.alias("a1"), piv.alias("a2")
+    sc = (
+        a1.join(
+            a2,
+            (F.col("a1.z") == F.col("a2.z"))
+            & (F.col("a1.x") < F.col("a2.x")),
+        )
+        .groupBy(
+            F.col("a1.x").alias("id_a"), F.col("a2.x").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum("a1.w").alias("aa_q"),
+        )
+    )
+    return (
+        sc.join(
+            ed,
+            (sc["id_a"] == ed["u"]) & (sc["id_b"] == ed["v"]),
+            "left_anti",
+        )
+        .orderBy(F.col("aa_q").desc(), "id_a", "id_b")
+        .limit(_AA_TOPK)
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            F.round(F.col("aa_q") / 1e9, 6).alias("aa_score"),
+        )
+    )
+
+
+graph_link_prediction.__doc__ = graph_link_prediction.__doc__.format(
+    k=_AA_TOPK, mod=_AA_MOD, cap=_AA_CAP
+)
+
+
+#: Inter-annotator thresholds: annotator A keeps docs with at least
+#: this many chars; annotator B keeps docs whose distinct-token count
+#: is at least half the token count (type-token-ratio >= 0.5, compared
+#: by integer cross-multiplication — no float thresholds anywhere).
+_KAPPA_MINCHARS = 300
+
+
+@query(
+    "label_agreement_kappa",
+    oracle=f"""
+        WITH lab AS (
+            SELECT CASE WHEN n_chars >= {_KAPPA_MINCHARS} THEN 1 ELSE 0 END AS a,
+                   CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                             >= len(string_split(text, ' '))
+                        THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        ct AS (
+            SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lab
+        )
+        SELECT n11, n10, n01, n00,
+               ROUND(1.0 * (n11 + n00) / n, 6) AS p_observed,
+               ROUND(1.0 * ((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00)) / (n * n), 6)
+                   AS p_expected,
+               ROUND(1.0 * (n * (n11 + n00)
+                            - ((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00)))
+                     / (n * n
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00))), 6) AS kappa
+        FROM ct
+    """,
+)
+def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic quality annotators —
+    the labeling-QA primitive of a filtered-corpus pipeline (before
+    trusting a cheap heuristic or a distilled classifier to replace an
+    expensive one, measure chance-corrected agreement; raw accuracy is
+    inflated whenever the label distribution is skewed). Annotator A
+    keeps length (n_chars >= {mc}); annotator B keeps lexical
+    diversity (type-token ratio >= 1/2, decided by the integer
+    cross-product 2*distinct >= total). On this synthetic corpus the
+    two CONFLICT (longer docs repeat more, so kappa < 0) — precisely
+    the situation the audit exists to catch: ensembling them as if
+    independent would double-filter.
+
+    Engine-identical by construction: the 2x2 contingency table is
+    exact integer sums, and kappa = (po-pe)/(1-pe) is computed as ONE
+    ratio of integer polynomials (n*(n11+n00) - marginals over n^2 -
+    marginals) so nothing floats until the final ROUND. Scale: one
+    scan, one 5-integer global aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lab = docs.select(
+        F.when(F.col("n_chars") >= _KAPPA_MINCHARS, 1).otherwise(0).alias("a"),
+        F.when(
+            2 * F.size(F.array_distinct(toks)) >= F.size(toks), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    ct = lab.agg(
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    marg = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return ct.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            F.lit(1.0) * (F.col("n11") + F.col("n00")) / F.col("n"), 6
+        ).alias("p_observed"),
+        F.round(F.lit(1.0) * marg / (F.col("n") * F.col("n")), 6).alias(
+            "p_expected"
+        ),
+        F.round(
+            F.lit(1.0)
+            * (F.col("n") * (F.col("n11") + F.col("n00")) - marg)
+            / (F.col("n") * F.col("n") - marg),
+            6,
+        ).alias("kappa"),
+    )
+
+
+label_agreement_kappa.__doc__ = label_agreement_kappa.__doc__.format(
+    mc=_KAPPA_MINCHARS
+)
+
+
+#: Cross-validation geometry: fold count for the assignment audit.
+_CV_K = 5
+
+
+@query(
+    "data_cv_folds",
+    oracle=f"""
+        WITH a AS (
+            SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % {_CV_K} AS fold,
+                   lang,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        fl AS (
+            SELECT fold, lang, COUNT(*) AS c FROM a GROUP BY 1, 2
+        ),
+        f AS (
+            SELECT fold,
+                   CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs,
+                   CAST(MAX(c) AS BIGINT) AS max_lang_docs
+            FROM fl GROUP BY fold
+        ),
+        t AS (
+            SELECT fold, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM a GROUP BY fold
+        )
+        SELECT f.fold, f.n_docs, t.n_tokens, f.n_langs,
+               ROUND(1.0 * f.max_lang_docs / f.n_docs, 6) AS max_lang_share
+        FROM f JOIN t USING (fold)
+    """,
+)
+def data_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment with a balance audit: every
+    document lands in fold md5(doc_id) % {k} — deterministic,
+    coordination-free (any worker computes any row's fold without a
+    lookup table, the property that matters when the assignment must
+    be reproduced across pipeline stages and re-runs) — and the audit
+    reports, per fold, the document count, token mass, language
+    coverage, and the dominant language's share. Uniform folds +
+    near-identical max_lang_share across folds is the green light for
+    fold-rotated evaluation; divergence means the hash is correlated
+    with content (it never is for md5) or the corpus is too small for
+    k folds.
+
+    Scale: one scan, two hash aggregates (fold x lang, then fold) —
+    O(k * langs) intermediate, k-row output, no shuffle wider than the
+    fold-lang key space."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CV_K
+        ).alias("fold"),
+        "lang",
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    fl = a.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("c"))
+    f = fl.groupBy("fold").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.max("c").cast("bigint").alias("max_lang_docs"),
+    )
+    t = a.groupBy("fold").agg(F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    return (
+        f.join(t, "fold")
+        .select(
+            "fold",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            F.round(
+                F.lit(1.0) * F.col("max_lang_docs") / F.col("n_docs"), 6
+            ).alias("max_lang_share"),
+        )
+    )
+
+
+data_cv_folds.__doc__ = data_cv_folds.__doc__.format(k=_CV_K)
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d),
+#: precomputed in Python and embedded as identical double literals in
+#: both engines (the libm-free constant-table discipline).
+_BENFORD_P = {d: round(math.log10(1 + 1.0 / d), 12) for d in range(1, 10)}
+
+
+@query(
+    "data_benford_audit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT substr(CAST(CAST(ROUND(o_totalprice * 100)
+                                    AS BIGINT) AS VARCHAR), 1, 1)::INT
+                       AS digit
+            FROM orders
+        ),
+        obs AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM digits GROUP BY digit
+        ),
+        exp_p(digit, p) AS (VALUES {", ".join(
+            f"({d}, CAST({p} AS DOUBLE))" for d, p in sorted(_BENFORD_P.items())
+        )}),
+        tot AS (SELECT SUM(n_obs) AS n FROM obs)
+        SELECT e.digit,
+               COALESCE(o.n_obs, 0) AS n_obs,
+               ROUND(1.0 * COALESCE(o.n_obs, 0) / tot.n, 6) AS obs_share,
+               ROUND(e.p, 6) AS benford_share,
+               ROUND(POWER(COALESCE(o.n_obs, 0) - e.p * tot.n, 2)
+                     / (e.p * tot.n), 6) AS chi2_contrib
+        FROM exp_p e LEFT JOIN obs o ON o.digit = e.digit, tot
+    """,
+)
+def data_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit on order totals — the
+    classic synthetic-/fabricated-data detector (naturally occurring
+    multiplicative quantities follow P(d) = log10(1+1/d); uniform or
+    generator-artifact distributions light up the chi-square). On this
+    synthetic corpus the audit FIRES (digits 1-4 dominate far beyond
+    Benford mass because prices are drawn near-uniform with a 500k
+    cap) — the per-digit chi2_contrib columns show exactly where.
+
+    Determinism: the first digit comes from the INTEGER-cents string
+    (double*100 rounds identically on both engines — the product is
+    never a .5 tie), the Benford expectations are Python-precomputed
+    literals CAST to DOUBLE on the oracle side (the DuckDB
+    decimal-literal gotcha), and each row's chi-square contribution is
+    a single arithmetic expression of one integer count and one
+    constant — no cross-engine summation anywhere. Scale: one scan,
+    one 9-bucket hash aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    exp_p = spark.createDataFrame(
+        sorted(_BENFORD_P.items()), "digit int, p double"
+    )
+    e = F.col("p") * F.col("n")
+    return (
+        exp_p.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            F.round(
+                F.lit(1.0)
+                * F.coalesce(F.col("n_obs"), F.lit(0))
+                / F.col("n"),
+                6,
+            ).alias("obs_share"),
+            F.round(F.col("p"), 6).alias("benford_share"),
+            F.round(
+                F.pow(
+                    F.coalesce(F.col("n_obs"), F.lit(0)) - e, F.lit(2)
+                )
+                / e,
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+#: JSD vocabulary cap: distributions are computed over the top-V
+#: corpus terms plus one OOV residual bucket, so the dense
+#: source x symbol matrix is bounded by design at any corpus size.
+_JSD_V = 64
+
+
+@query(
+    "text_source_jsd",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, lower(tok) AS tok FROM (
+                SELECT source, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        gc AS (SELECT tok, SUM(c) AS g FROM sc GROUP BY tok),
+        topv AS (SELECT tok FROM gc ORDER BY g DESC, tok LIMIT {_JSD_V}),
+        sym AS (
+            SELECT sc.source,
+                   COALESCE(topv.tok, '<OOV>') AS sym,
+                   SUM(sc.c) AS c
+            FROM sc LEFT JOIN topv ON topv.tok = sc.tok
+            GROUP BY 1, 2
+        ),
+        symbols AS (
+            SELECT tok AS sym FROM topv UNION ALL SELECT '<OOV>'
+        ),
+        srcs AS (SELECT DISTINCT source FROM sc),
+        st AS (SELECT source, SUM(c) AS n FROM sym GROUP BY source),
+        nv AS (SELECT COUNT(*) AS v FROM symbols),
+        dense AS (
+            SELECT srcs.source, symbols.sym,
+                   (COALESCE(sym.c, 0) + 1.0) / (st.n + nv.v) AS p
+            FROM srcs CROSS JOIN symbols
+            LEFT JOIN sym ON sym.source = srcs.source
+                         AND sym.sym = symbols.sym
+            JOIN st ON st.source = srcs.source, nv
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               ROUND(SUM(0.5 * (a.p * log2(2 * a.p / (a.p + b.p))
+                                + b.p * log2(2 * b.p / (a.p + b.p)))), 6)
+                   AS jsd_bits
+        FROM dense a JOIN dense b
+          ON a.sym = b.sym AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+)
+def text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every pair of
+    corpus sources — the SYMMETRIC, bounded [0,1]-bits companion to
+    ``text_source_kl_divergence``'s source-vs-blend meter: the full
+    source-to-source distance matrix is what mixture planners cluster
+    on (merge near-zero-JSD sources, keep the spread ones), and JSD's
+    finiteness under disjoint support makes it the safe default where
+    KL needs smoothing epsilon tuning.
+
+    Bounded-by-design distributions: every source is projected onto
+    the TOP-{v} corpus terms plus one OOV residual bucket (ties in the
+    top-{v} cutoff broken by term text — a total order), so the dense
+    source x symbol matrix is |sources| x {v1} REGARDLESS of corpus or
+    vocabulary size — the knob that keeps an all-pairs divergence
+    matrix viable at 100 TB where the raw vocabulary is 10^8. Float
+    discipline: p and q are ratios of exact integer counts (identical
+    doubles cross-engine), each pair's sum is {v1} terms (the
+    alphabet-bounded class), rounded once at 6dp.
+
+    Scale: one shared token explode feeds the per-source and global
+    counters; the top-V cutoff is a {v}-row TakeOrderedAndProject
+    broadcast back; the pair join is an equi join on the symbol with
+    |sources|^2/2 * {v1} output — sources, not documents, drive the
+    quadratic term."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    topv = gc.orderBy(F.col("g").desc(), "tok").limit(_JSD_V).select("tok")
+    sym = (
+        sc.join(
+            F.broadcast(topv.withColumnRenamed("tok", "vtok")),
+            sc["tok"] == F.col("vtok"),
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("vtok"), F.lit("<OOV>")).alias("sym"),
+            "c",
+        )
+        .groupBy("source", "sym")
+        .agg(F.sum("c").alias("c"))
+    )
+    symbols = topv.select(F.col("tok").alias("sym")).unionByName(
+        spark.createDataFrame([("<OOV>",)], "sym string")
+    )
+    srcs = sc.select("source").distinct()
+    st = sym.groupBy("source").agg(F.sum("c").alias("n"))
+    nv = symbols.agg(F.count(F.lit(1)).alias("v"))
+    dense = (
+        srcs.crossJoin(F.broadcast(symbols))
+        .join(sym, ["source", "sym"], "left")
+        .join(st, "source")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "source",
+            "sym",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("n") + F.col("v"))
+            ).alias("p"),
+        )
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    m = F.col("a.p") + F.col("b.p")
+    return (
+        a.join(
+            b,
+            (F.col("a.sym") == F.col("b.sym"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    0.5
+                    * (
+                        F.col("a.p") * F.log2(2 * F.col("a.p") / m)
+                        + F.col("b.p") * F.log2(2 * F.col("b.p") / m)
+                    )
+                ),
+                6,
+            ).alias("jsd_bits")
+        )
+    )
+
+
+text_source_jsd.__doc__ = text_source_jsd.__doc__.format(
+    v=_JSD_V, v1=_JSD_V + 1
+)
