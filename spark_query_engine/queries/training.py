@@ -5346,3 +5346,98 @@ def text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_source_jsd.__doc__ = text_source_jsd.__doc__.format(
     v=_JSD_V, v1=_JSD_V + 1
 )
+
+
+@query(
+    "corpus_quantile_normalize",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source, n_chars FROM documents
+        ),
+        sr AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS ns
+            FROM d
+        ),
+        g AS (
+            SELECT n_chars AS val,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS pos
+            FROM d
+        ),
+        n AS (SELECT COUNT(*) AS total FROM d),
+        px AS (
+            SELECT doc_id, source, n_chars,
+                   CASE WHEN ns = 1 THEN (total + 1) // 2
+                        ELSE 1 + (2 * (rk - 1) * (total - 1) + (ns - 1))
+                                 // (2 * (ns - 1))
+                   END AS pos
+            FROM sr, n
+        )
+        SELECT px.doc_id, px.source,
+               CAST(px.n_chars AS BIGINT) AS raw_len,
+               CAST(g.val AS BIGINT) AS norm_len
+        FROM px JOIN g ON g.pos = px.pos
+    """,
+)
+def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document quality score across
+    sources — the cross-source calibration step a mixed-corpus filter
+    needs: a threshold tuned on one source's score distribution is
+    wrong for another (web text and code have different length/score
+    shapes), so each document's score is replaced by the GLOBAL
+    reference value at its within-source quantile. After this map,
+    every source has an identical score distribution and one
+    threshold means one thing everywhere (the microarray-era
+    quantile-normalization trick applied to corpus curation).
+
+    All-integer determinism: within-source ranks are row_number over
+    (score, doc_id) — a total order — the quantile-to-global-position
+    map is exact integer half-up arithmetic ((2a+b) div 2b, no float
+    round anywhere), and the normalized value is an integer lookup
+    from the global sorted relation.
+
+    Scale: the within-source window is PARTITIONED by source
+    (parallel); the global sorted positions come from
+    ``linkage.global_rank`` — the two-pass range-partition ranking,
+    no single-partition window — and the final position lookup is an
+    integer equi join. Reference: the reference engine has no window
+    or rank operator at all (src/logical_plan/mod.rs:12-18)."""
+    from spark_query_engine.operators import linkage as L
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    sr = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
+    )
+    g = L.global_rank(d.select("n_chars", "doc_id"), ["n_chars", "doc_id"],
+                      rank_col="pos").select(
+        F.col("n_chars").alias("val"), "pos"
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    px = sr.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("ns") == 1, F.expr("(total + 1) div 2")
+        )
+        .otherwise(
+            F.lit(1)
+            + F.expr(
+                "(2 * (rk - 1) * (total - 1) + (ns - 1)) div (2 * (ns - 1))"
+            )
+        )
+        .alias("pos"),
+    )
+    return px.join(g, "pos").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("raw_len"),
+        F.col("val").cast("bigint").alias("norm_len"),
+    )
