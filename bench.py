@@ -201,6 +201,12 @@ HEADLINE = [
     "data_sketch_time_rollup",
     "corpus_domain_mixture",
     "linkage_sorted_neighborhood",
+    "graph_link_prediction",
+    "label_agreement_kappa",
+    "data_cv_folds",
+    "data_benford_audit",
+    "text_source_jsd",
+    "corpus_quantile_normalize",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -304,6 +304,15 @@ def test_headline_plans_have_no_scale_killers(spark):
     one_row_bnlj_ok = {
         "corpus_curate_full",
         "data_quality_checks",
+        # the 1-row total-count aggregate crosses the 9-row digit
+        # relation — scalar broadcast, constant-bounded both sides
+        "data_benford_audit",
+        # sources × (V+1)-symbol dense fan-out: the broadcast side is
+        # the bounded symbol alphabet (top-V + OOV), never documents
+        "text_source_jsd",
+        # the 1-row global doc count broadcast into the per-doc
+        # position map — scalar model state
+        "corpus_quantile_normalize",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
