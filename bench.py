@@ -207,6 +207,7 @@ HEADLINE = [
     "data_benford_audit",
     "text_source_jsd",
     "corpus_quantile_normalize",
+    "linkage_fellegi_sunter",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

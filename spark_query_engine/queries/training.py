@@ -5441,3 +5441,266 @@ def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("raw_len"),
         F.col("val").cast("bigint").alias("norm_len"),
     )
+
+
+#: Fellegi-Sunter candidate window (sorted-neighborhood, mid size).
+_FS_W = 8
+
+
+@query(
+    "linkage_fellegi_sunter",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        pos AS (
+            SELECT name,
+                   2 + (('0x' || substr(md5(name), 1, 8))::BIGINT
+                        % (length(name) - 2)) AS p
+            FROM names
+        ),
+        u AS (
+            SELECT name, name AS orig, 'a' AS src FROM names
+            UNION ALL
+            SELECT substr(name, 1, CAST(p - 1 AS INT))
+                   || substr(name, CAST(p + 1 AS INT), 1000000) AS name,
+                   name AS orig, 'b' AS src
+            FROM pos
+        ),
+        r AS (
+            SELECT *, row_number() OVER (ORDER BY name, src, orig) AS rk
+            FROM u
+        ),
+        pr AS (
+            SELECT x.name AS an, y.name AS bn,
+                   CASE WHEN x.src <> y.src AND x.orig = y.orig
+                        THEN 1 ELSE 0 END AS lbl
+            FROM r x JOIN r y ON y.rk - x.rk BETWEEN 1 AND {_FS_W}
+        ),
+        fe AS (
+            SELECT lbl,
+                   CASE WHEN substr(an, 1, 4) = substr(bn, 1, 4)
+                        THEN 1 ELSE 0 END AS f_prefix,
+                   CASE WHEN right(an, 4) = right(bn, 4)
+                        THEN 1 ELSE 0 END AS f_suffix,
+                   CASE WHEN length(an) = length(bn)
+                        THEN 1 ELSE 0 END AS f_len
+            FROM pr
+        ),
+        tot AS (
+            SELECT CAST(SUM(lbl) AS BIGINT) AS nm,
+                   CAST(SUM(1 - lbl) AS BIGINT) AS nu
+            FROM fe
+        ),
+        feat AS (
+            SELECT 'prefix4' AS feature,
+                   CAST(SUM(lbl * f_prefix) AS BIGINT) AS cm,
+                   CAST(SUM((1 - lbl) * f_prefix) AS BIGINT) AS cu
+            FROM fe
+            UNION ALL
+            SELECT 'suffix4',
+                   CAST(SUM(lbl * f_suffix) AS BIGINT),
+                   CAST(SUM((1 - lbl) * f_suffix) AS BIGINT)
+            FROM fe
+            UNION ALL
+            SELECT 'len_eq',
+                   CAST(SUM(lbl * f_len) AS BIGINT),
+                   CAST(SUM((1 - lbl) * f_len) AS BIGINT)
+            FROM fe
+        ),
+        wt AS (
+            SELECT feature,
+                   (2.0 * cm + 1) / (2 * nm + 2) AS m_prob,
+                   (2.0 * cu + 1) / (2 * nu + 2) AS u_prob
+            FROM feat, tot
+        ),
+        wq AS (
+            SELECT feature,
+                   ROUND(m_prob, 6) AS m_prob,
+                   ROUND(u_prob, 6) AS u_prob,
+                   CAST(ROUND(1000000 * log2(m_prob / u_prob)) AS BIGINT)
+                       AS wq_agree,
+                   CAST(ROUND(1000000 * log2((1 - m_prob) / (1 - u_prob)))
+                        AS BIGINT) AS wq_disagree
+            FROM wt
+        ),
+        scored AS (
+            SELECT fe.lbl,
+                   (CASE WHEN f_prefix = 1 THEN p.wq_agree
+                         ELSE p.wq_disagree END
+                    + CASE WHEN f_suffix = 1 THEN s.wq_agree
+                           ELSE s.wq_disagree END
+                    + CASE WHEN f_len = 1 THEN l.wq_agree
+                           ELSE l.wq_disagree END) AS score_q
+            FROM fe,
+                 (SELECT * FROM wq WHERE feature = 'prefix4') p,
+                 (SELECT * FROM wq WHERE feature = 'suffix4') s,
+                 (SELECT * FROM wq WHERE feature = 'len_eq') l
+        ),
+        conf AS (
+            SELECT CAST(SUM(CASE WHEN score_q > 0 AND lbl = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN score_q > 0 AND lbl = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN score_q <= 0 AND lbl = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN score_q <= 0 AND lbl = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM scored
+        )
+        SELECT wq.feature, wq.m_prob, wq.u_prob,
+               ROUND(wq.wq_agree / 1000000.0, 6) AS w_agree,
+               ROUND(wq.wq_disagree / 1000000.0, 6) AS w_disagree,
+               conf.tp, conf.fp, conf.fn, conf.tn
+        FROM wq, conf
+    """,
+)
+def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring over the
+    sorted-neighborhood candidate set — the SCORING half of the
+    merge/purge pipeline (``linkage_sorted_neighborhood`` is the
+    blocking half): per comparison feature (4-char prefix agree,
+    4-char suffix agree, exact length agree), estimate m = P(agree |
+    match) and u = P(agree | non-match) from the planted ground truth
+    with add-half smoothing, form the classic log2(m/u) agreement and
+    log2((1-m)/(1-u)) disagreement weights, score every candidate
+    pair by summed weights, and report the weight table beside the
+    threshold-0 confusion matrix. The output tells the whole FS
+    story: length NEVER agrees for true matches here (single-char
+    deletion ⇒ m_len ≈ 0 ⇒ strongly negative agreement weight — the
+    audit catches that 'length equal' is ANTI-evidence under this
+    corruption model), while prefix/suffix agreement carries the
+    signal.
+
+    Engine-identical: m/u are exact integer ratios ((2c+1)/(2n+2) —
+    add-half in integers), each weight is ONE log2 of that ratio
+    quantized to 1e6-scaled BIGINT (the domain_mixture ppm
+    discipline), pair scores are exact INTEGER sums of the three
+    quantized weights, and the threshold-0 classification compares
+    integers — no float summation anywhere on the pair plane.
+
+    Scale: candidate generation is the bucketized rank band join
+    (O(n·w) pairs); the weight table is 3 rows of driver-free
+    broadcast state; scoring is one scan of the pair relation."""
+    from spark_query_engine.operators import linkage as L
+
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pos = names.withColumn(
+        "p",
+        F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("long")
+        % (F.length("name") - F.lit(2))
+        + F.lit(2),
+    )
+    corrupted = pos.select(
+        F.concat(
+            F.expr("substring(name, 1, CAST(p - 1 AS INT))"),
+            F.expr("substring(name, CAST(p + 1 AS INT), 1000000)"),
+        ).alias("name"),
+        F.col("name").alias("orig"),
+        F.lit("b").alias("src"),
+    )
+    u = names.select(
+        "name", F.col("name").alias("orig"), F.lit("a").alias("src")
+    ).unionByName(corrupted)
+    ranked = L.global_rank(u, ["name", "src", "orig"], rank_col="rk")
+    pairs = L.sorted_neighborhood_pairs(ranked, _FS_W, rank_col="rk")
+    fe = pairs.select(
+        F.when(
+            (F.col("a_src") != F.col("b_src"))
+            & (F.col("a_orig") == F.col("b_orig")),
+            1,
+        )
+        .otherwise(0)
+        .alias("lbl"),
+        F.when(
+            F.substring("a_name", 1, 4) == F.substring("b_name", 1, 4), 1
+        )
+        .otherwise(0)
+        .alias("f_prefix"),
+        F.when(F.expr("right(a_name, 4)") == F.expr("right(b_name, 4)"), 1)
+        .otherwise(0)
+        .alias("f_suffix"),
+        F.when(F.length("a_name") == F.length("b_name"), 1)
+        .otherwise(0)
+        .alias("f_len"),
+    ).localCheckpoint()
+    feats = {"prefix4": "f_prefix", "suffix4": "f_suffix", "len_eq": "f_len"}
+    agg = fe.agg(
+        F.sum("lbl").cast("bigint").alias("nm"),
+        F.sum(1 - F.col("lbl")).cast("bigint").alias("nu"),
+        *[
+            F.sum(F.col("lbl") * F.col(c)).cast("bigint").alias(f"cm_{k}")
+            for k, c in feats.items()
+        ],
+        *[
+            F.sum((1 - F.col("lbl")) * F.col(c))
+            .cast("bigint")
+            .alias(f"cu_{k}")
+            for k, c in feats.items()
+        ],
+    )
+    wq = agg.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(
+                f"'{k}', cm_{k}, cu_{k}" for k in feats
+            )
+            + ") AS (feature, cm, cu)"
+        ),
+        "nm",
+        "nu",
+    ).select(
+        "feature",
+        ((2.0 * F.col("cm") + 1) / (2 * F.col("nm") + 2)).alias("m_prob"),
+        ((2.0 * F.col("cu") + 1) / (2 * F.col("nu") + 2)).alias("u_prob"),
+    ).select(
+        "feature",
+        "m_prob",
+        "u_prob",
+        F.round(1000000 * F.log2(F.col("m_prob") / F.col("u_prob")))
+        .cast("bigint")
+        .alias("wq_agree"),
+        F.round(
+            1000000
+            * F.log2((1 - F.col("m_prob")) / (1 - F.col("u_prob")))
+        )
+        .cast("bigint")
+        .alias("wq_disagree"),
+    ).localCheckpoint()
+    wrow = {
+        r["feature"]: (r["wq_agree"], r["wq_disagree"])
+        for r in wq.collect()  # 3-row weight model — bounded driver state
+    }
+    score = sum(
+        F.when(F.col(c) == 1, F.lit(wrow[k][0])).otherwise(
+            F.lit(wrow[k][1])
+        )
+        for k, c in feats.items()
+    )
+    conf = fe.select("lbl", score.alias("score_q")).agg(
+        F.sum(F.when((F.col("score_q") > 0) & (F.col("lbl") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("score_q") > 0) & (F.col("lbl") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("score_q") <= 0) & (F.col("lbl") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("score_q") <= 0) & (F.col("lbl") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return wq.crossJoin(F.broadcast(conf)).select(
+        "feature",
+        F.round("m_prob", 6).alias("m_prob"),
+        F.round("u_prob", 6).alias("u_prob"),
+        F.round(F.col("wq_agree") / 1e6, 6).alias("w_agree"),
+        F.round(F.col("wq_disagree") / 1e6, 6).alias("w_disagree"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+    )

@@ -313,6 +313,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row global doc count broadcast into the per-doc
         # position map — scalar model state
         "corpus_quantile_normalize",
+        # 3-row weight table × 1-row confusion aggregate — both sides
+        # bounded model state
+        "linkage_fellegi_sunter",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
