@@ -13,6 +13,7 @@ from spark_query_engine.streaming.events import (
     minhash_dedup_stream,
     pack_sequences_stream,
     cms_stream,
+    hll_stream,
     cusum_stream,
     manifest_stream,
     ohlc_stream,
@@ -41,6 +42,7 @@ __all__ = [
     "minhash_dedup_stream",
     "pack_sequences_stream",
     "cms_stream",
+    "hll_stream",
     "cusum_stream",
     "manifest_stream",
     "write_foreach_batch_parquet",

@@ -817,3 +817,71 @@ def cms_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    registers: int = 64,
+) -> DataFrame:
+    """Streaming HyperLogLog — the incremental twin of the batch HLL
+    builds (``corpus_sketch_merge``, ``data_sketch_time_rollup``):
+    every token hashes to a 60-bit md5 value, the low ``log2(m)`` bits
+    pick a register, and the register folds MAX(rho) where rho is
+    1 + the trailing-zero run of the remaining bits. MAX is
+    commutative/associative/idempotent, so the final register state
+    equals the batch-computed registers REGARDLESS of arrival order,
+    batch boundaries, or duplicate delivery — strictly stronger than
+    the CMS counter contract (which needs exactly-once adds); HLL
+    state survives at-least-once delivery unchanged, the property
+    that matters for a restarted stream without a dedup front.
+
+    State: ``registers`` ints TOTAL (one MAX each) no matter how many
+    tokens stream through. Emits running (reg, rho_max) cells per
+    micro-batch (update mode); the distinct estimate is the standard
+    alpha_m * m^2 / sum(2^-rho) fold over the 64-row output."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    h = F.conv(
+        F.substring(F.md5(F.col("word")), 1, 15), 16, 10
+    ).cast("long")
+    rest = F.expr(f"h div {registers}")
+    # rho = 1 + trailing zeros of `rest`; (x & -x) isolates the lowest
+    # set bit — an exact power of two, so log2 of it is float-exact.
+    rho = (
+        F.when(rest == 0, F.lit(60))
+        .otherwise(
+            F.lit(1)
+            + F.expr(
+                f"CAST(log2(CAST((h div {registers}) & -(h div {registers})"
+                " AS DOUBLE)) AS INT)"
+            )
+        )
+        .cast("int")
+    )
+    t = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .select(h.alias("h"))
+        .select(
+            (F.col("h") % registers).cast("int").alias("reg"),
+            rho.alias("rho"),
+        )
+    )
+
+    def fold(key, pdfs, state):
+        m = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                m = max(m, int(pdf["rho"].max()))
+        state.update((m,))
+        yield pd.DataFrame({"reg": [key[0]], "rho_max": [m]})
+
+    return t.groupBy("reg").applyInPandasWithState(
+        fold,
+        outputStructType="reg int, rho_max int",
+        stateStructType="m int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -963,3 +963,67 @@ def test_cms_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 4  # the sketch has real occupancy
+
+
+def test_hll_stream_matches_batch_registers(spark, sf_dir, tmp_path):
+    """Streaming HLL ≡ batch registers: drive the documents in three
+    round-robin micro-batches AND redeliver the first batch (at-least-
+    once delivery) — register folds are MAX, idempotent under
+    duplicates, so the final (reg, rho_max) state must equal the
+    batch computation over the deduplicated corpus."""
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tmp_path / "hllstream"
+    d.mkdir()
+    pdf = docs.toPandas()
+    for i in range(3):
+        pdf[pdf["doc_id"] % 3 == i].to_parquet(d / f"part{i}.parquet")
+    # at-least-once: batch 0 delivered twice under a new file name
+    pdf[pdf["doc_id"] % 3 == 0].to_parquet(d / "part0_redelivery.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = ST.hll_stream(stream, "text", registers=64)
+    ST.run_to_memory_sink(out, "hll_out", mode="update")
+    got = {
+        r["reg"]: r["rho_max"]
+        for r in spark.sql("SELECT * FROM hll_out").collect()
+    }
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .select(h.alias("h"))
+    )
+    rho = (
+        F.when(F.expr("h div 64") == 0, F.lit(60))
+        .otherwise(
+            F.lit(1)
+            + F.expr(
+                "CAST(log2(CAST((h div 64) & -(h div 64) AS DOUBLE)) AS INT)"
+            )
+        )
+        .cast("int")
+    )
+    want = {
+        r["reg"]: r["rho_max"]
+        for r in words.select(
+            (F.col("h") % 64).cast("int").alias("reg"), rho.alias("rho")
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho_max"))
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 16  # real register occupancy
