@@ -208,6 +208,7 @@ HEADLINE = [
     "text_source_jsd",
     "corpus_quantile_normalize",
     "linkage_fellegi_sunter",
+    "stats_poisson_bootstrap",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

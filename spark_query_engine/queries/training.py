@@ -5704,3 +5704,163 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fn",
         "tn",
     )
+
+
+#: Poisson bootstrap geometry: replicate count and the Poisson(1)
+#: inverse-CDF thresholds on the 60-bit md5 space, precomputed in
+#: Python once so both engines branch on identical integers (weights
+#: capped at 6; P(X > 6) < 1e-4 truncation documented).
+_BOOT_B = 32
+_BOOT_T = []
+
+
+def _boot_thresholds() -> list[int]:
+    if not _BOOT_T:
+        cdf, p = 0.0, math.exp(-1)
+        for k in range(6):
+            cdf += p
+            _BOOT_T.append(math.floor(cdf * (1 << 60)))
+            p /= k + 1
+    return _BOOT_T
+
+
+def _boot_weight_sql(hcol: str) -> str:
+    ts = _boot_thresholds()
+    cases = " ".join(
+        f"WHEN {hcol} < {t} THEN {k}" for k, t in enumerate(ts)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "stats_poisson_bootstrap",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        fan AS (
+            SELECT b.cents,
+                   r.r,
+                   ('0x' || substr(md5(b.o_orderkey::VARCHAR || ':'
+                                       || r.r::VARCHAR), 1, 15))::BIGINT AS h
+            FROM base b CROSS JOIN range({_BOOT_B}) r(r)
+        ),
+        wtd AS (
+            SELECT r, cents, {_boot_weight_sql('h')} AS w FROM fan
+        ),
+        reps AS (
+            SELECT r,
+                   CAST(SUM(w * cents) AS BIGINT) AS s,
+                   CAST(SUM(w) AS BIGINT) AS n
+            FROM wtd GROUP BY r
+        ),
+        rk AS (
+            SELECT r, s, n,
+                   row_number() OVER (ORDER BY 1.0 * s / n, r) AS q
+            FROM reps
+        ),
+        pt AS (
+            SELECT ROUND(SUM(cents) / 100.0 / COUNT(*), 4) AS mean_price
+            FROM base
+        )
+        SELECT pt.mean_price,
+               (SELECT ROUND(1.0 * s / n / 100.0, 4) FROM rk WHERE q = 2)
+                   AS ci_lo,
+               (SELECT ROUND(1.0 * s / n / 100.0, 4) FROM rk
+                WHERE q = {_BOOT_B - 1}) AS ci_hi,
+               CAST({_BOOT_B} AS BIGINT) AS n_replicates
+        FROM pt
+    """,
+)
+def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value
+    — THE scale-correct resampling scheme (Chamandy et al., 'Estimating
+    uncertainty for massive data streams', Google 2012): classic
+    multinomial bootstrap needs the global row count per resample and
+    shuffles the whole dataset B times; the Poisson approximation
+    gives every (row, replicate) an independent Poisson(1) weight, so
+    all B replicates compute in ONE scan with a constant ×B fan-out
+    and one (replicate)-keyed aggregate. CI bounds are the 2nd/31st
+    order statistics of the 32 replicate means (~94% nominal
+    coverage).
+
+    Engine-identical randomness: Poisson(1) draws come from comparing
+    each (row, replicate) 60-bit md5 value against PYTHON-precomputed
+    inverse-CDF integer thresholds (embedded as literals both sides;
+    weights capped at 6, P(X>6) < 1e-4); replicate sums are exact
+    integer cents; replicate means are integer ratios; the order
+    statistic ranks over the B-row relation with a (value, r)
+    tiebreak. Scale: one scan, fan-out ×{b} (constant), one B-group
+    aggregate, and a {b}-row sort — the B-row relation is the only
+    'global' object and it is O(B), not O(n)."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    reps = F.broadcast(
+        spark.range(_BOOT_B).select(F.col("id").cast("int").alias("r"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ts = _boot_thresholds()
+    w = F.when(h < ts[0], 0)
+    for k, t in list(enumerate(ts))[1:]:
+        w = w.when(h < t, k)
+    w = w.otherwise(6)
+    wtd = base.crossJoin(reps).select("r", "cents", w.alias("w"))
+    repagg = wtd.groupBy("r").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s"),
+        F.sum("w").cast("bigint").alias("n"),
+    )
+    rk = repagg.select(
+        "r",
+        "s",
+        "n",
+        F.row_number()
+        .over(
+            # B-row relation — the bounded-window class, never the data
+            Window.orderBy(F.lit(1.0) * F.col("s") / F.col("n"), F.col("r"))
+        )
+        .alias("q"),
+    )
+    pt = base.agg(
+        F.round(F.sum("cents") / 100.0 / F.count(F.lit(1)), 4).alias(
+            "mean_price"
+        )
+    )
+    lo = rk.where(F.col("q") == 2).select(
+        F.round(F.lit(1.0) * F.col("s") / F.col("n") / 100.0, 4).alias(
+            "ci_lo"
+        )
+    )
+    hi = rk.where(F.col("q") == _BOOT_B - 1).select(
+        F.round(F.lit(1.0) * F.col("s") / F.col("n") / 100.0, 4).alias(
+            "ci_hi"
+        )
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "mean_price",
+            "ci_lo",
+            "ci_hi",
+            F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        )
+    )

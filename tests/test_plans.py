@@ -316,6 +316,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 3-row weight table × 1-row confusion aggregate — both sides
         # bounded model state
         "linkage_fellegi_sunter",
+        # B-row replicate fan-out and the 1-row point/lo/hi assembly:
+        # every BNLJ side is O(B)=32 rows, constant at any data size
+        "stats_poisson_bootstrap",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
@@ -472,6 +475,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # candidate relation (1 + rounds·l rows of driver model
         # state), never the corpus
         "corpus_kmeanspp_init",
+        # the CI order statistic ranks the B=32-row replicate-mean
+        # relation — O(B) regardless of data size, never the rows
+        "stats_poisson_bootstrap",
     }
 
     def global_windows(plan: str) -> list[str]:
