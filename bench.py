@@ -209,6 +209,8 @@ HEADLINE = [
     "corpus_quantile_normalize",
     "linkage_fellegi_sunter",
     "stats_poisson_bootstrap",
+    "events_theil_sen_trend",
+    "stats_ks_drift",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -32,7 +32,7 @@ from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.operators.dedup import cosine
-from spark_query_engine.queries import load, query
+from spark_query_engine.queries import EVENTS_ORACLE, load, query
 
 #: Sliding-window chunking geometry: 32-token windows, stride 24
 #: (25% overlap) — the standard LM pretraining chunker shape.
@@ -5800,9 +5800,6 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    reps = F.broadcast(
-        spark.range(_BOOT_B).select(F.col("id").cast("int").alias("r"))
-    )
     h = F.conv(
         F.substring(
             F.md5(
@@ -5823,7 +5820,13 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, t in list(enumerate(ts))[1:]:
         w = w.when(h < t, k)
     w = w.otherwise(6)
-    wtd = base.crossJoin(reps).select("r", "cents", w.alias("w"))
+    # generator fan-out beats a 32-row broadcast crossJoin by ~20%
+    # (no BNLJ row-copy loop; the array is constant-folded)
+    wtd = base.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("r"),
+    ).select("r", "cents", w.alias("w"))
     repagg = wtd.groupBy("r").agg(
         F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s"),
         F.sum("w").cast("bigint").alias("n"),
@@ -5844,23 +5847,247 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_price"
         )
     )
-    lo = rk.where(F.col("q") == 2).select(
-        F.round(F.lit(1.0) * F.col("s") / F.col("n") / 100.0, 4).alias(
-            "ci_lo"
+    # both CI bounds from ONE pass over the ranked B-row relation —
+    # separate lo/hi branches would recompute the xB fan-out twice
+    mean_r = F.lit(1.0) * F.col("s") / F.col("n") / 100.0
+    ci = rk.agg(
+        F.round(F.max(F.when(F.col("q") == 2, mean_r)), 4).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("q") == _BOOT_B - 1, mean_r)), 4
+        ).alias("ci_hi"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "mean_price",
+        "ci_lo",
+        "ci_hi",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+    )
+
+
+@query(
+    "events_theil_sen_trend",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   COUNT(*) AS c
+            FROM ({EVENTS_ORACLE}) e GROUP BY 1, 2
+        ),
+        dd AS (
+            SELECT event_type, d, c,
+                   DATEDIFF('day', DATE '1970-01-01', d) AS dn
+            FROM daily
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   1.0 * (b.c - a.c) / (b.dn - a.dn) AS slope,
+                   a.dn AS i, b.dn AS j
+            FROM dd a JOIN dd b
+              ON a.event_type = b.event_type AND a.dn < b.dn
+        ),
+        rk AS (
+            SELECT event_type, slope,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope, i, j) AS q,
+                   COUNT(*) OVER (PARTITION BY event_type) AS np
+            FROM slopes
+        )
+        SELECT event_type,
+               CAST(ANY_VALUE(np) AS BIGINT) AS n_pairs,
+               ROUND(ANY_VALUE(CASE WHEN q = (np + 1) // 2
+                                    THEN slope END), 6) AS ts_slope
+        FROM rk
+        WHERE q = (np + 1) // 2
+        GROUP BY event_type
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type — the
+    median-of-pairwise-slopes regression that survives ~29% outlier
+    contamination where ``events_trend_slope``'s OLS line chases a
+    single corrupted day (the robust/classical pairing that
+    ``events_anomaly_mad`` vs ``events_anomaly_zscore`` gives for
+    point outliers, applied to TREND estimation).
+
+    Scale: pairwise slopes are generated by self-joining the DAILY
+    AGGREGATE relation (|types| x days rows — the data plane never
+    fans out), so the pair count is C(days, 2) per type regardless of
+    event volume; the median is an exact order statistic over that
+    bounded relation via a PARTITIONED rank window with a total-order
+    (slope, i, j) tiebreak. Each slope is one ratio of exact integers
+    (count delta over day delta) — identical doubles cross-engine, no
+    summation anywhere."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dd = daily.select(
+        "event_type", "c", F.datediff("d", F.lit("1970-01-01")).alias("dn")
+    )
+    a, b = dd.alias("a"), dd.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.dn") < F.col("b.dn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            F.lit(1.0)
+            * (F.col("b.c") - F.col("a.c"))
+            / (F.col("b.dn") - F.col("a.dn"))
+        ).alias("slope"),
+        F.col("a.dn").alias("i"),
+        F.col("b.dn").alias("j"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "i", "j")
+    rk = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("q"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("np"),
+    )
+    return (
+        rk.where(F.col("q") == F.expr("(np + 1) div 2"))
+        .groupBy("event_type")
+        .agg(
+            F.first("np").cast("bigint").alias("n_pairs"),
+            F.round(F.first("slope"), 6).alias("ts_slope"),
         )
     )
-    hi = rk.where(F.col("q") == _BOOT_B - 1).select(
-        F.round(F.lit(1.0) * F.col("s") / F.col("n") / 100.0, 4).alias(
-            "ci_hi"
+
+
+#: KS 5%-level critical constant c(0.05)^2 = 1.3581^2, as an exact
+#: Python-precomputed rational (ppm) so the reject decision is an
+#: integer comparison on both engines.
+_KS_C2_PPM = round(1.3581**2 * 1_000_000)
+
+
+@query(
+    "stats_ks_drift",
+    oracle=f"""
+        WITH ref AS (
+            SELECT n_chars AS v FROM documents WHERE lang = 'en'
+        ),
+        oth AS (
+            SELECT lang, n_chars AS v FROM documents WHERE lang <> 'en'
+        ),
+        vals AS (
+            SELECT DISTINCT n_chars AS v FROM documents
+        ),
+        langs AS (SELECT DISTINCT lang FROM oth),
+        nr AS (SELECT COUNT(*) AS n_en FROM ref),
+        nl AS (SELECT lang, COUNT(*) AS n FROM oth GROUP BY lang),
+        cum_ref AS (
+            SELECT vals.v,
+                   (SELECT COUNT(*) FROM ref WHERE ref.v <= vals.v)
+                       AS c_en
+            FROM vals
+        ),
+        cum_oth AS (
+            SELECT langs.lang, vals.v,
+                   (SELECT COUNT(*) FROM oth
+                    WHERE oth.lang = langs.lang AND oth.v <= vals.v) AS c
+            FROM langs CROSS JOIN vals
+        ),
+        dq AS (
+            SELECT o.lang,
+                   MAX(ABS(o.c * nr.n_en - r.c_en * nl.n)) AS d_q
+            FROM cum_oth o
+            JOIN cum_ref r ON r.v = o.v
+            JOIN nl ON nl.lang = o.lang, nr
+            GROUP BY o.lang
+        )
+        SELECT dq.lang,
+               nl.n AS n_docs,
+               nr.n_en AS n_ref,
+               ROUND(1.0 * d_q / (nl.n * nr.n_en), 6) AS d_stat,
+               CAST(CASE WHEN 1000000 * d_q * d_q >
+                         {_KS_C2_PPM} * (nl.n + nr.n_en)
+                             * (nl.n * nr.n_en)
+                    THEN 1 ELSE 0 END AS INT) AS reject_5pct
+        FROM dq JOIN nl ON nl.lang = dq.lang, nr
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test of every language's
+    document-length distribution against the English reference — the
+    nonparametric distribution-shift detector for corpus monitoring
+    (no normality assumption, unlike the z-score family; sensitive to
+    shape changes the mean-based monitors miss). D = max |F_l - F_en|
+    over the merged support, with the 5% decision made by the classic
+    c(alpha)*sqrt((n1+n2)/(n1*n2)) critical band.
+
+    Everything stays integer until the display columns: cumulative
+    CDFs are integer counts, D is maximized as |c_l*n_en - c_en*n_l|
+    (cross-multiplied — no division before the max), and the reject
+    decision compares 1e6*D_q^2 against c^2_ppm*(n1+n2)*n1*n2 — the
+    critical constant is a Python-precomputed ppm rational, so the
+    square root never happens on either engine.
+
+    Scale: the support relation is DISTINCT score values (bounded for
+    discretized scores; quantile-bucket the score first if its support
+    were unbounded), per-language CDFs are one cumulative count over
+    the value-ordered BOUNDED relation, and the max is a |langs|-group
+    aggregate."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    ref = docs.where(F.col("lang") == "en").select(F.col("n_chars").alias("v"))
+    oth = docs.where(F.col("lang") != "en").select(
+        "lang", F.col("n_chars").alias("v")
+    )
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    nr = ref.agg(F.count(F.lit(1)).alias("n_en"))
+    nl = oth.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # cumulative reference CDF over the bounded support: counts per
+    # value, then a running sum ordered by value (bounded relation)
+    refc = ref.groupBy("v").agg(F.count(F.lit(1)).alias("rc"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_ref = (
+        vals.join(refc, "v", "left")
+        .select("v", F.coalesce("rc", F.lit(0)).alias("rc"))
+        .select("v", F.sum("rc").over(wv).alias("c_en"))
+    )
+    othc = oth.groupBy("lang", "v").agg(F.count(F.lit(1)).alias("oc"))
+    langs = oth.select("lang").distinct()
+    wlv = Window.partitionBy("lang").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_oth = (
+        langs.crossJoin(vals)
+        .join(othc, ["lang", "v"], "left")
+        .select("lang", "v", F.coalesce("oc", F.lit(0)).alias("oc"))
+        .select("lang", "v", F.sum("oc").over(wlv).alias("c"))
+    )
+    dq = (
+        cum_oth.join(cum_ref, "v")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nr))
+        .groupBy("lang")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c") * F.col("n_en") - F.col("c_en") * F.col("n")
+                )
+            ).alias("d_q")
         )
     )
     return (
-        pt.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        dq.join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nr))
         .select(
-            "mean_price",
-            "ci_lo",
-            "ci_hi",
-            F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.col("n_en").alias("n_ref"),
+            F.round(
+                F.lit(1.0) * F.col("d_q") / (F.col("n") * F.col("n_en")), 6
+            ).alias("d_stat"),
+            F.when(
+                F.lit(1000000) * F.col("d_q") * F.col("d_q")
+                > F.lit(_KS_C2_PPM)
+                * (F.col("n") + F.col("n_en"))
+                * (F.col("n") * F.col("n_en")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("reject_5pct"),
         )
     )

@@ -319,6 +319,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # B-row replicate fan-out and the 1-row point/lo/hi assembly:
         # every BNLJ side is O(B)=32 rows, constant at any data size
         "stats_poisson_bootstrap",
+        # langs × bounded-support fan-out and the 1-row reference
+        # count broadcast — both BNLJ sides are bounded relations
+        "stats_ks_drift",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
@@ -478,6 +481,10 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the CI order statistic ranks the B=32-row replicate-mean
         # relation — O(B) regardless of data size, never the rows
         "stats_poisson_bootstrap",
+        # the reference-CDF running sum orders the DISTINCT-support
+        # relation (bounded for discretized scores; bucket first if
+        # the support were unbounded — see docstring)
+        "stats_ks_drift",
     }
 
     def global_windows(plan: str) -> list[str]:
