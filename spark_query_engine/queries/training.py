@@ -4842,7 +4842,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
-        .distinct()
+        # sparsify BEFORE the distinct: the filter is a deterministic
+        # function of (u, v), so order is immaterial — but filtering
+        # first sends 1/mod of the pair volume into the dedup shuffle
         .where(
             F.conv(
                 F.substring(
@@ -4862,6 +4864,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _AA_MOD
             == 0
         )
+        .distinct()
     )
     deg = (
         ed.select(F.col("u").alias("n"))
