@@ -211,6 +211,8 @@ HEADLINE = [
     "stats_poisson_bootstrap",
     "events_theil_sen_trend",
     "stats_ks_drift",
+    "events_changepoint_detect",
+    "graph_linkpred_eval",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -322,6 +322,8 @@ def test_headline_plans_have_no_scale_killers(spark):
         # langs × bounded-support fan-out and the 1-row reference
         # count broadcast — both BNLJ sides are bounded relations
         "stats_ks_drift",
+        # 1-row hits × 1-row test-count × 1-row train-count assembly
+        "graph_linkpred_eval",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
