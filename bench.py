@@ -213,6 +213,7 @@ HEADLINE = [
     "stats_ks_drift",
     "events_changepoint_detect",
     "graph_linkpred_eval",
+    "stats_psi_drift",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

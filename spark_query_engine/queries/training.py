@@ -6430,3 +6430,177 @@ def graph_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_linkpred_eval.__doc__ = graph_linkpred_eval.__doc__.format(
     m=_AA_EVAL_MOD, k=_AA_TOPK
 )
+
+
+#: PSI geometry: decile buckets from the reference window, add-half
+#: smoothing, 15-day reference/current split of the 30-day series.
+_PSI_BUCKETS = 10
+_PSI_SPLIT_DAY = 15
+
+
+@query(
+    "stats_psi_drift",
+    oracle=f"""
+        WITH ev AS (
+            SELECT value, event_id,
+                   DATEDIFF('day',
+                            (SELECT MIN(CAST(date_trunc('day', ts) AS DATE))
+                             FROM ({EVENTS_ORACLE}) m),
+                            CAST(date_trunc('day', ts) AS DATE))
+                       < {_PSI_SPLIT_DAY} AS is_ref
+            FROM ({EVENTS_ORACLE}) e WHERE value IS NOT NULL
+        ),
+        ref AS (SELECT value, event_id FROM ev WHERE is_ref),
+        cur AS (SELECT value FROM ev WHERE NOT is_ref),
+        rr AS (
+            SELECT value,
+                   row_number() OVER (ORDER BY value, event_id) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM ref
+        ),
+        bounds AS (
+            SELECT value AS b,
+                   row_number() OVER (ORDER BY rk) AS k
+            FROM rr
+            WHERE rk IN (SELECT (n * g.g) // {_PSI_BUCKETS}
+                         FROM (SELECT DISTINCT n FROM rr) x,
+                              range(1, {_PSI_BUCKETS}) g(g))
+        ),
+        rbuck AS (
+            SELECT (SELECT COUNT(*) FROM bounds WHERE bounds.b < ref.value)
+                       AS bucket
+            FROM ref
+        ),
+        cbuck AS (
+            SELECT (SELECT COUNT(*) FROM bounds WHERE bounds.b < cur.value)
+                       AS bucket
+            FROM cur
+        ),
+        rc AS (SELECT bucket, COUNT(*) AS c FROM rbuck GROUP BY bucket),
+        cc AS (SELECT bucket, COUNT(*) AS c FROM cbuck GROUP BY bucket),
+        nn AS (
+            SELECT (SELECT COUNT(*) FROM rbuck) AS nr,
+                   (SELECT COUNT(*) FROM cbuck) AS nc
+        ),
+        terms AS (
+            SELECT g.g AS bucket,
+                   (2.0 * COALESCE(rc.c, 0) + 1) / (2 * nn.nr + {_PSI_BUCKETS})
+                       AS p,
+                   (2.0 * COALESCE(cc.c, 0) + 1) / (2 * nn.nc + {_PSI_BUCKETS})
+                       AS q
+            FROM range(0, {_PSI_BUCKETS}) g(g)
+            LEFT JOIN rc ON rc.bucket = g.g
+            LEFT JOIN cc ON cc.bucket = g.g, nn
+        )
+        SELECT bucket,
+               ROUND(p, 6) AS ref_share,
+               ROUND(q, 6) AS cur_share,
+               ROUND((p - q) * ln(p / q), 6) AS psi_term,
+               (SELECT ROUND(SUM((p - q) * ln(p / q)), 6) FROM terms)
+                   AS psi_total
+        FROM terms
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    the event-value series — THE production ML-monitoring drift
+    number (credit-risk lineage: PSI < 0.1 stable, 0.1-0.25 watch,
+    > 0.25 re-train): decile buckets are frozen from the REFERENCE
+    window's exact order statistics, both windows histogram into
+    them, and PSI = sum (p-q)·ln(p/q) with add-half smoothing so an
+    empty current bucket stays finite. Complements the KS test (which
+    answers 'did it shift?' with a p-value) with the magnitude-graded
+    number dashboards actually threshold on.
+
+    Determinism: bucket boundaries are exact rank-selected VALUES
+    (rank by (value, event_id) — a total order; both engines select
+    ranks n·k/{b}), shares are add-half integer ratios, and each of
+    the {b} ln terms is computed from identical doubles (the
+    alphabet-bounded float class; sums are {b} terms, rounded at
+    6dp). Scale: the ranking is ``linkage.global_rank`` (two-pass,
+    no single-partition window); bucket assignment broadcasts the
+    9-value boundary relation; everything after the two histograms
+    is O(buckets)."""
+    from spark_query_engine.operators import linkage as L
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    min_day = ev.agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0")
+    )
+    ev = ev.crossJoin(F.broadcast(min_day)).select(
+        "value",
+        "event_id",
+        (
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("d0"))
+            < _PSI_SPLIT_DAY
+        ).alias("is_ref"),
+    )
+    ref = ev.where(F.col("is_ref")).select("value", "event_id")
+    cur = ev.where(~F.col("is_ref")).select("value")
+    rr = L.global_rank(ref, ["value", "event_id"], rank_col="rk")
+    n_ref = rr.agg(F.count(F.lit(1)).alias("n"))
+    bounds = (
+        rr.crossJoin(F.broadcast(n_ref))
+        .where(
+            F.expr(
+                "rk IN ("
+                + ", ".join(
+                    f"(n * {g}) div {_PSI_BUCKETS}"
+                    for g in range(1, _PSI_BUCKETS)
+                )
+                + ")"
+            )
+        )
+        .select(F.col("value").alias("b"))
+    )
+    blist = sorted(r["b"] for r in bounds.collect())  # 9 doubles — model state
+    bucket_of = lambda c: sum(
+        F.when(c > F.lit(b), 1).otherwise(0) for b in blist
+    )
+    rc = (
+        ref.select(bucket_of(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cc = (
+        cur.select(bucket_of(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nr = ref.agg(F.count(F.lit(1)).alias("nr"))
+    nc = cur.agg(F.count(F.lit(1)).alias("nc"))
+    grid = spark.range(_PSI_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    terms = (
+        grid.join(F.broadcast(rc.withColumnRenamed("c", "rc")), "bucket", "left")
+        .join(F.broadcast(cc.withColumnRenamed("c", "cc")), "bucket", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "bucket",
+            (
+                (2.0 * F.coalesce(F.col("rc"), F.lit(0)) + 1)
+                / (2 * F.col("nr") + _PSI_BUCKETS)
+            ).alias("p"),
+            (
+                (2.0 * F.coalesce(F.col("cc"), F.lit(0)) + 1)
+                / (2 * F.col("nc") + _PSI_BUCKETS)
+            ).alias("q"),
+        )
+    )
+    tot = terms.agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi_total")
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round("p", 6).alias("ref_share"),
+        F.round("q", 6).alias("cur_share"),
+        F.round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+        ).alias("psi_term"),
+        "psi_total",
+    )

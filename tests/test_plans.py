@@ -324,6 +324,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         "stats_ks_drift",
         # 1-row hits × 1-row test-count × 1-row train-count assembly
         "graph_linkpred_eval",
+        # 1-row min-day / counts / psi-total broadcasts into the
+        # bucket grid — every BNLJ side is O(1) or O(buckets)
+        "stats_psi_drift",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
