@@ -214,6 +214,9 @@ HEADLINE = [
     "events_changepoint_detect",
     "graph_linkpred_eval",
     "stats_psi_drift",
+    "stats_auc_mannwhitney",
+    "stats_chi2_drift",
+    "events_acf_lags",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -6604,3 +6604,406 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi_term"),
         "psi_total",
     )
+
+
+#: Rank-biserial effect-size bands (Cohen-style cuts on r = 2*AUC-1):
+#: |r| >= 0.5 large, >= 0.3 medium, >= 0.1 small — compared as exact
+#: integer cross-products, never as rounded floats.
+_MW_REF_LANG = "en"
+
+
+@query(
+    "stats_auc_mannwhitney",
+    oracle=f"""
+        WITH ref AS (
+            SELECT n_chars AS v FROM documents
+            WHERE lang = '{_MW_REF_LANG}'
+        ),
+        oth AS (
+            SELECT lang, n_chars AS v FROM documents
+            WHERE lang <> '{_MW_REF_LANG}'
+        ),
+        refc AS (SELECT v, COUNT(*) AS ce FROM ref GROUP BY v),
+        othc AS (
+            SELECT lang, v, COUNT(*) AS cl FROM oth GROUP BY lang, v
+        ),
+        nl AS (SELECT lang, COUNT(*) AS n1 FROM oth GROUP BY lang),
+        nr AS (SELECT COUNT(*) AS n0 FROM ref),
+        w AS (
+            SELECT o.lang,
+                   SUM(o.cl * COALESCE(
+                       (SELECT SUM(r2.ce) FROM refc r2 WHERE r2.v < o.v),
+                       0)) AS wins,
+                   SUM(o.cl * COALESCE(r.ce, 0)) AS ties
+            FROM othc o LEFT JOIN refc r ON r.v = o.v
+            GROUP BY o.lang
+        )
+        SELECT w.lang,
+               nl.n1 AS n_lang,
+               nr.n0 AS n_ref,
+               CAST(2 * w.wins + w.ties AS BIGINT) AS u2,
+               FLOOR(1000000.0 * (2 * w.wins + w.ties)
+                     / (2 * nl.n1 * nr.n0) + 0.5) / 1000000.0 AS auc,
+               CASE
+                   WHEN 2 * ABS(2 * w.wins + w.ties - nl.n1 * nr.n0)
+                        >= nl.n1 * nr.n0 THEN 'large'
+                   WHEN 10 * ABS(2 * w.wins + w.ties - nl.n1 * nr.n0)
+                        >= 3 * nl.n1 * nr.n0 THEN 'medium'
+                   WHEN 10 * ABS(2 * w.wins + w.ties - nl.n1 * nr.n0)
+                        >= nl.n1 * nr.n0 THEN 'small'
+                   ELSE 'negligible'
+               END AS effect
+        FROM w JOIN nl ON nl.lang = w.lang, nr
+    """,
+)
+def stats_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of document length as a discriminator of each language
+    vs the English reference, via the Mann-Whitney rank-sum identity
+    AUC = U/(n1*n0) — the standard tie-aware formulation (wins count
+    1, ties count 1/2), kept EXACT by carrying u2 = 2U = 2*wins +
+    ties as an integer. The effect column grades the rank-biserial
+    correlation r = 2*AUC - 1 into Cohen-style bands with pure
+    integer cross-multiplications (|u2 - n1*n0| vs scaled n1*n0), so
+    no float ever decides a band. AUC itself is emitted floor-half-up
+    at 6dp from one double division of exact integers — identical on
+    both engines (the per-row-float gotcha in FIXTURES.md).
+
+    This is the same statistic the Mann-Whitney U test inverts — the
+    repo's drift suite thus covers shape (KS), magnitude (PSI), and
+    now discrimination/effect-size (AUC), the three numbers a corpus
+    dashboard actually shows.
+
+    Scale: wins/ties come from per-value count relations joined on
+    the BOUNDED distinct-value support (the KS-test pattern,
+    stats_ks_drift) — never a row-level pairwise join; the cumulative
+    below-v reference mass is one running sum over that bounded
+    support; everything after is a |langs|-row aggregate."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    ref = docs.where(F.col("lang") == _MW_REF_LANG).select(
+        F.col("n_chars").alias("v")
+    )
+    oth = docs.where(F.col("lang") != _MW_REF_LANG).select(
+        "lang", F.col("n_chars").alias("v")
+    )
+    refc = ref.groupBy("v").agg(F.count(F.lit(1)).alias("ce"))
+    othc = oth.groupBy("lang", "v").agg(F.count(F.lit(1)).alias("cl"))
+    nl = oth.groupBy("lang").agg(F.count(F.lit(1)).alias("n1"))
+    nr = ref.agg(F.count(F.lit(1)).alias("n0"))
+    # cumulative reference mass strictly below v, over the bounded
+    # distinct-value support (union of both sides' values)
+    vals = (
+        othc.select("v").union(refc.select("v")).distinct()
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        vals.join(refc, "v", "left")
+        .select("v", F.coalesce("ce", F.lit(0)).alias("ce"))
+        .select(
+            "v",
+            "ce",
+            (F.sum("ce").over(wv) - F.col("ce")).alias("ce_below"),
+        )
+    )
+    w = (
+        othc.join(cum, "v")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("cl") * F.col("ce_below")).alias("wins"),
+            F.sum(F.col("cl") * F.col("ce")).alias("ties"),
+        )
+    )
+    u2 = (2 * F.col("wins") + F.col("ties")).alias("u2")
+    d = F.abs(2 * F.col("wins") + F.col("ties") - F.col("n1") * F.col("n0"))
+    n1n0 = F.col("n1") * F.col("n0")
+    return (
+        w.join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "lang",
+            F.col("n1").alias("n_lang"),
+            F.col("n0").alias("n_ref"),
+            u2,
+            (
+                F.floor(
+                    F.lit(1000000.0)
+                    * (2 * F.col("wins") + F.col("ties"))
+                    / (2 * F.col("n1") * F.col("n0"))
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("auc"),
+            F.when(2 * d >= n1n0, "large")
+            .when(10 * d >= 3 * n1n0, "medium")
+            .when(10 * d >= n1n0, "small")
+            .otherwise("negligible")
+            .alias("effect"),
+        )
+    )
+
+
+#: 5%-level chi-square critical values for dof 1..10, premultiplied to
+#: ppm so the decision is a comparison of two exact 6dp quantities.
+_CHI2_CRIT_PPM = {
+    1: 3841459, 2: 5991465, 3: 7814728, 4: 9487729, 5: 11070498,
+    6: 12591587, 7: 14067140, 8: 15507313, 9: 16918978, 10: 18307038,
+}
+_CHI2_CRIT_SQL = "CASE dof " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in _CHI2_CRIT_PPM.items()
+) + " ELSE NULL END"
+
+
+@query(
+    "stats_chi2_drift",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type,
+                   DATEDIFF('day',
+                            (SELECT MIN(CAST(date_trunc('day', ts) AS DATE))
+                             FROM ({EVENTS_ORACLE}) m),
+                            CAST(date_trunc('day', ts) AS DATE))
+                       < {_PSI_SPLIT_DAY} AS is_ref
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        o AS (
+            SELECT event_type,
+                   COUNT(*) FILTER (WHERE is_ref) AS oref,
+                   COUNT(*) FILTER (WHERE NOT is_ref) AS ocur
+            FROM ev GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(oref) AS BIGINT) AS nr,
+                   CAST(SUM(ocur) AS BIGINT) AS nc,
+                   CAST(COUNT(*) - 1 AS INT) AS dof
+            FROM o
+        ),
+        terms AS (
+            SELECT o.event_type, o.oref, o.ocur, tot.dof,
+                   POWER(CAST(o.oref * (tot.nr + tot.nc)
+                              - (o.oref + o.ocur) * tot.nr AS DOUBLE), 2)
+                       / (CAST((o.oref + o.ocur) AS DOUBLE)
+                          * tot.nr * tot.nc) AS term
+            FROM o, tot
+        )
+        SELECT event_type,
+               oref AS ref_count,
+               ocur AS cur_count,
+               ROUND(term, 6) AS chi2_term,
+               (SELECT ROUND(SUM(term), 6) FROM terms) AS chi2_total,
+               dof,
+               CAST(CASE WHEN (SELECT ROUND(SUM(term), 6) FROM terms)
+                              * 1000000 > {_CHI2_CRIT_SQL}
+                    THEN 1 ELSE 0 END AS INT) AS reject_5pct
+        FROM terms
+    """,
+)
+def stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of homogeneity between the event-type mix of
+    the first and second 15-day halves of the event stream — the
+    CATEGORICAL drift detector that completes the monitoring triad
+    (KS = numeric shape, PSI = numeric magnitude, chi-square =
+    categorical mix). Uses the 2xk contingency identity: because each
+    row's two deviations are negatives of each other, the per-type
+    contribution collapses to d^2/(rowtotal*nR*nC) with d = O_ref*N -
+    rowtotal*nR computed EXACTLY in int64 before one double square —
+    no expected-count float ever subtracts from an observed count.
+    The 5% decision joins the rounded total against a premultiplied
+    ppm critical-value table for dof 1..10, so both engines compare
+    identical 6dp integers.
+
+    Scale: one groupBy over the stream produces the k-row contingency
+    relation; totals are a 1-row aggregate broadcast back; everything
+    after is O(k). d fits int64 while rowtotal*N < 9.2e18 — beyond
+    that, pre-aggregate counts per shard first (the counts, not the
+    rows, are what this test consumes)."""
+    ev = load(spark, sf_dir, "events")
+    min_day = ev.agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0")
+    )
+    o = (
+        ev.crossJoin(F.broadcast(min_day))
+        .select(
+            "event_type",
+            (
+                F.datediff(
+                    F.date_trunc("day", "ts").cast("date"), F.col("d0")
+                )
+                < _PSI_SPLIT_DAY
+            ).alias("is_ref"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("is_ref"), 1)).alias("oref"),
+            F.count(F.when(~F.col("is_ref"), 1)).alias("ocur"),
+        )
+    )
+    tot = o.agg(
+        F.sum("oref").alias("nr"),
+        F.sum("ocur").alias("nc"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+    )
+    d = (
+        F.col("oref") * (F.col("nr") + F.col("nc"))
+        - (F.col("oref") + F.col("ocur")) * F.col("nr")
+    ).cast("double")
+    terms = o.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "oref",
+        "ocur",
+        "dof",
+        (
+            F.pow(d, F.lit(2))
+            / (
+                (F.col("oref") + F.col("ocur")).cast("double")
+                * F.col("nr")
+                * F.col("nc")
+            )
+        ).alias("term"),
+    )
+    total = terms.agg(F.round(F.sum("term"), 6).alias("chi2_total"))
+    crit = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for kv in _CHI2_CRIT_PPM.items()
+                for x in kv
+            ]
+        ),
+        F.col("dof"),
+    )
+    return terms.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        F.col("oref").alias("ref_count"),
+        F.col("ocur").alias("cur_count"),
+        F.round("term", 6).alias("chi2_term"),
+        "chi2_total",
+        "dof",
+        F.when(F.col("chi2_total") * 1000000 > crit, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_5pct"),
+    )
+
+
+#: ACF geometry: lags 1..10 over the zero-filled daily-count series.
+_ACF_MAX_LAG = 10
+
+
+@query(
+    "events_acf_lags",
+    oracle=f"""
+        WITH days AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        m AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM days),
+        grid AS (
+            SELECT unnest(generate_series(0,
+                          DATEDIFF('day', d0, d1))) AS idx
+            FROM m
+        ),
+        c AS (
+            SELECT DATEDIFF('day', m.d0, days.d) AS idx, COUNT(*) AS x
+            FROM days, m GROUP BY 1
+        ),
+        x AS (
+            SELECT grid.idx, COALESCE(c.x, 0) AS x
+            FROM grid LEFT JOIN c USING (idx)
+        ),
+        st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM x
+        ),
+        a AS (SELECT idx, st.n * x.x - st.s AS a FROM x, st),
+        den AS (SELECT CAST(SUM(a * a) AS BIGINT) AS d0 FROM a),
+        lags AS (SELECT g.g AS lag FROM range(1, {_ACF_MAX_LAG} + 1) g(g)),
+        nk AS (
+            SELECT lags.lag, CAST(SUM(a1.a * a2.a) AS BIGINT) AS num
+            FROM lags
+            CROSS JOIN a a1
+            JOIN a a2 ON a2.idx = a1.idx + lags.lag
+            GROUP BY lags.lag
+        )
+        SELECT CAST(nk.lag AS BIGINT) AS lag,
+               st.n AS n_days,
+               FLOOR(1000000.0 * nk.num / den.d0 + 0.5) / 1000000.0 AS acf
+        FROM nk, st, den
+    """,
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1..{k} — the first thing a forecaster computes (weekly
+    seasonality shows as a spike at lag 7; the seasonal-naive
+    backtest, events_snaive_backtest, assumes what this measures).
+    Standard full-series-mean ACF: r_k = sum (x_t-u)(x_t+k - u) /
+    sum (x_t-u)^2, made EXACT by clearing denominators — a_d =
+    n*x_d - S is an integer once counts are integers, so numerator
+    and denominator are exact int64 sums and the only float is one
+    final division, emitted floor-half-up at 6dp identically on both
+    engines. Zero-event days enter as true zeros via the day grid
+    (a gap is signal, not absence).
+
+    Scale: the series is a daily aggregate — one groupBy of the
+    stream, then everything downstream is O(days * lags) on a
+    BOUNDED relation (the r5 changepoint/Theil-Sen pattern). The lag
+    join is an integer equi-join on the day index; n*x stays in
+    int64 until daily volume approaches 9.2e18/n_days."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    )
+    m = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        m.select(
+            F.explode(
+                F.sequence(F.lit(0), F.datediff("d1", "d0"))
+            ).alias("idx")
+        )
+    )
+    c = (
+        ev.crossJoin(F.broadcast(m))
+        .select(F.datediff("d", "d0").alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    x = (
+        grid.join(c, "idx", "left")
+        .select("idx", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    st = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    a = x.crossJoin(F.broadcast(st)).select(
+        "idx", (F.col("n") * F.col("x") - F.col("s")).alias("a"), "n"
+    )
+    den = a.agg(F.sum(F.col("a") * F.col("a")).alias("d0"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    nk = (
+        a.crossJoin(F.broadcast(lags))
+        .select("lag", (F.col("idx") + F.col("lag")).alias("idx2"), "a")
+        .join(
+            a.select(F.col("idx").alias("idx2"), F.col("a").alias("a2")),
+            "idx2",
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("a") * F.col("a2")).alias("num"))
+    )
+    return (
+        nk.crossJoin(F.broadcast(st.select("n")))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.col("n").alias("n_days"),
+            (
+                F.floor(
+                    F.lit(1000000.0) * F.col("num") / F.col("d0") + 0.5
+                )
+                / 1000000.0
+            ).alias("acf"),
+        )
+    )
+
+
+events_acf_lags.__doc__ = events_acf_lags.__doc__.format(k=_ACF_MAX_LAG)

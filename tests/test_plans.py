@@ -327,6 +327,15 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row min-day / counts / psi-total broadcasts into the
         # bucket grid — every BNLJ side is O(1) or O(buckets)
         "stats_psi_drift",
+        # 1-row reference-count broadcast into the |langs|-row
+        # rank-sum aggregate — both BNLJ sides bounded
+        "stats_auc_mannwhitney",
+        # 1-row totals / chi2-total broadcasts into the k-row
+        # contingency relation — every BNLJ side is O(1) or O(k)
+        "stats_chi2_drift",
+        # 1-row min/max-day and moment aggregates crossed with the
+        # O(days)/O(lags) grid — all BNLJ sides bounded
+        "events_acf_lags",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
@@ -490,6 +499,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # relation (bounded for discretized scores; bucket first if
         # the support were unbounded — see docstring)
         "stats_ks_drift",
+        # same KS-pattern running sum over the bounded DISTINCT
+        # length-value support for the below-v reference mass
+        "stats_auc_mannwhitney",
     }
 
     def global_windows(plan: str) -> list[str]:
