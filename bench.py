@@ -217,6 +217,8 @@ HEADLINE = [
     "stats_auc_mannwhitney",
     "stats_chi2_drift",
     "events_acf_lags",
+    "events_item_cooccurrence",
+    "stats_spearman_daily",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

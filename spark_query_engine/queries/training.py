@@ -7007,3 +7007,207 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_acf_lags.__doc__ = events_acf_lags.__doc__.format(k=_ACF_MAX_LAG)
+
+
+@query(
+    "events_item_cooccurrence",
+    oracle=f"""
+        WITH inc AS (
+            SELECT DISTINCT user_id, event_type
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        nt AS (
+            SELECT event_type, COUNT(*) AS n FROM inc GROUP BY event_type
+        ),
+        nu AS (SELECT COUNT(DISTINCT user_id) AS nu FROM inc),
+        co AS (
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   COUNT(*) AS co
+            FROM inc a JOIN inc b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT co.item_a, co.item_b,
+               na.n AS n_a, nb.n AS n_b, co.co AS n_both,
+               FLOOR(1000000.0 * co.co / sqrt(CAST(na.n AS DOUBLE) * nb.n)
+                     + 0.5) / 1000000.0 AS cosine,
+               FLOOR(1000000.0 * co.co / (na.n + nb.n - co.co) + 0.5)
+                   / 1000000.0 AS jaccard,
+               FLOOR(1000000.0 * co.co * nu.nu
+                     / (CAST(na.n AS DOUBLE) * nb.n) + 0.5)
+                   / 1000000.0 AS lift
+        FROM co
+        JOIN nt na ON na.event_type = co.item_a
+        JOIN nt nb ON nb.event_type = co.item_b, nu
+    """,
+)
+def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity over the user x event-type
+    incidence matrix — the classic collaborative-filtering /
+    market-basket primitive (Amazon-style 'users who did A also did
+    B'): cosine, Jaccard, and lift for every unordered item pair,
+    from exact integer co-occurrence counts. Lift > 1 means the pair
+    co-occurs more than independence predicts; cosine is the
+    item-item kNN weight. All three emitted floor-half-up at 6dp
+    from one double expression over exact ints.
+
+    Scale: the incidence relation is one DISTINCT (user, item) pass;
+    the pair join is user-keyed, so candidate volume is
+    sum_u k_u^2 with k_u bounded by the item inventory a user
+    touches — the standard per-user pair fan-out of item-based CF
+    (cap k_u or sample heavy users when the inventory is unbounded;
+    here k <= |event types|). Item marginals broadcast back onto the
+    k^2-row pair relation."""
+    inc = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    nt = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    nu = inc.agg(F.countDistinct("user_id").alias("nu"))
+    a = inc.select("user_id", F.col("event_type").alias("item_a"))
+    b = inc.select("user_id", F.col("event_type").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    def _f6(x):
+        return F.floor(F.lit(1000000.0) * x + 0.5) / 1000000.0
+    return (
+        co.join(
+            F.broadcast(nt.select(F.col("event_type").alias("item_a"),
+                                  F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(nt.select(F.col("event_type").alias("item_b"),
+                                  F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            _f6(
+                F.col("n_both")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("cosine"),
+            _f6(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+            _f6(
+                F.col("n_both") * F.col("nu")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "stats_spearman_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   COUNT(*) AS x,
+                   COUNT(DISTINCT user_id) AS y
+            FROM ({EVENTS_ORACLE}) e GROUP BY 1
+        ),
+        r AS (
+            SELECT d, x, y,
+                   2 * (SELECT COUNT(*) FROM daily b WHERE b.x < daily.x)
+                     + (SELECT COUNT(*) FROM daily b WHERE b.x = daily.x)
+                     + 1 AS rx,
+                   2 * (SELECT COUNT(*) FROM daily b WHERE b.y < daily.y)
+                     + (SELECT COUNT(*) FROM daily b WHERE b.y = daily.y)
+                     + 1 AS ry
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(rx) AS BIGINT) AS sx,
+                   CAST(SUM(ry) AS BIGINT) AS sy,
+                   CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                   CAST(SUM(ry * ry) AS BIGINT) AS syy,
+                   CAST(SUM(rx * ry) AS BIGINT) AS sxy
+            FROM r
+        )
+        SELECT n AS n_days,
+               CAST(n * sxy - sx * sy AS BIGINT) AS num,
+               FLOOR(1000000.0 * (n * sxy - sx * sy)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                     + 0.5) / 1000000.0 AS rho
+        FROM s
+    """,
+)
+def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event volume and daily
+    active users — the robust (monotone-invariant) association
+    measure, here answering 'do busy days also mean broad days, or
+    just heavy users?'. Tie-correct by construction: midranks are
+    carried DOUBLED (2*midrank = 2*count_below + count_equal + 1, an
+    integer), so every rank is exact, Spearman = Pearson over the
+    doubled ranks (the scaling cancels), all five moments are exact
+    int64 sums, and the only floats are two sqrts and one division
+    emitted floor-half-up at 6dp — identical on both engines.
+
+    Scale: the data-plane work is one daily groupBy; ranks come from
+    joining the O(days) relation against its own value-count
+    marginals (no global window), and moments are one aggregate of
+    the bounded series — the ACF/Theil-Sen daily-series pattern."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.countDistinct("user_id").alias("y"),
+        )
+    )
+    def rank2(col):
+        vc = daily.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return vc.select(
+            "v",
+            (
+                2 * (F.sum("c").over(wv) - F.col("c")) + F.col("c") + 1
+            ).alias(f"r_{col}"),
+        )
+    r = (
+        daily.join(
+            F.broadcast(rank2("x").withColumnRenamed("v", "x")), "x"
+        ).join(F.broadcast(rank2("y").withColumnRenamed("v", "y")), "y")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_x").alias("sx"),
+        F.sum("r_y").alias("sy"),
+        F.sum(F.col("r_x") * F.col("r_x")).alias("sxx"),
+        F.sum(F.col("r_y") * F.col("r_y")).alias("syy"),
+        F.sum(F.col("r_x") * F.col("r_y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        num.cast("long").alias("num"),
+        (
+            F.floor(
+                F.lit(1000000.0) * num / (F.sqrt(denx) * F.sqrt(deny))
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("rho"),
+    )

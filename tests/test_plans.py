@@ -336,6 +336,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row min/max-day and moment aggregates crossed with the
         # O(days)/O(lags) grid — all BNLJ sides bounded
         "events_acf_lags",
+        # 1-row distinct-user count broadcast onto the k²-row pair
+        # relation — BNLJ side is O(1)
+        "events_item_cooccurrence",
+        # 1-row moment aggregate emits the final row; rank marginals
+        # broadcast onto the O(days) series — all sides bounded
+        "stats_spearman_daily",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
@@ -502,6 +508,8 @@ def test_headline_plans_have_no_scale_killers(spark):
         # same KS-pattern running sum over the bounded DISTINCT
         # length-value support for the below-v reference mass
         "stats_auc_mannwhitney",
+        # midrank running sums over the O(days) value-count relations
+        "stats_spearman_daily",
     }
 
     def global_windows(plan: str) -> list[str]:
