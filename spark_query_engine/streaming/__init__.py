@@ -13,6 +13,7 @@ from spark_query_engine.streaming.events import (
     minhash_dedup_stream,
     pack_sequences_stream,
     cms_stream,
+    psi_stream,
     hll_stream,
     cusum_stream,
     manifest_stream,
@@ -42,6 +43,7 @@ __all__ = [
     "minhash_dedup_stream",
     "pack_sequences_stream",
     "cms_stream",
+    "psi_stream",
     "hll_stream",
     "cusum_stream",
     "manifest_stream",

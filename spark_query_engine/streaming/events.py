@@ -885,3 +885,51 @@ def hll_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def psi_stream(
+    events: DataFrame,
+    boundaries: list[float],
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming PSI drift monitor — the live twin of the batch
+    ``stats_psi_drift`` query: the reference window's decile
+    boundaries are FROZEN (trained in batch, passed in as bounded
+    model state — the broadcast-codebook discipline), every incoming
+    value buckets by comparison against those B-1 cut points, and
+    each bucket keeps ONE BIGINT running counter folded per
+    micro-batch. Counter addition is commutative/associative, so the
+    final per-bucket state equals the batch histogram of the same
+    rows regardless of arrival order or batch boundaries; the PSI
+    number itself is the O(B) add-half fold over the emitted cells
+    against the frozen reference shares — dashboard-side arithmetic,
+    exactly as the batch query computes it.
+
+    State: B counters TOTAL no matter how many events stream
+    through. Emits running (bucket, c) per micro-batch (update
+    mode)."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    vc = F.col(value_col)
+    bucket = sum(
+        F.when(vc > F.lit(b), 1).otherwise(0) for b in boundaries
+    )
+    t = events.where(vc.isNotNull()).select(
+        bucket.cast("long").alias("bucket")
+    )
+
+    def fold(key, pdfs, state):
+        c = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            c += len(pdf)
+        state.update((c,))
+        yield pd.DataFrame({"bucket": [key[0]], "c": [c]})
+
+    return t.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType="bucket long, c long",
+        stateStructType="c long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1027,3 +1027,54 @@ def test_hll_stream_matches_batch_registers(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 16  # real register occupancy
+
+
+def test_psi_stream_matches_batch_histogram(spark, sf_dir, tmp_path):
+    """Streaming PSI ≡ batch: freeze decile boundaries from the
+    event-value distribution (batch model state), drive the same
+    events in three round-robin micro-batches, and the final
+    per-bucket counters must equal the batch histogram under the
+    identical comparison-chain bucket function — counter adds are
+    commutative, so batch boundaries can't matter."""
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # frozen cut points: 9 approx deciles of the same window (the
+    # batch query uses exact rank selection; any frozen list works
+    # for the stream ≡ batch contract)
+    bounds = sorted(
+        ev.approxQuantile("value", [i / 10 for i in range(1, 10)], 0.0)
+    )
+    d = tmp_path / "psistream"
+    d.mkdir()
+    pdf = ev.select("event_id", "value").toPandas()
+    for i in range(3):
+        pdf[pdf["event_id"] % 3 == i].to_parquet(d / f"part{i}.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = ST.psi_stream(stream, bounds)
+    ST.run_to_memory_sink(out, "psi_out", mode="update")
+    got = {
+        r["bucket"]: r["c"]
+        for r in spark.sql("SELECT * FROM psi_out").collect()
+    }
+    bucket = sum(
+        F.when(F.col("value") > F.lit(b), 1).otherwise(0) for b in bounds
+    )
+    want = {
+        r["bucket"]: r["c"]
+        for r in ev.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
+    assert len(want) >= 5  # real occupancy across the decile grid
