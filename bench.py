@@ -219,6 +219,7 @@ HEADLINE = [
     "events_acf_lags",
     "events_item_cooccurrence",
     "stats_spearman_daily",
+    "events_holt_backtest",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

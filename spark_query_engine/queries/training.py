@@ -7211,3 +7211,137 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("rho"),
     )
+
+
+#: Holt linear smoothing coefficients (level, trend). Kept as exact
+#: binary-representable-ish literals CAST to DOUBLE on the oracle side
+#: (DuckDB parses bare decimals as DECIMAL — the fk_grade gotcha).
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+
+@query(
+    "events_holt_backtest",
+    oracle=f"""
+        WITH RECURSIVE days AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        m AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM days),
+        grid AS (
+            SELECT unnest(generate_series(0,
+                          DATEDIFF('day', d0, d1))) AS idx
+            FROM m
+        ),
+        c AS (
+            SELECT DATEDIFF('day', m.d0, days.d) AS idx, COUNT(*) AS x
+            FROM days, m GROUP BY 1
+        ),
+        xs AS (
+            SELECT grid.idx, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+            FROM grid LEFT JOIN c USING (idx)
+        ),
+        s AS (
+            SELECT 0 AS idx,
+                   CAST((SELECT x FROM xs WHERE idx = 0) AS DOUBLE) AS l,
+                   CAST((SELECT x FROM xs WHERE idx = 1)
+                        - (SELECT x FROM xs WHERE idx = 0) AS DOUBLE) AS b,
+                   CAST(NULL AS DOUBLE) AS f
+            UNION ALL
+            SELECT s.idx + 1,
+                   CAST({_HOLT_ALPHA} AS DOUBLE) * CAST(xs.x AS DOUBLE)
+                       + (1 - CAST({_HOLT_ALPHA} AS DOUBLE))
+                         * (s.l + s.b),
+                   CAST({_HOLT_BETA} AS DOUBLE)
+                       * ((CAST({_HOLT_ALPHA} AS DOUBLE)
+                           * CAST(xs.x AS DOUBLE)
+                           + (1 - CAST({_HOLT_ALPHA} AS DOUBLE))
+                             * (s.l + s.b)) - s.l)
+                       + (1 - CAST({_HOLT_BETA} AS DOUBLE)) * s.b,
+                   s.l + s.b
+            FROM s JOIN xs ON xs.idx = s.idx + 1
+        ),
+        bt AS (
+            SELECT s.idx, xs.x,
+                   FLOOR(1000000.0 * s.f + 0.5) / 1000000.0 AS forecast,
+                   FLOOR(1000000.0 * ABS(CAST(xs.x AS DOUBLE) - s.f)
+                         + 0.5) / 1000000.0 AS abs_err
+            FROM s JOIN xs USING (idx) WHERE s.idx >= 1
+        )
+        SELECT CAST(idx AS BIGINT) AS idx, x, forecast, abs_err,
+               (SELECT ROUND(SUM(abs_err), 6) FROM bt) AS mae
+        FROM bt
+    """,
+)
+def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) one-step-ahead
+    backtest over the daily event-count series — the level+trend
+    forecaster between seasonal-naive (events_snaive_backtest, no
+    smoothing) and full Holt-Winters: l_t = a*x_t + (1-a)(l_t-1 +
+    b_t-1), b_t = B(l_t - l_t-1) + (1-B) b_t-1, forecast f_t =
+    l_t-1 + b_t-1, initialized l_0 = x_0, b_0 = x_1 - x_0. Emits the
+    per-day forecast, absolute error, and the MAE that model
+    selection thresholds on.
+
+    Determinism: the smoothing recursion is SEQUENTIAL by definition
+    — both engines run the identical IEEE double chain in the same
+    order (DuckDB via a recursive CTE, Spark via the O(days) driver
+    recursion below), all literals forced to DOUBLE on both sides
+    (the DuckDB decimal-parse gotcha), so every forecast double is
+    bit-identical before its floor-half-up 6dp display rounding.
+
+    Scale: the data-plane work is the daily groupBy; the recursion
+    runs on the driver over the BOUNDED zero-filled series (the
+    corpus_bpe_train model-state discipline — O(days) scalars, never
+    row data), and the forecast relation broadcasts back onto the
+    daily aggregate for the error columns."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    )
+    m = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = m.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("idx")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(m))
+        .select(F.datediff("d", "d0").alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    x = (
+        grid.join(c, "idx", "left")
+        .select("idx", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    # bounded driver model state: the zero-filled daily series
+    series = sorted((r["idx"], r["x"]) for r in x.collect())
+    a, bb = _HOLT_ALPHA, _HOLT_BETA
+    xs = [float(v) for _i, v in series]
+    l, b = xs[0], xs[1] - xs[0]
+    fc = []  # (idx, forecast) for idx >= 1
+    for t in range(1, len(xs)):
+        f = l + b
+        l_new = a * xs[t] + (1 - a) * (l + b)
+        b_new = bb * (l_new - l) + (1 - bb) * b
+        fc.append((t, f))
+        l, b = l_new, b_new
+    fdf = F.broadcast(
+        x.sparkSession.createDataFrame(fc, "idx int, f double")
+    )
+    bt = (
+        x.join(fdf, "idx")
+        .select(
+            F.col("idx").cast("long").alias("idx"),
+            "x",
+            (F.floor(F.lit(1000000.0) * F.col("f") + 0.5) / 1000000.0)
+            .alias("forecast"),
+            (
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.abs(F.col("x").cast("double") - F.col("f"))
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("abs_err"),
+        )
+    )
+    mae = bt.agg(F.round(F.sum("abs_err"), 6).alias("mae"))
+    return bt.crossJoin(F.broadcast(mae))

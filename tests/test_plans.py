@@ -342,6 +342,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row moment aggregate emits the final row; rank marginals
         # broadcast onto the O(days) series — all sides bounded
         "stats_spearman_daily",
+        # 1-row min/max-day and MAE broadcasts onto the O(days)
+        # forecast relation — all BNLJ sides bounded
+        "events_holt_backtest",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
