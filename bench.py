@@ -220,6 +220,7 @@ HEADLINE = [
     "events_item_cooccurrence",
     "stats_spearman_daily",
     "events_holt_backtest",
+    "stats_kendall_tau",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

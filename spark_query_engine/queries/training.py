@@ -7345,3 +7345,112 @@ def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mae = bt.agg(F.round(F.sum("abs_err"), 6).alias("mae"))
     return bt.crossJoin(F.broadcast(mae))
+
+
+@query(
+    "stats_kendall_tau",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   COUNT(*) AS x,
+                   COUNT(DISTINCT user_id) AS y
+            FROM ({EVENTS_ORACLE}) e GROUP BY 1
+        ),
+        p AS (
+            SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                        THEN 1 ELSE 0 END AS conc,
+                   CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                        THEN 1 ELSE 0 END AS disc,
+                   CASE WHEN a.x = b.x AND a.y <> b.y
+                        THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN a.y = b.y AND a.x <> b.x
+                        THEN 1 ELSE 0 END AS ty
+            FROM daily a JOIN daily b ON a.d < b.d
+        ),
+        s AS (
+            SELECT CAST(SUM(conc) AS BIGINT) AS c,
+                   CAST(SUM(disc) AS BIGINT) AS d,
+                   CAST(SUM(tx) AS BIGINT) AS tx,
+                   CAST(SUM(ty) AS BIGINT) AS ty
+            FROM p
+        )
+        SELECT c AS concordant, d AS discordant,
+               tx AS ties_x_only, ty AS ties_y_only,
+               FLOOR(1000000.0 * (c - d)
+                     / (sqrt(CAST(c + d + tx AS DOUBLE))
+                        * sqrt(CAST(c + d + ty AS DOUBLE)))
+                     + 0.5) / 1000000.0 AS tau_b
+        FROM s
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily event volume and daily active
+    users — the pairwise-concordance rank correlation that pairs
+    with Spearman (stats_spearman_daily): tau counts ORDER
+    relationships directly (concordant minus discordant pairs), so
+    it is the statistic behind Theil-Sen's median slope and degrades
+    more gracefully under ties than Spearman's rank moments. The
+    tie-aware tau-b denominator excludes double-ties exactly:
+    every cell (C, D, x-only ties, y-only ties) is an exact integer
+    pair count; the only floats are the two sqrts of the final
+    display expression, floor-half-up at 6dp on both engines.
+
+    Scale: the pair join is over the O(days) daily AGGREGATE
+    relation (the Theil-Sen bounded C(days,2) fan-out), never over
+    events; the data-plane cost is one daily groupBy."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.countDistinct("user_id").alias("y"),
+        )
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    s = (
+        # broadcast the bounded O(days) side: the non-equi pair join
+        # must plan BNLJ-over-an-aggregate, never CartesianProduct
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("d"),
+            F.sum(
+                F.when(
+                    (F.col("xa") == F.col("xb"))
+                    & (F.col("ya") != F.col("yb")),
+                    1,
+                ).otherwise(0)
+            ).alias("tx"),
+            F.sum(
+                F.when(
+                    (F.col("ya") == F.col("yb"))
+                    & (F.col("xa") != F.col("xb")),
+                    1,
+                ).otherwise(0)
+            ).alias("ty"),
+        )
+    )
+    return s.select(
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        (
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("c") - F.col("d"))
+                / (
+                    F.sqrt((F.col("c") + F.col("d") + F.col("tx")).cast("double"))
+                    * F.sqrt((F.col("c") + F.col("d") + F.col("ty")).cast("double"))
+                )
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("tau_b"),
+    )

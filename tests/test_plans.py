@@ -345,6 +345,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row min/max-day and MAE broadcasts onto the O(days)
         # forecast relation — all BNLJ sides bounded
         "events_holt_backtest",
+        # the C(days,2) pair fan-out broadcasts the O(days) daily
+        # aggregate — the Theil-Sen bounded-relation pattern
+        "stats_kendall_tau",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
