@@ -221,6 +221,9 @@ HEADLINE = [
     "stats_spearman_daily",
     "events_holt_backtest",
     "stats_kendall_tau",
+    "agg_kmv_jaccard",
+    "join_cardinality_sketch",
+    "graph_ppr_seeds",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -425,3 +425,344 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.explode("m").alias("priority", "n_orders"),
     )
+
+
+#: KMV (k-minimum-values / bottom-k) sketch geometry: k entries of a
+#: 48-bit md5-derived hash (12 hex chars), so both engines replay the
+#: sketch bit-for-bit.
+_KMV_K = 256
+_KMV_SCALE = 1 << 48
+
+
+@query(
+    "agg_kmv_jaccard",
+    oracle=f"""
+        WITH s AS (
+            SELECT source, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT source,
+                   concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+            FROM s, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        els AS (
+            SELECT DISTINCT source,
+                   ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+            FROM sh
+        ),
+        ns AS (SELECT source, COUNT(*) AS n FROM els GROUP BY 1),
+        rk AS (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM els
+        ),
+        sk AS (SELECT source, h FROM rk WHERE rn <= {_KMV_K}),
+        skstat AS (
+            SELECT source, COUNT(*) AS n_sk, MAX(h) AS kth
+            FROM sk GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.source AS sa, b.source AS sb
+            FROM ns a JOIN ns b ON a.source < b.source
+        ),
+        pool AS (
+            SELECT sa, sb, h,
+                   MAX(is_a) AS in_a, MAX(is_b) AS in_b
+            FROM (
+                SELECT p.sa, p.sb, s.h, 1 AS is_a, 0 AS is_b
+                FROM pairs p JOIN sk s ON s.source = p.sa
+                UNION ALL
+                SELECT p.sa, p.sb, s.h, 0, 1
+                FROM pairs p JOIN sk s ON s.source = p.sb
+            )
+            GROUP BY 1, 2, 3
+        ),
+        ku AS (
+            SELECT sa, sb, h, in_a, in_b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sa, sb ORDER BY h
+                   ) AS rn
+            FROM pool
+        ),
+        kset AS (
+            SELECT sa, sb,
+                   COUNT(*) AS ksize,
+                   CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS matches
+            FROM ku WHERE rn <= {_KMV_K}
+            GROUP BY 1, 2
+        ),
+        inter AS (
+            SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ni
+            FROM els a JOIN els b
+              ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT k.sa AS source_a,
+               k.sb AS source_b,
+               na.n AS n_a,
+               nb.n AS n_b,
+               CASE WHEN sta.n_sk < {_KMV_K}
+                    THEN ROUND(CAST(sta.n_sk AS DOUBLE), 6)
+                    ELSE ROUND(({_KMV_K} - 1) * CAST({_KMV_SCALE} AS DOUBLE)
+                               / sta.kth, 6) END AS est_a,
+               CASE WHEN stb.n_sk < {_KMV_K}
+                    THEN ROUND(CAST(stb.n_sk AS DOUBLE), 6)
+                    ELSE ROUND(({_KMV_K} - 1) * CAST({_KMV_SCALE} AS DOUBLE)
+                               / stb.kth, 6) END AS est_b,
+               ROUND(COALESCE(i.ni, 0) * 1.0
+                     / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS exact_jaccard,
+               ROUND(k.matches * 1.0 / k.ksize, 6) AS kmv_jaccard,
+               ABS(k.matches * 1.0 / k.ksize
+                   - COALESCE(i.ni, 0) * 1.0
+                     / (na.n + nb.n - COALESCE(i.ni, 0))) <= 0.15
+                   AS within_tol
+        FROM kset k
+        JOIN ns na ON na.source = k.sa
+        JOIN ns nb ON nb.source = k.sb
+        JOIN skstat sta ON sta.source = k.sa
+        JOIN skstat stb ON stb.source = k.sb
+        LEFT JOIN inter i ON i.sa = k.sa AND i.sb = k.sb
+    """,
+)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketches per source over the
+    3-word-shingle sets, with the two estimates HLL cannot give you:
+    per-pair INTERSECTION and Jaccard (Beyer et al., "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations", SIGMOD'07).
+    Each source keeps its k smallest 48-bit md5 hashes; distinct
+    cardinality est = (k-1)*2^48/kth_min; for a pair, the bottom-k of
+    the UNION of the two sketches is itself the union's KMV sketch,
+    and the fraction of those k values present in BOTH sketches is an
+    unbiased Jaccard estimator. The oracle replays every hash, every
+    bottom-k cut, and the exact shingle-set Jaccard, and asserts the
+    sketch lands within 0.15 (k=256 => sigma ~ 0.03) — so the sketch
+    math, not just the plumbing, is hash-verified.
+
+    Scale: the per-source sketch is one groupBy-ROW_NUMBER top-k (a
+    WindowGroupLimit: partial top-k map-side, k rows per source
+    shuffled); all pair math runs on |sources|*k rows of sketch state
+    — re-scanning NOTHING. At 100 TB the exact-Jaccard side (one
+    h-keyed equi-join here, the audit) is what you can no longer
+    afford: the sketches answer in O(sources^2 * k) from kilobytes.
+    Cited shape: reference has no sketch ops; SURVEY.md §2.5 ABSENT
+    approx-aggregate row."""
+    from pyspark.sql import Window
+    from spark_query_engine.operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "source", "text", 3)
+    els = (
+        sh.select(
+            F.col("id").alias("source"),
+            F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    ns = els.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        els.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
+        .persist()
+    )
+    skstat = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    pairs = (
+        ns.select(F.col("source").alias("sa"))
+        .join(ns.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    pool = (
+        pairs.join(sk.withColumnRenamed("source", "sa"), "sa")
+        .select("sa", "sb", "h", F.lit(1).alias("is_a"), F.lit(0).alias("is_b"))
+        .unionAll(
+            pairs.join(sk.withColumnRenamed("source", "sb"), "sb")
+            .select("sa", "sb", "h", F.lit(0), F.lit(1))
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("is_a").alias("in_a"), F.max("is_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("sa", "sb").orderBy("h")
+    kset = (
+        pool.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("ksize"),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+            ).alias("matches"),
+        )
+    )
+    ea, eb = els.alias("ea"), els.alias("eb")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("ea.h") == F.col("eb.h"))
+            & (F.col("ea.source") < F.col("eb.source")),
+        )
+        .groupBy(
+            F.col("ea.source").alias("sa"), F.col("eb.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+
+    def est(stat_prefix: str):
+        n_sk, kth = F.col(stat_prefix + ".n_sk"), F.col(stat_prefix + ".kth")
+        return F.when(
+            n_sk < _KMV_K, F.round(n_sk.cast("double"), 6)
+        ).otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_SCALE)) / kth, 6
+            )
+        )
+
+    exact_j = F.coalesce(F.col("ni"), F.lit(0)) / (
+        F.col("na.n") + F.col("nb.n") - F.coalesce(F.col("ni"), F.lit(0))
+    )
+    kmv_j = F.col("matches") / F.col("ksize")
+    return (
+        kset.join(F.broadcast(ns.alias("na")), F.col("na.source") == F.col("sa"))
+        .join(F.broadcast(ns.alias("nb")), F.col("nb.source") == F.col("sb"))
+        .join(
+            F.broadcast(skstat.alias("sta")), F.col("sta.source") == F.col("sa")
+        )
+        .join(
+            F.broadcast(skstat.alias("stb")), F.col("stb.source") == F.col("sb")
+        )
+        .join(F.broadcast(inter), ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("na.n").alias("n_a"),
+            F.col("nb.n").alias("n_b"),
+            est("sta").alias("est_a"),
+            est("stb").alias("est_b"),
+            F.round(exact_j, 6).alias("exact_jaccard"),
+            F.round(kmv_j, 6).alias("kmv_jaccard"),
+            (F.abs(kmv_j - exact_j) <= 0.15).alias("within_tol"),
+        )
+    )
+
+
+#: Join-cardinality CMS geometry: 4 hash rows x 512 buckets.
+_JC_D, _JC_W = 4, 512
+
+
+@query(
+    "join_cardinality_sketch",
+    oracle=f"""
+        WITH ds AS (SELECT unnest(range(0, {_JC_D})) AS d),
+        ca AS (
+            SELECT d,
+                   ('0x' || substr(md5(d::VARCHAR || ':' ||
+                                       o_custkey::VARCHAR), 1, 8))
+                       ::BIGINT % {_JC_W} AS bucket,
+                   COUNT(*) AS c
+            FROM orders CROSS JOIN ds
+            GROUP BY 1, 2
+        ),
+        cb AS (
+            SELECT d,
+                   ('0x' || substr(md5(d::VARCHAR || ':' ||
+                                       c_custkey::VARCHAR), 1, 8))
+                       ::BIGINT % {_JC_W} AS bucket,
+                   COUNT(*) AS c
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+        ),
+        dots AS (
+            SELECT a.d, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+            FROM ca a JOIN cb b ON a.d = b.d AND a.bucket = b.bucket
+            GROUP BY 1
+        ),
+        est AS (SELECT MIN(dot) AS est_join_size FROM dots),
+        exact AS (
+            SELECT COUNT(*) AS exact_join_size
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+        )
+        SELECT exact_join_size,
+               est_join_size,
+               ROUND(est_join_size * 1.0 / exact_join_size, 6)
+                   AS est_over_exact,
+               est_join_size >= exact_join_size AS bound_holds
+        FROM exact CROSS JOIN est
+    """,
+)
+def join_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches — the classic
+    AGMS/CMS inner-product result (Alon-Gibbons-Matias-Szegedy '99;
+    Cormode & Muthukrishnan '05 §4.2): |A join B| = sum_k fA(k)*fB(k),
+    and the CMS row-wise dot product min_d <CMS_A[d], CMS_B[d]> is an
+    estimate that NEVER undercounts. This is what a 100 TB optimizer
+    consults before picking a join strategy: each side's sketch is one
+    map-side-combinable aggregation (d*w = {_JC_D}*{_JC_W} cells total
+    regardless of row count, mergeable across shards by cell
+    addition), and the estimate itself joins two {_JC_D}x{_JC_W}-cell
+    relations — kilobytes — instead of executing the join. The oracle
+    replays every md5 bucket, every integer counter, and the exact
+    join count: integer arithmetic end-to-end, so the row is
+    hash-exact, and ``bound_holds`` pins the CMS upper-bound contract.
+    Cited shape: reference has no join at all (SURVEY.md §2.4 ABSENT);
+    this is the planning layer above one."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    ds = spark.range(_JC_D).select(F.col("id").cast("int").alias("d"))
+
+    def cms(df: DataFrame, key: str) -> DataFrame:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("d").cast("string"),
+                            F.lit(":"),
+                            F.col(key).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _JC_W
+        )
+        return (
+            df.crossJoin(F.broadcast(ds))
+            .groupBy("d", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca = cms(orders, "o_custkey")
+    cb = cms(cust, "c_custkey")
+    dots = (
+        ca.alias("a")
+        .join(F.broadcast(cb.alias("b")), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
+    )
+    est = dots.agg(F.min("dot").alias("est_join_size"))
+    exact = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "est_join_size",
+        F.round(
+            F.col("est_join_size") * 1.0 / F.col("exact_join_size"), 6
+        ).alias("est_over_exact"),
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "bound_holds"
+        ),
+    )

@@ -2542,3 +2542,86 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         F.least(F.lit(1.0), epochs).alias("sample_rate"),
     )
+
+
+def _ppr_oracle_iters(t: int = 5, seed_mod: int = 5) -> str:
+    """Unrolled personalized-PageRank rounds over the replayed LSH
+    candidate graph — teleport mass restricted to the seed set, same
+    per-round 9dp rounding as operators/graph.personalized_pagerank."""
+    iters = []
+    for i in range(1, t + 1):
+        iters.append(
+            f"""p{i} AS (
+            SELECT e.dst AS id,
+                   ROUND(CASE WHEN e.dst % {seed_mod} = 0
+                              THEN 0.15/(SELECT n FROM nseeds)
+                              ELSE 0.0 END
+                         + 0.85*SUM(r.pr/d.deg), 9) AS pr
+            FROM pr_edges e
+            JOIN p{i-1} r ON r.id = e.src
+            JOIN pr_deg d ON d.src = e.src
+            GROUP BY e.dst
+        )"""
+        )
+    return ",\n        ".join(iters)
+
+
+@query(
+    "graph_ppr_seeds",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        {_minhash_oracle_ctes()},
+        pr_edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cand
+            UNION ALL
+            SELECT id_b, id_a FROM cand
+        ),
+        pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
+        nseeds AS (
+            SELECT COUNT(*) AS n FROM pr_deg WHERE src % 5 = 0
+        ),
+        p0 AS (
+            SELECT src AS id,
+                   CASE WHEN src % 5 = 0
+                        THEN 1.0/(SELECT n FROM nseeds)
+                        ELSE 0.0 END AS pr
+            FROM pr_deg
+        ),
+        {_ppr_oracle_iters(5)}
+        SELECT id AS doc_id,
+               CAST(CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+                   AS is_seed,
+               ROUND(pr, 6) AS ppr
+        FROM p5
+    """,
+)
+def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (Jeh & Widom 2003) over the near-duplicate
+    candidate graph, teleporting only to a deterministic SEED set
+    (doc_id %% 5 == 0 — the stand-in for trusted crawl seeds): the
+    TrustRank-style corpus-selection signal, ranking every document by
+    random-walk proximity to the seeds rather than by raw centrality
+    (``corpus_graph_pagerank``). Seeds' satellites inherit geometric
+    fractions of seed mass; clusters unreachable from any seed decay
+    toward zero — exactly how a 100 TB crawl distinguishes
+    seed-endorsed content from isolated spam farms.
+
+    The oracle replays the affine-permutation LSH candidate graph AND
+    all five unrolled teleport rounds (per-round 9dp pinned state), so
+    the personalized fixpoint is hash-verified. Scale: identical cost
+    model to ``corpus_graph_pagerank`` — per round one equi-join + one
+    destination-keyed sum on the candidate-pair relation, lineage
+    truncated, only the seed COUNT on the driver."""
+    from spark_query_engine.operators.graph import personalized_pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", 3).persist()
+    sig = D.minhash_signatures(sh, 16)
+    cand = D.lsh_candidate_pairs(sig, 16, 4)
+    ppr = personalized_pagerank(cand, "id_a", "id_b", seed_mod=5)
+    sh.unpersist()
+    return ppr.select(
+        F.col("id").alias("doc_id"),
+        "is_seed",
+        F.round("pr", 6).alias("ppr"),
+    )

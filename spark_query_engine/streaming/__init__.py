@@ -15,6 +15,7 @@ from spark_query_engine.streaming.events import (
     cms_stream,
     psi_stream,
     hll_stream,
+    kmv_stream,
     cusum_stream,
     manifest_stream,
     ohlc_stream,
@@ -45,6 +46,7 @@ __all__ = [
     "cms_stream",
     "psi_stream",
     "hll_stream",
+    "kmv_stream",
     "cusum_stream",
     "manifest_stream",
     "write_foreach_batch_parquet",

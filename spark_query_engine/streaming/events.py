@@ -933,3 +933,75 @@ def psi_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_stream(
+    docs: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming KMV (k-minimum-values / bottom-k) distinct sketch —
+    the incremental twin of the batch ``agg_kmv_jaccard`` sketch
+    build: per key, keep the k smallest 48-bit md5 hashes of the
+    3-word shingles seen so far. "k smallest of a set" is
+    commutative, associative, AND idempotent, so the final sketch
+    state equals the batch-computed bottom-k REGARDLESS of arrival
+    order, micro-batch boundaries, or duplicate delivery — the same
+    at-least-once-safe fold class as the HLL register MAX
+    (``hll_stream``), but yielding a sketch that also supports
+    intersection/Jaccard estimates downstream (what HLL cannot do).
+
+    State: at most k longs per key, no matter how many documents
+    stream through. Emits the running (n_sk, kth, est_distinct) per
+    key per micro-batch (update mode); est uses the standard
+    (k-1)*2^48/kth_min estimator, falling back to the exact count
+    while the sketch is unsaturated."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spark_query_engine.operators.dedup import word_shingles
+
+    scale = 1 << 48
+    sh = word_shingles(
+        docs.select(F.col(key_col).alias("kmv_key"), F.col(text_col)),
+        "kmv_key",
+        text_col,
+        3,
+    )
+    t = sh.select(
+        F.col("id").alias("kmv_key"),
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+    def fold(key, pdfs, state):
+        mins = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            mins.update(int(x) for x in pdf["h"])
+        top = sorted(mins)[:k]
+        state.update((top,))
+        n_sk = len(top)
+        kth = top[-1] if top else 0
+        est = (
+            float(n_sk)
+            if n_sk < k
+            else round((k - 1) * float(scale) / kth, 6)
+        )
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_sk": [n_sk],
+                "kth": [kth],
+                "est_distinct": [est],
+            }
+        )
+
+    return t.groupBy("kmv_key").applyInPandasWithState(
+        fold,
+        outputStructType="key string, n_sk int, kth long, est_distinct double",
+        stateStructType="mins array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

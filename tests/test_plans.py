@@ -348,6 +348,13 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the C(days,2) pair fan-out broadcasts the O(days) daily
         # aggregate — the Theil-Sen bounded-relation pattern
         "stats_kendall_tau",
+        # the |sources|² pair grid (a<b on the per-source aggregate)
+        # and the 1-row est/exact assembly — every BNLJ side is an
+        # O(sources)-row aggregate or O(1), never the shingle plane
+        "agg_kmv_jaccard",
+        # the 1-row exact-count × 1-row sketch-estimate assembly —
+        # both BNLJ sides are scalar aggregates of the CMS cells
+        "join_cardinality_sketch",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",

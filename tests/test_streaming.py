@@ -1078,3 +1078,71 @@ def test_psi_stream_matches_batch_histogram(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) >= 5  # real occupancy across the decile grid
+
+
+def test_kmv_stream_matches_batch_bottom_k(spark, sf_dir, tmp_path):
+    """Streaming KMV ≡ batch: drive the documents in three
+    doc_id-modulo micro-batches (scrambled relative to any source
+    order) and assert the FINAL per-source (n_sk, kth, est_distinct)
+    equals the batch bottom-k over the same md5 shingle hashes —
+    "k smallest of a set" is order-independent and idempotent, so
+    arrival order and batch boundaries must not leak into the state."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from spark_query_engine.operators.dedup import word_shingles
+
+    k = 64
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    d = tmp_path / "kmvstream"
+    d.mkdir()
+    pdf = docs.toPandas()
+    for i in range(3):
+        pdf[pdf["doc_id"] % 3 == i].to_parquet(d / f"part{i}.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = ST.kmv_stream(stream, key_col="source", k=k)
+    ST.run_to_memory_sink(out, "kmv_out", mode="update")
+    got = {
+        r["key"]: (r["n_sk"], r["kth"], r["est_distinct"])
+        for r in spark.sql("SELECT * FROM kmv_out").collect()
+    }
+
+    sh = word_shingles(docs.select("source", "text"), "source", "text", 3)
+    els = sh.select(
+        F.col("id").alias("source"),
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = els.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    want = {}
+    for r in (
+        sk.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth"))
+        .collect()
+    ):
+        n_sk, kth = r["n_sk"], r["kth"]
+        est = (
+            float(n_sk)
+            if n_sk < k
+            else round((k - 1) * float(1 << 48) / kth, 6)
+        )
+        want[r["source"]] = (n_sk, kth, est)
+    assert got == want
+    assert len(want) > 1
