@@ -224,6 +224,8 @@ HEADLINE = [
     "agg_kmv_jaccard",
     "join_cardinality_sketch",
     "graph_ppr_seeds",
+    "graph_hits_bipartite",
+    "data_group_split_audit",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -7454,3 +7454,216 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("tau_b"),
     )
+
+
+@query(
+    "graph_hits_bipartite",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        a1 AS (SELECT p, CAST(COUNT(*) AS DOUBLE) AS a FROM e GROUP BY 1),
+        am1 AS (SELECT MAX(a) AS m FROM a1),
+        a1n AS (SELECT p, ROUND(a / (SELECT m FROM am1), 9) AS a FROM a1),
+        h1 AS (
+            SELECT c, ROUND(SUM(a), 9) AS h
+            FROM e JOIN a1n USING (p) GROUP BY 1
+        ),
+        hm1 AS (SELECT MAX(h) AS m FROM h1),
+        h1n AS (SELECT c, ROUND(h / (SELECT m FROM hm1), 9) AS h FROM h1),
+        a2 AS (
+            SELECT p, ROUND(SUM(h), 9) AS a
+            FROM e JOIN h1n USING (c) GROUP BY 1
+        ),
+        am2 AS (SELECT MAX(a) AS m FROM a2),
+        nb AS (SELECT p, COUNT(*) AS n_buyers FROM e GROUP BY 1)
+        SELECT a2.p AS l_partkey,
+               nb.n_buyers,
+               ROUND(ROUND(a2.a / (SELECT m FROM am2), 9), 6) AS authority
+        FROM a2 JOIN nb ON nb.p = a2.p
+    """,
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) on the
+    customer->part purchase bipartite graph: customers are hubs, parts
+    are authorities, and two alternating power-iteration rounds
+    propagate scores across the edge relation —
+
+        a(p) = SUM_{c->p} h(c);   h(c) = SUM_{c->p} a(p)
+
+    with max-normalization and 9dp state rounding per round (the
+    pagerank/kmeans pinned-state float discipline), so the oracle's
+    unrolled CTE replay matches bit-for-bit. A part bought by many
+    high-hub customers (broad, heavy buyers) outranks one with the
+    same raw degree bought by narrow accounts — the second centrality
+    family next to PageRank (``corpus_graph_pagerank``) and the PPR
+    seeds (``graph_ppr_seeds``).
+
+    Scale: the edge relation comes from ONE fact-fact equi-join
+    (orders x lineitem on orderkey, both sides hash-partitioned), and
+    each half-round is one equi-join + one key-keyed sum over it —
+    no all-pairs anywhere; the max-normalizers are 1-row aggregates
+    broadcast back (bounded model state). Reference: no joins at all
+    (SURVEY.md §2.4 ABSENT)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    a1 = e.groupBy("p").agg(
+        F.count(F.lit(1)).cast("double").alias("a")
+    ).persist()
+    am1 = a1.agg(F.max("a").alias("m"))
+    a1n = a1.crossJoin(F.broadcast(am1)).select(
+        "p", F.round(F.col("a") / F.col("m"), 9).alias("a")
+    )
+    h1 = (
+        e.join(a1n, "p")
+        .groupBy("c")
+        .agg(F.round(F.sum("a"), 9).alias("h"))
+        .persist()
+    )
+    hm1 = h1.agg(F.max("h").alias("m"))
+    h1n = h1.crossJoin(F.broadcast(hm1)).select(
+        "c", F.round(F.col("h") / F.col("m"), 9).alias("h")
+    )
+    a2 = (
+        e.join(h1n, "c")
+        .groupBy("p")
+        .agg(F.round(F.sum("h"), 9).alias("a"))
+        .persist()
+    )
+    am2 = a2.agg(F.max("a").alias("m"))
+    nb = e.groupBy("p").agg(F.count(F.lit(1)).alias("n_buyers"))
+    return (
+        a2.crossJoin(F.broadcast(am2))
+        .join(nb, "p")
+        .select(
+            F.col("p").alias("l_partkey"),
+            "n_buyers",
+            F.round(F.round(F.col("a") / F.col("m"), 9), 6).alias(
+                "authority"
+            ),
+        )
+    )
+
+
+@query(
+    "data_group_split_audit",
+    oracle="""
+        WITH ev AS (SELECT event_id, user_id FROM events),
+        ua AS (
+            SELECT user_id,
+                   CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+                             ::BIGINT % 10 < 8 THEN 'train'
+                        WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+                             ::BIGINT % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT DISTINCT user_id FROM ev)
+        ),
+        assigned AS (SELECT e.event_id, e.user_id, u.split
+                     FROM ev e JOIN ua u USING (user_id)),
+        tot AS (SELECT COUNT(*) AS n FROM assigned),
+        leak_g AS (
+            SELECT COUNT(*) AS n FROM (
+                SELECT user_id FROM assigned
+                GROUP BY user_id HAVING COUNT(DISTINCT split) > 1
+            )
+        ),
+        naive AS (
+            SELECT user_id,
+                   CASE WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
+                             ::BIGINT % 10 < 8 THEN 'train'
+                        WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
+                             ::BIGINT % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM ev
+        ),
+        leak_n AS (
+            SELECT COUNT(*) AS n FROM (
+                SELECT user_id FROM naive
+                GROUP BY user_id HAVING COUNT(DISTINCT split) > 1
+            )
+        )
+        SELECT a.split,
+               COUNT(DISTINCT a.user_id) AS n_users,
+               COUNT(*) AS n_events,
+               ROUND(COUNT(*) * 1.0 / (SELECT n FROM tot), 6)
+                   AS event_share,
+               (SELECT n FROM leak_g) AS leaky_users_grouped,
+               (SELECT n FROM leak_n) AS leaky_users_naive
+        FROM assigned a
+        GROUP BY a.split
+    """,
+)
+def data_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split — the leakage-free assignment
+    contract for entity-correlated data: the split is a deterministic
+    hash of the GROUP key (md5(user_id) % 10 -> 80/10/10), so every
+    event of a user lands in the same split, any worker reproduces
+    any row's assignment without a lookup table, and the audit proves
+    it: ``leaky_users_grouped`` (users straddling splits under the
+    group hash) must be 0, while ``leaky_users_naive`` — the same
+    census under the WRONG, row-level hash of event_id — is large,
+    quantifying exactly the cross-split contamination the group key
+    prevents. The per-split user/event census + event share document
+    the realized ratios (group splitting trades exact 80/10/10 on
+    rows for zero leakage; the drift is the report's point).
+
+    Scale: one distinct-user aggregate, one group-keyed equi-join to
+    fan the assignment back over events, and two HAVING-filtered
+    aggregates — all hash-partitioned on user_id; nothing all-pairs,
+    no driver state. The naive-leak branch shares the events scan."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def split_of(col):
+        h = (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 10
+        )
+        return (
+            F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+        )
+
+    ua = ev.select("user_id").distinct().select(
+        "user_id", split_of(F.col("user_id")).alias("split")
+    )
+    assigned = ev.join(ua, "user_id").persist()
+    tot = assigned.agg(F.count(F.lit(1)).alias("n"))
+    leak_g = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leak_g"))
+    )
+    leak_n = (
+        ev.select("user_id", split_of(F.col("event_id")).alias("split"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leak_n"))
+    )
+    per = assigned.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak_g))
+        .crossJoin(F.broadcast(leak_n))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events") * 1.0 / F.col("n"), 6).alias(
+                "event_share"
+            ),
+            F.col("leak_g").alias("leaky_users_grouped"),
+            F.col("leak_n").alias("leaky_users_naive"),
+        )
+    )

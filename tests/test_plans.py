@@ -355,6 +355,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row exact-count × 1-row sketch-estimate assembly —
         # both BNLJ sides are scalar aggregates of the CMS cells
         "join_cardinality_sketch",
+        # the 1-row max-normalizer aggregates broadcast back into each
+        # HITS half-round — scalar model state, never the edge plane
+        "graph_hits_bipartite",
+        # 1-row total/leak-count aggregates crossed into the 3-row
+        # per-split census — every BNLJ side is O(1)
+        "data_group_split_audit",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
