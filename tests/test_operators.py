@@ -622,3 +622,53 @@ def test_sorted_neighborhood_pairs_equal_theta_join(spark):
         if 0 < rk[b] - rk[a] <= w
     )
     assert got == want
+
+
+def test_personalized_pagerank_mass_concentrates_at_seeds(spark):
+    """PPR on a barbell of two 3-cliques joined by one bridge: seed
+    node 0 sits in clique A, so every clique-A node must outrank its
+    degree-twin in clique B (teleport mass restarts only at 0), and
+    all scores are nonnegative with seeds flagged correctly."""
+    from spark_query_engine.operators.graph import personalized_pagerank
+
+    # clique A: 0-1-2 (0 is the only seed: 0 % 5 == 0); bridge 2-3;
+    # clique B: 3-4-6 (no multiples of 5)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (3, 6), (4, 6)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = personalized_pagerank(pairs, "id_a", "id_b", seed_mod=5)
+    rows = {r["id"]: (r["is_seed"], r["pr"]) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 6}
+    assert rows[0][0] == 1
+    assert all(f == 0 for i, (f, _) in rows.items() if i != 0)
+    assert all(pr >= 0 for _, pr in rows.values())
+    # seed-side nodes dominate their far-side degree twins
+    assert rows[0][1] > rows[4][1]
+    assert rows[1][1] > rows[4][1]
+    assert rows[2][1] > rows[3][1]  # bridge endpoints: near-seed wins
+    # total mass stays bounded by 1 (teleport + damped spread)
+    assert sum(pr for _, pr in rows.values()) <= 1.0 + 1e-6
+
+
+def test_kmv_estimate_within_theory_error(spark):
+    """KMV estimator sanity on a synthetic set of known cardinality:
+    est = (k-1)*2^48/kth_min over md5 hashes of 20k distinct strings
+    must land within 4/sqrt(k) relative error (4 sigma)."""
+    from pyspark.sql import Window
+
+    n, k = 20000, 256
+    df = spark.range(n).select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("id"))), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    ).distinct()
+    w = Window.orderBy("h")
+    sk = df.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    kth = sk.agg(F.max("h")).collect()[0][0]
+    est = (k - 1) * float(1 << 48) / kth
+    assert abs(est - n) / n < 4.0 / (k ** 0.5)

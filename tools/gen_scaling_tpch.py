@@ -1,0 +1,70 @@
+"""Extend the weak-scaling replicas with orders + customer (the round-5d
+HITS / join-cardinality queries read them). Same replication convention
+as gen_scaling_data.py: replica r shifts every key by r * (max+1), and
+the source maxima line up across tables (max o_orderkey == max
+l_orderkey, max c_custkey == max o_custkey), so replicated joins stay
+replica-internal — each replica is a disjoint copy of the purchase
+graph and truth scales exactly linearly.
+
+Only the columns the scaling queries read are written:
+``orders(o_orderkey, o_custkey)``, ``customer(c_custkey, c_mktsegment)``.
+
+Usage: python tools/gen_scaling_tpch.py [out_root]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def gen(out_root: Path, replicas: int, name: str) -> None:
+    out = out_root / name
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+
+    o = con.execute(
+        f"SELECT o_orderkey, o_custkey FROM read_parquet('{SRC}/orders.parquet')"
+    ).fetchall()
+    max_o = max(r[0] for r in o) + 1
+    max_c = max(r[1] for r in o) + 1
+    okeys, ckeys = [], []
+    for r in range(replicas):
+        okeys.extend(x + r * max_o for x, _ in o)
+        ckeys.extend(c + r * max_c for _, c in o)
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(okeys, pa.int64()),
+                  "o_custkey": pa.array(ckeys, pa.int64())}),
+        out / "orders.parquet",
+    )
+
+    cu = con.execute(
+        f"SELECT c_custkey, c_mktsegment FROM read_parquet('{SRC}/customer.parquet')"
+    ).fetchall()
+    max_cu = max(r[0] for r in cu) + 1
+    assert max_cu == max_c, (max_cu, max_c)
+    keys, segs = [], []
+    for r in range(replicas):
+        for k, seg in cu:
+            keys.append(k + r * max_cu)
+            segs.append(seg)
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(keys, pa.int64()),
+                  "c_mktsegment": pa.array(segs, pa.string())}),
+        out / "customer.parquet",
+    )
+    print(f"{name}: orders {len(okeys)}, customer {len(keys)}")
+
+
+if __name__ == "__main__":
+    root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(
+        "/root/repo/.scaling_data"
+    )
+    gen(root, 3, "sf0.3")
+    gen(root, 10, "sf1")
