@@ -226,6 +226,8 @@ HEADLINE = [
     "graph_ppr_seeds",
     "graph_hits_bipartite",
     "data_group_split_audit",
+    "events_attribution_multitouch",
+    "pipeline_entity_resolution",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -1728,3 +1728,116 @@ def data_sketch_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        p AS (
+            SELECT event_id AS purchase_id, user_id,
+                   ts AS pts, value
+            FROM ev WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, ts AS cts
+            FROM ev WHERE event_type = 'click'
+        ),
+        j AS (
+            SELECT p.purchase_id, p.user_id, p.value,
+                   c.click_id, c.cts
+            FROM p JOIN c ON c.user_id = p.user_id
+            WHERE (c.cts < p.pts
+                   OR (c.cts = p.pts AND c.click_id < p.purchase_id))
+              AND date_diff('microsecond', c.cts, p.pts) <= 604800000000
+        ),
+        r AS (
+            SELECT purchase_id, user_id, value, click_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY purchase_id
+                       ORDER BY cts, click_id
+                   ) AS touch_rank,
+                   COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+            FROM j
+        )
+        SELECT purchase_id, user_id, click_id,
+               CAST(touch_rank AS BIGINT) AS touch_rank,
+               CAST(n_touches AS BIGINT) AS n_touches,
+               ROUND(CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+                          WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                          WHEN touch_rank = 1 THEN CAST(0.4 AS DOUBLE)
+                          WHEN touch_rank = n_touches
+                               THEN CAST(0.4 AS DOUBLE)
+                          ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2)
+                          END * value, 6) AS credit
+        FROM r
+    """,
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-SHAPED (position-based) multi-touch attribution — the
+    fractional-credit counterpart of ``events_attribution_last_touch``:
+    every click in the purchase's 7-day lookback earns a share of the
+    purchase value — 40% to the first touch, 40% to the last, the
+    middle 20% split evenly (degenerating to 100% / 50-50 for 1- and
+    2-touch paths). Credit weights are exact rationals of the touch
+    census, so both engines compute identical doubles before the one
+    terminal ROUND.
+
+    Shape: ONE user-keyed equi-join (purchases x clicks, the range
+    predicate applied post-join) + one purchase-keyed window for
+    (rank, count). The join's fan-out is bounded by the lookback
+    window (clicks/user/7d), the same bound every production
+    attribution job relies on; the strictly-before tie-break on
+    (ts, event_id) keeps same-timestamp click/purchase pairs
+    deterministic. At 100 TB both relations hash-partition on
+    user_id, and the window shuffles once on purchase_id."""
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("cts"),
+    )
+    lag_us = F.unix_micros(F.col("pts").cast("timestamp")) - F.unix_micros(
+        F.col("cts").cast("timestamp")
+    )
+    j = p.join(c, p.user_id == c.c_user_id).where(
+        (
+            (F.col("cts") < F.col("pts"))
+            | (
+                (F.col("cts") == F.col("pts"))
+                & (F.col("click_id") < F.col("purchase_id"))
+            )
+        )
+        & (lag_us <= 604800000000)
+    )
+    wr = W.partitionBy("purchase_id").orderBy("cts", "click_id")
+    wc = W.partitionBy("purchase_id")
+    r = j.select(
+        "purchase_id",
+        "user_id",
+        "value",
+        "click_id",
+        F.row_number().over(wr).alias("touch_rank"),
+        F.count(F.lit(1)).over(wc).alias("n_touches"),
+    )
+    weight = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(F.col("touch_rank") == 1, F.lit(0.4))
+        .when(F.col("touch_rank") == F.col("n_touches"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touches") - 2))
+    )
+    return r.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.col("touch_rank").cast("bigint").alias("touch_rank"),
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.round(weight * F.col("value"), 6).alias("credit"),
+    )

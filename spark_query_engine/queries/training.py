@@ -7667,3 +7667,152 @@ def data_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("leak_n").alias("leaky_users_naive"),
         )
     )
+
+
+@query(
+    "pipeline_entity_resolution",
+    oracle=f"""
+        WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+        pos AS (
+            SELECT name,
+                   2 + (('0x' || substr(md5(name), 1, 8))::BIGINT
+                        % (length(name) - 2)) AS p
+            FROM names
+        ),
+        u AS (
+            SELECT name, name AS orig, 'a' AS src FROM names
+            UNION ALL
+            SELECT substr(name, 1, CAST(p - 1 AS INT))
+                   || substr(name, CAST(p + 1 AS INT), 1000000) AS name,
+                   name AS orig, 'b' AS src
+            FROM pos
+        ),
+        r AS (
+            SELECT *, row_number() OVER (ORDER BY name, src, orig) AS rk
+            FROM u
+        ),
+        mp AS (
+            SELECT x.rk AS ra, y.rk AS rb
+            FROM r x JOIN r y ON y.rk - x.rk BETWEEN 1 AND {{w}}
+            WHERE substr(x.name, 1, 4) = substr(y.name, 1, 4)
+              AND right(x.name, 4) = right(y.name, 4)
+        ),
+        edges AS (SELECT ra AS eu, rb AS ev FROM mp
+                  UNION SELECT rb, ra FROM mp),
+        enodes AS (SELECT DISTINCT eu AS n FROM edges),
+        reach(n, m) AS (
+            SELECT n, n FROM enodes
+            UNION
+            SELECT t.n, e.ev FROM reach t JOIN edges e ON e.eu = t.m
+        ),
+        comp AS (SELECT n AS rk, MIN(m) AS component FROM reach GROUP BY n),
+        lab AS (
+            SELECT r.rk, r.name, r.src, r.orig,
+                   COALESCE(c.component, r.rk) AS component
+            FROM r LEFT JOIN comp c ON c.rk = r.rk
+        ),
+        canon AS (
+            SELECT component, name AS canonical_name,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY component
+                       ORDER BY length(name) DESC, rk
+                   ) AS cn
+            FROM lab
+        )
+        SELECT l.component,
+               COUNT(*) AS n_records,
+               COUNT(DISTINCT l.src) AS n_sources,
+               COUNT(DISTINCT l.orig) AS n_origs,
+               COUNT(DISTINCT l.orig) = 1 AS is_pure,
+               MIN(k.canonical_name) AS canonical_name
+        FROM lab l
+        JOIN canon k ON k.component = l.component AND k.cn = 1
+        GROUP BY l.component
+    """.format(w=8),
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution — the merge/purge pipeline the
+    linkage queries provide pieces of, composed: (1) BLOCK by
+    sorted-neighborhood over the distributed global rank (window 8,
+    the O(n·w) skew-immune candidate set), (2) MATCH by the
+    deterministic prefix4+suffix4 agreement rule (the strongest FS
+    features from ``linkage_fellegi_sunter``'s learned weight table),
+    (3) CLUSTER matched pairs with large-star/small-star connected
+    components, singletons keeping their own record id, and
+    (4) SURVIVORSHIP: each cluster elects a canonical record (longest
+    name, ties to smallest rank — the most-complete-value rule). The
+    census reports cluster size, source coverage, and purity against
+    the planted ground truth (each part name + its one-char-deleted
+    corruption): is_pure=false rows quantify blocking/rule
+    over-merging, exactly what an ER evaluation publishes.
+
+    Scale: global rank is the two-pass range-partitioned ranking (no
+    single-partition window), candidates are a bucketized integer
+    band join, components are O(log n) star-contraction rounds, and
+    survivorship is one window over clusters — nothing all-pairs.
+    Oracle: recursive transitive closure replays the same clusters;
+    the whole pipeline is hash-verified end to end."""
+    from spark_query_engine.operators import linkage as L
+
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pos = names.withColumn(
+        "p",
+        F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("long")
+        % (F.length("name") - F.lit(2))
+        + F.lit(2),
+    )
+    corrupted = pos.select(
+        F.concat(
+            F.expr("substring(name, 1, CAST(p - 1 AS INT))"),
+            F.expr("substring(name, CAST(p + 1 AS INT), 1000000)"),
+        ).alias("name"),
+        F.col("name").alias("orig"),
+        F.lit("b").alias("src"),
+    )
+    u = names.select(
+        "name", F.col("name").alias("orig"), F.lit("a").alias("src")
+    ).unionByName(corrupted)
+    ranked = L.global_rank(u, ["name", "src", "orig"], rank_col="rk")
+    # duplicate the rank into a payload column: sorted_neighborhood_
+    # pairs keeps every column EXCEPT the rank it bands on
+    ranked = ranked.withColumn("rid", F.col("rk")).localCheckpoint()
+    pairs = L.sorted_neighborhood_pairs(ranked, 8, rank_col="rk")
+    matched = pairs.where(
+        (F.substring("a_name", 1, 4) == F.substring("b_name", 1, 4))
+        & (F.expr("right(a_name, 4)") == F.expr("right(b_name, 4)"))
+    ).select(F.col("a_rid").alias("id_a"), F.col("b_rid").alias("id_b"))
+    cc = D.connected_components(matched)
+    lab = ranked.join(
+        cc.withColumnRenamed("id", "rid"), "rid", "left"
+    ).select(
+        "rid",
+        "name",
+        "src",
+        "orig",
+        F.coalesce("component", F.col("rid")).alias("component"),
+    )
+    wc = Window.partitionBy("component").orderBy(
+        F.length("name").desc(), "rid"
+    )
+    canon = (
+        lab.withColumn("cn", F.row_number().over(wc))
+        .where(F.col("cn") == 1)
+        .select("component", F.col("name").alias("canonical_name"))
+    )
+    census = lab.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("src").alias("n_sources"),
+        F.countDistinct("orig").alias("n_origs"),
+    )
+    return census.join(canon, "component").select(
+        "component",
+        "n_records",
+        "n_sources",
+        "n_origs",
+        (F.col("n_origs") == 1).alias("is_pure"),
+        "canonical_name",
+    )
