@@ -228,6 +228,7 @@ HEADLINE = [
     "data_group_split_audit",
     "events_attribution_multitouch",
     "pipeline_entity_resolution",
+    "data_compaction_plan",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

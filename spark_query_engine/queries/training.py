@@ -7816,3 +7816,87 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_origs") == 1).alias("is_pure"),
         "canonical_name",
     )
+
+
+@query(
+    "data_compaction_plan",
+    oracle="""
+        WITH files AS (
+            SELECT source, lang,
+                   CAST(SUM(n_chars) AS BIGINT) AS bytes,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total FROM files),
+        tgt AS (SELECT (total + 15) // 16 AS target FROM tot),
+        planned AS (
+            SELECT source, lang, bytes,
+                   COALESCE(SUM(bytes) OVER (
+                       ORDER BY bytes DESC, source, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prev_cum
+            FROM files
+        )
+        SELECT CAST(prev_cum // (SELECT target FROM tgt) AS BIGINT)
+                   AS bin_id,
+               COUNT(*) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+               MAX(bytes) AS max_file_bytes,
+               MIN(bytes) AS min_file_bytes,
+               ROUND(SUM(bytes) * 1.0 / (SELECT target FROM tgt), 6)
+                   AS fill_ratio
+        FROM planned
+        GROUP BY 1
+    """,
+)
+def data_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planning — the OPTIMIZE/rewrite step every
+    lakehouse table needs: treat each (source, lang) partition as one
+    "file" of SUM(n_chars) bytes, size the compaction target at
+    total/16 (integer arithmetic, engine-identical), and assign files
+    to output bins by the sorted-cumulative rule — order by (size
+    DESC, key), bin = floor(preceding-cumsum / target): big files
+    first, every bin filled to >= target before the next opens (one
+    file may overflow a bin — the standard bound for deterministic
+    one-pass packing; `corpus_token_packing` is the same shape on the
+    row plane). The census per bin (file count, byte mass, fill
+    ratio) is the compaction job's manifest: ~100 input files collapse
+    into 16 target-sized outputs.
+
+    Scale: the window runs on the FILE CATALOG relation — O(files),
+    aggregated metadata, orders of magnitude below the data plane (a
+    100 TB table's manifest is MBs); the data-plane work is one
+    hash aggregate. The 1-row total/target aggregate broadcasts into
+    the catalog relation (bounded-BNLJ class)."""
+    docs = load(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = files.agg(F.sum("bytes").cast("bigint").alias("total"))
+    tgt = tot.select(F.expr("(total + 15) div 16").alias("target"))
+    w = (
+        Window.orderBy(F.col("bytes").desc(), "source", "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "source",
+        "lang",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("prev_cum"),
+    )
+    return (
+        planned.crossJoin(F.broadcast(tgt))
+        .groupBy(
+            F.expr("prev_cum div target").cast("bigint").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+            F.max("bytes").alias("max_file_bytes"),
+            F.min("bytes").alias("min_file_bytes"),
+            F.round(
+                F.sum("bytes") * 1.0 / F.first("target"), 6
+            ).alias("fill_ratio"),
+        )
+    )

@@ -361,6 +361,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row total/leak-count aggregates crossed into the 3-row
         # per-split census — every BNLJ side is O(1)
         "data_group_split_audit",
+        # the 1-row total/target aggregate broadcast into the O(files)
+        # catalog relation — scalar model state
+        "data_compaction_plan",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
@@ -529,6 +532,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         "stats_auc_mannwhitney",
         # midrank running sums over the O(days) value-count relations
         "stats_spearman_daily",
+        # sorted-cumsum packing over the O(files) catalog relation —
+        # aggregated metadata, never the document plane
+        "data_compaction_plan",
     }
 
     def global_windows(plan: str) -> list[str]:
