@@ -229,6 +229,7 @@ HEADLINE = [
     "events_attribution_multitouch",
     "pipeline_entity_resolution",
     "data_compaction_plan",
+    "stats_winsorized_mean",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

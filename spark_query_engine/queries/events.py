@@ -1841,3 +1841,77 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_touches").cast("bigint").alias("n_touches"),
         F.round(weight * F.col("value"), 6).alias("credit"),
     )
+
+
+@query(
+    "stats_winsorized_mean",
+    oracle=f"""
+        WITH ev AS ({EVENTS_ORACLE}),
+        b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM ev WHERE value IS NOT NULL
+            GROUP BY 1
+        ),
+        w AS (
+            SELECT e.event_type,
+                   CASE WHEN e.value < b.lo THEN b.lo
+                        WHEN e.value > b.hi THEN b.hi
+                        ELSE e.value END AS wv,
+                   CASE WHEN e.value < b.lo OR e.value > b.hi
+                        THEN 1 ELSE 0 END AS clipped
+            FROM ev e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+               ROUND(AVG(wv), 6) AS winsorized_mean,
+               ROUND(MIN(wv), 6) AS floor_value,
+               ROUND(MAX(wv), 6) AS cap_value
+        FROM w
+        GROUP BY event_type
+    """,
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean per event type — the robust-aggregation answer
+    to heavy-tailed metric columns (a handful of outliers dominating
+    a plain AVG): clip every value into the [p5, p95] band computed
+    from the data itself, then average. Reported beside the clip
+    census (how many values hit the band) and the realized band — the
+    robust-location triplet next to the median/MAD z-score
+    (``events_anomaly_mad``) and Theil-Sen slope families.
+
+    Shape: one exact-percentile aggregate per type (|types| x 2
+    bounds — bounded model state, broadcast back), then one clipped
+    scan + aggregate; at 100 TB swap ``percentile`` for the
+    ``percentile_approx`` sketch and the plan is one pass. The mean
+    is ROUNDed once at the end (aggregate-of-doubles tolerance, the
+    repo's float discipline); the bounds themselves are exact
+    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the ``agg_percentiles`` parity)."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    w = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+        (
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+        )
+        .cast("int")
+        .alias("clipped"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+        F.round(F.avg("wv"), 6).alias("winsorized_mean"),
+        F.round(F.min("wv"), 6).alias("floor_value"),
+        F.round(F.max("wv"), 6).alias("cap_value"),
+    )
