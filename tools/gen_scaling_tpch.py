@@ -68,3 +68,26 @@ if __name__ == "__main__":
     )
     gen(root, 3, "sf0.3")
     gen(root, 10, "sf1")
+
+
+def gen_part(out_root: Path, replicas: int, name: str) -> None:
+    """part(p_name) replicas for the entity-resolution pipeline:
+    replica r suffixes every name with ' r<r>' — names stay distinct
+    across replicas, each replica contributes its own planted
+    (orig, corrupted) cluster population, so cluster counts scale
+    linearly while name-length statistics shift by a constant."""
+    out = out_root / name
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT p_name FROM read_parquet('{SRC}/part.parquet')"
+    ).fetchall()
+    names = []
+    for r in range(replicas):
+        suffix = "" if r == 0 else f" r{r}"
+        names.extend(n + suffix for (n,) in rows)
+    pq.write_table(
+        pa.table({"p_name": pa.array(names, pa.string())}),
+        out / "part.parquet",
+    )
+    print(f"{name}: part {len(names)}")
