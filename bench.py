@@ -230,6 +230,7 @@ HEADLINE = [
     "pipeline_entity_resolution",
     "data_compaction_plan",
     "stats_winsorized_mean",
+    "join_lateral_topk",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

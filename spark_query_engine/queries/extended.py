@@ -1157,3 +1157,58 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") <= 3).alias("in_strict_top3"),
         )
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey, t.o_totalprice, t.rn
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROW_NUMBER() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL join — the §2.4 surface beyond equi/theta
+    joins: for each MACHINERY customer, the lateral subquery returns
+    that customer's top-3 orders by price. Catalyst DECORRELATES the
+    lateral into a windowed top-k per key (DecorrelateInnerQuery →
+    the same WindowGroupLimit plan ``window_topk_per_group`` gets) —
+    the textbook per-row loop becomes one hash-partitioned window, no
+    nested execution anywhere. The row set is hash-identical to
+    DuckDB's native LATERAL evaluation, certifying the decorrelation
+    is semantics-preserving, not just plan-pretty.
+
+    At 100 TB this is THE pattern for "top-k related rows per entity"
+    served from SQL: one shuffle on the correlation key, per-group
+    state bounded by k."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey, t.o_totalprice, t.rn
+        FROM cust_lat c
+        JOIN LATERAL (
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROW_NUMBER() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM ord_lat
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )
