@@ -231,6 +231,7 @@ HEADLINE = [
     "data_compaction_plan",
     "stats_winsorized_mean",
     "join_lateral_topk",
+    "corpus_perceptron_probe",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -7900,3 +7900,140 @@ def data_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+def _perceptron_feature_sql() -> str:
+    return """
+        f AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                   CAST(1 AS BIGINT) AS x1,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+                   CAST(n_chars AS BIGINT) AS x3,
+                   CAST(length(text) - length(replace(text, 'e', ''))
+                        AS BIGINT) AS x4
+            FROM documents
+        )
+    """
+
+
+def _perceptron_oracle(rounds: int = 3) -> str:
+    """Unrolled batch-perceptron rounds: w0 = 0 so round 1 updates on
+    every row; later rounds update where y*(w·x) <= 0. Pure BIGINT
+    arithmetic end to end."""
+    ctes = [
+        """w1 AS (
+            SELECT SUM(y*x1) AS s1, SUM(y*x2) AS s2,
+                   SUM(y*x3) AS s3, SUM(y*x4) AS s4
+            FROM f
+        )"""
+    ]
+    for t in range(2, rounds + 1):
+        ctes.append(
+            f"""w{t} AS (
+            SELECT w.s1 + SUM(CASE WHEN y*(w.s1*x1 + w.s2*x2 + w.s3*x3
+                                          + w.s4*x4) <= 0
+                                   THEN y*x1 ELSE 0 END) AS s1,
+                   w.s2 + SUM(CASE WHEN y*(w.s1*x1 + w.s2*x2 + w.s3*x3
+                                          + w.s4*x4) <= 0
+                                   THEN y*x2 ELSE 0 END) AS s2,
+                   w.s3 + SUM(CASE WHEN y*(w.s1*x1 + w.s2*x2 + w.s3*x3
+                                          + w.s4*x4) <= 0
+                                   THEN y*x3 ELSE 0 END) AS s3,
+                   w.s4 + SUM(CASE WHEN y*(w.s1*x1 + w.s2*x2 + w.s3*x3
+                                          + w.s4*x4) <= 0
+                                   THEN y*x4 ELSE 0 END) AS s4
+            FROM f CROSS JOIN w{t-1} w
+            GROUP BY w.s1, w.s2, w.s3, w.s4
+        )"""
+        )
+    return ",\n        ".join(ctes)
+
+
+@query(
+    "corpus_perceptron_probe",
+    oracle=f"""
+        WITH {_perceptron_feature_sql().strip()},
+        {_perceptron_oracle(3)}
+        SELECT CAST(w.s1 AS BIGINT) AS w_bias,
+               CAST(w.s2 AS BIGINT) AS w_tokens,
+               CAST(w.s3 AS BIGINT) AS w_chars,
+               CAST(w.s4 AS BIGINT) AS w_echar,
+               CAST(SUM(CASE WHEN y*(w.s1*x1 + w.s2*x2 + w.s3*x3
+                                     + w.s4*x4) <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(CASE WHEN y*(w.s1*x1 + w.s2*x2 + w.s3*x3
+                                      + w.s4*x4) <= 0
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                   AS error_rate
+        FROM f CROSS JOIN w3 w
+        GROUP BY w.s1, w.s2, w.s3, w.s4
+    """,
+)
+def corpus_perceptron_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML TRAINING AS AGGREGATION, exactly: three rounds of the BATCH
+    perceptron (Rosenblatt's update summed over the current error set,
+    w' = w + Σ_err y·x) on integer text features (bias, token count,
+    char count, 'e'-frequency — a crude is-it-English probe), with the
+    weight vector living on the DRIVER as 4 BIGINTs (the BPE-merge /
+    k-means-centroid bounded-model-state discipline) and each round
+    ONE conditional aggregation over the corpus. Every operation is
+    INTEGER — labels ±1, features counts, margins exact products — so
+    the trained weights, the final error census, and the oracle's
+    unrolled 3-round replay agree bit-for-bit: a hash-verified
+    distributed training loop, the property float GD can never give
+    the gate.
+
+    The linguistics is deliberately naive (linearly-inseparable data;
+    the audit REPORTS the realized error rate rather than promising
+    convergence) — the contract under test is the distributed shape:
+    per round, one scan + one 4-long aggregate crossing to the
+    driver; nothing row-scaled leaves the executors; 100 TB changes
+    the scan time, not the model state or the round count."""
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.lit(1).cast("bigint").alias("x1"),
+        F.size(F.split("text", " ")).cast("bigint").alias("x2"),
+        F.col("n_chars").cast("bigint").alias("x3"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("x4"),
+    ).persist()
+    w = [0, 0, 0, 0]
+    for _ in range(3):
+        margin = F.col("y") * sum(
+            F.lit(int(w[i])) * F.col(f"x{i+1}") for i in range(4)
+        )
+        upd = F.when(margin <= 0, F.col("y")).otherwise(F.lit(0))
+        delta = f.agg(
+            *[
+                F.sum(upd * F.col(f"x{i+1}")).alias(f"d{i+1}")
+                for i in range(4)
+            ]
+        ).collect()[0]  # 4 longs — bounded driver model state
+        w = [w[i] + int(delta[f"d{i+1}"]) for i in range(4)]
+    margin = F.col("y") * sum(
+        F.lit(int(w[i])) * F.col(f"x{i+1}") for i in range(4)
+    )
+    out = f.agg(
+        F.sum(F.when(margin <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.lit(w[0]).cast("bigint").alias("w_bias"),
+        F.lit(w[1]).cast("bigint").alias("w_tokens"),
+        F.lit(w[2]).cast("bigint").alias("w_chars"),
+        F.lit(w[3]).cast("bigint").alias("w_echar"),
+        "n_errors",
+        "n_rows",
+        F.round(F.col("n_errors") * 1.0 / F.col("n_rows"), 6).alias(
+            "error_rate"
+        ),
+    )
+    f.unpersist()
+    return out
