@@ -232,6 +232,7 @@ HEADLINE = [
     "stats_winsorized_mean",
     "join_lateral_topk",
     "corpus_perceptron_probe",
+    "events_survival_km",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -8037,3 +8037,149 @@ def corpus_perceptron_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f.unpersist()
     return out
+
+
+@query(
+    "events_survival_km",
+    oracle=f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        gm AS (SELECT MAX(d) AS dmax FROM ev),
+        pu AS (
+            SELECT user_id,
+                   MIN(d) AS first_day,
+                   MIN(CASE WHEN event_type = 'purchase' THEN d END)
+                       AS purch_day
+            FROM ev GROUP BY 1
+        ),
+        subj AS (
+            SELECT CASE WHEN purch_day IS NOT NULL
+                        THEN DATEDIFF('day', first_day, purch_day)
+                        ELSE DATEDIFF('day', first_day,
+                                      (SELECT dmax FROM gm)) END AS dur,
+                   CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END
+                       AS ev_flag
+            FROM pu
+        ),
+        rt0 AS (
+            SELECT dur,
+                   CAST(SUM(ev_flag) AS BIGINT) AS d,
+                   CAST(SUM(1 - ev_flag) AS BIGINT) AS c
+            FROM subj GROUP BY 1
+        ),
+        rt AS (
+            SELECT dur, d, c,
+                   CAST((SELECT SUM(d + c) FROM rt0)
+                        - COALESCE(SUM(d + c) OVER (
+                              ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (ORDER BY dur) AS rn
+            FROM rt0
+        ),
+        km(rn, s) AS (
+            SELECT 0, CAST(1.0 AS DOUBLE)
+            UNION ALL
+            SELECT km.rn + 1,
+                   km.s * (CAST(1.0 AS DOUBLE)
+                           - CAST(rt.d AS DOUBLE) / rt.n)
+            FROM km JOIN rt ON rt.rn = km.rn + 1
+        )
+        SELECT CAST(rt.dur AS BIGINT) AS duration_days,
+               rt.n AS n_risk,
+               rt.d AS n_events,
+               rt.c AS n_censored,
+               FLOOR(1000000.0 * km.s + 0.5) / 1000000.0 AS survival
+        FROM rt JOIN km ON km.rn = rt.rn
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimation of time-to-first-purchase with
+    RIGHT CENSORING — the correct answer to "how long until users
+    convert" when most users have not converted yet (dropping them
+    biases the naive average; KM keeps them in the risk set until
+    their last observed day): per duration day, the risk table
+    (n at risk, events, censored) and the product-limit curve
+    S(t) = prod_{s<=t} (1 - d_s/n_s).
+
+    Determinism: the product chain is SEQUENTIAL by definition — both
+    engines run the identical IEEE multiply chain over the BOUNDED
+    O(days) risk table (DuckDB via a recursive CTE, Spark via the
+    Holt-backtest driver recursion), each factor a double quotient of
+    exact integers, floor-half-up 6dp only at display. The risk table
+    itself is all-integer (hash-exact).
+
+    Scale: the data plane is two user-keyed aggregates (first event,
+    first purchase); everything after runs on the O(days) risk table
+    — driver state is that bounded table, the corpus_bpe_train
+    discipline. The global cumsum window also runs on it (bounded
+    metadata, never events)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    )
+    gm = ev.agg(F.max("d").alias("dmax"))
+    pu = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("d"))
+        ).alias("purch_day"),
+    )
+    subj = pu.crossJoin(F.broadcast(gm)).select(
+        F.when(
+            F.col("purch_day").isNotNull(),
+            F.datediff("purch_day", "first_day"),
+        )
+        .otherwise(F.datediff("dmax", "first_day"))
+        .alias("dur"),
+        F.when(F.col("purch_day").isNotNull(), 1).otherwise(0).alias(
+            "ev_flag"
+        ),
+    )
+    rt0 = subj.groupBy("dur").agg(
+        F.sum("ev_flag").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev_flag")).cast("bigint").alias("c"),
+    )
+    tot = rt0.agg(F.sum(F.col("d") + F.col("c")).alias("total"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    rt = (
+        rt0.crossJoin(F.broadcast(tot))
+        .select(
+            "dur",
+            "d",
+            "c",
+            (
+                F.col("total")
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n"),
+        )
+    )
+    # bounded driver model state: the O(days) risk table drives the
+    # sequential product-limit chain (the Holt-backtest discipline)
+    rows = sorted(
+        (r["dur"], r["d"], r["n"]) for r in rt.select("dur", "d", "n").collect()
+    )
+    s = 1.0
+    surv = []
+    for dur, d, n in rows:
+        s = s * (1.0 - float(d) / n)
+        surv.append((int(dur), s))
+    sdf = F.broadcast(
+        rt.sparkSession.createDataFrame(surv, "dur long, s double")
+    )
+    return rt.join(sdf, "dur").select(
+        F.col("dur").cast("bigint").alias("duration_days"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        (F.floor(F.lit(1000000.0) * F.col("s") + 0.5) / 1000000.0).alias(
+            "survival"
+        ),
+    )

@@ -364,6 +364,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row total/target aggregate broadcast into the O(files)
         # catalog relation — scalar model state
         "data_compaction_plan",
+        # the 1-row global-max-day / total aggregates broadcast into
+        # the user relation and O(days) risk table — scalar state
+        "events_survival_km",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
@@ -535,6 +538,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # sorted-cumsum packing over the O(files) catalog relation —
         # aggregated metadata, never the document plane
         "data_compaction_plan",
+        # at-risk cumsum over the O(days) risk table — bounded
+        # aggregated metadata, never the event plane
+        "events_survival_km",
     }
 
     def global_windows(plan: str) -> list[str]:
