@@ -233,6 +233,7 @@ HEADLINE = [
     "join_lateral_topk",
     "corpus_perceptron_probe",
     "events_survival_km",
+    "stats_logrank_cohorts",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

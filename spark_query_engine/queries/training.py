@@ -8183,3 +8183,183 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+@query(
+    "stats_logrank_cohorts",
+    oracle=f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        gm AS (SELECT MAX(d) AS dmax FROM ev),
+        pu AS (
+            SELECT user_id,
+                   MIN(d) AS first_day,
+                   MIN(CASE WHEN event_type = 'purchase' THEN d END)
+                       AS purch_day,
+                   CAST(user_id % 2 AS BIGINT) AS grp
+            FROM ev GROUP BY 1, user_id % 2
+        ),
+        subj AS (
+            SELECT grp,
+                   CASE WHEN purch_day IS NOT NULL
+                        THEN DATEDIFF('day', first_day, purch_day)
+                        ELSE DATEDIFF('day', first_day,
+                                      (SELECT dmax FROM gm)) END AS dur,
+                   CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END
+                       AS ev_flag
+            FROM pu
+        ),
+        rt0 AS (
+            SELECT dur,
+                   CAST(SUM(CASE WHEN grp = 1 THEN ev_flag
+                                 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN grp = 0 THEN ev_flag
+                                 ELSE 0 END) AS BIGINT) AS d0,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a1,
+                   CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a0
+            FROM rt0_subj GROUP BY 1
+        ),
+        rt0_subj AS (SELECT * FROM subj),
+        rt AS (
+            SELECT dur, d1, d0, d1 + d0 AS d,
+                   CAST((SELECT SUM(a1) FROM rt0)
+                        - COALESCE(SUM(a1) OVER (
+                              ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n1,
+                   CAST((SELECT SUM(a0) FROM rt0)
+                        - COALESCE(SUM(a0) OVER (
+                              ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n0,
+                   ROW_NUMBER() OVER (ORDER BY dur) AS rn
+            FROM rt0
+        ),
+        acc(rn, e1, v) AS (
+            SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+            UNION ALL
+            SELECT acc.rn + 1,
+                   acc.e1 + CAST(rt.n1 AS DOUBLE) * rt.d
+                            / (rt.n1 + rt.n0),
+                   acc.v + CASE WHEN rt.n1 + rt.n0 > 1
+                                THEN CAST(rt.n1 AS DOUBLE) * rt.n0
+                                     * rt.d * (rt.n1 + rt.n0 - rt.d)
+                                     / (CAST(rt.n1 + rt.n0 AS DOUBLE)
+                                        * (rt.n1 + rt.n0)
+                                        * (rt.n1 + rt.n0 - 1))
+                                ELSE CAST(0.0 AS DOUBLE) END
+            FROM acc JOIN rt ON rt.rn = acc.rn + 1
+        ),
+        fin AS (
+            SELECT e1, v FROM acc
+            WHERE rn = (SELECT MAX(rn) FROM rt)
+        )
+        SELECT (SELECT CAST(SUM(d1) AS BIGINT) FROM rt0) AS observed_1,
+               (SELECT CAST(SUM(d0) AS BIGINT) FROM rt0) AS observed_0,
+               FLOOR(1000000.0 * e1 + 0.5) / 1000000.0 AS expected_1,
+               FLOOR(1000000.0 * v + 0.5) / 1000000.0 AS variance,
+               FLOOR(1000000.0
+                     * (((SELECT SUM(d1) FROM rt0) - e1)
+                        * ((SELECT SUM(d1) FROM rt0) - e1) / v)
+                     + 0.5) / 1000000.0 AS chi2
+        FROM fin
+    """,
+)
+def stats_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST between two conversion-survival cohorts — the
+    hypothesis test that belongs on top of the ``events_survival_km``
+    curve, run here as the A/A NEGATIVE CONTROL every experimentation
+    platform ships: cohorts are a deterministic user_id-parity split,
+    so the null of identical hazards is TRUE by construction and a
+    large chi-square would indict the harness itself (assignment
+    imbalance, risk-set bookkeeping), not the users. At every
+    duration day, compare observed group-1 events d1 against the
+    expectation n1*d/n under the null, folding the per-day (O-E) and
+    hypergeometric variance terms into the 1-df chi-square.
+
+    Determinism: the risk table is all-integer (the KM audit); the
+    E and V accumulations are SEQUENTIAL float chains over the
+    bounded O(days) table — recursive CTE on DuckDB, driver loop on
+    Spark, identical IEEE order, floor-half-up 6dp at display only.
+
+    Scale: identical cost model to events_survival_km — two
+    user-keyed aggregates on the data plane, everything else on the
+    bounded risk table."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    )
+    gm = ev.agg(F.max("d").alias("dmax"))
+    pu = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("d"))
+        ).alias("purch_day"),
+    )
+    pu = pu.withColumn("grp", (F.col("user_id") % 2).cast("bigint"))
+    subj = pu.crossJoin(F.broadcast(gm)).select(
+        "grp",
+        F.when(
+            F.col("purch_day").isNotNull(),
+            F.datediff("purch_day", "first_day"),
+        )
+        .otherwise(F.datediff("dmax", "first_day"))
+        .alias("dur"),
+        F.when(F.col("purch_day").isNotNull(), 1).otherwise(0).alias(
+            "ev_flag"
+        ),
+    )
+    rt0 = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("ev_flag")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("ev_flag")).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a0"),
+    )
+    # bounded O(days) risk table → driver-side sequential E/V chains
+    rows = sorted(
+        (r["dur"], r["d1"], r["d0"], r["a1"], r["a0"])
+        for r in rt0.collect()
+    )
+    tot1 = sum(r[3] for r in rows)
+    tot0 = sum(r[4] for r in rows)
+    o1 = sum(r[1] for r in rows)
+    o0 = sum(r[2] for r in rows)
+    n1, n0 = tot1, tot0
+    e1 = 0.0
+    v = 0.0
+    for dur, d1, d0, a1, a0 in rows:
+        d = d1 + d0
+        n = n1 + n0
+        e1 = e1 + float(n1) * d / n
+        if n > 1:
+            v = v + float(n1) * n0 * d * (n - d) / (float(n) * n * (n - 1))
+        n1 -= a1
+        n0 -= a0
+    chi2 = (o1 - e1) * (o1 - e1) / v
+    import math
+
+    def fhu(x: float) -> float:
+        return math.floor(1000000.0 * x + 0.5) / 1000000.0
+
+    out = rt0.sparkSession.createDataFrame(
+        [(int(o1), int(o0), fhu(e1), fhu(v), fhu(chi2))],
+        "observed_1 long, observed_0 long, expected_1 double, "
+        "variance double, chi2 double",
+    )
+    return out
