@@ -234,6 +234,7 @@ HEADLINE = [
     "corpus_perceptron_probe",
     "events_survival_km",
     "stats_logrank_cohorts",
+    "stats_cuped_adjusted",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -8363,3 +8363,156 @@ def stats_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variance double, chi2 double",
     )
     return out
+
+
+@query(
+    "stats_cuped_adjusted",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        m AS (SELECT MIN(d) AS d0 FROM ev),
+        u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS BIGINT) AS arm,
+                   CAST(SUM(CASE WHEN DATEDIFF('day',
+                                               (SELECT d0 FROM m), d) < 15
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN DATEDIFF('day',
+                                               (SELECT d0 FROM m), d) >= 15
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM ev GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x*x) AS BIGINT) AS sxx,
+                   CAST(SUM(y*y) AS BIGINT) AS syy,
+                   CAST(SUM(x*y) AS BIGINT) AS sxy
+            FROM u
+        ),
+        q AS (
+            SELECT n, sx, sy,
+                   (n*sxy - sx*sy) AS covn,
+                   (n*sxx - sx*sx) AS varxn,
+                   (n*syy - sy*sy) AS varyn
+            FROM g
+        ),
+        a AS (
+            SELECT arm, COUNT(*) AS n_users,
+                   CAST(SUM(x) AS BIGINT) AS asx,
+                   CAST(SUM(y) AS BIGINT) AS asy
+            FROM u GROUP BY 1
+        )
+        SELECT a.arm,
+               a.n_users,
+               FLOOR(1000000.0 * a.asy / a.n_users + 0.5) / 1000000.0
+                   AS mean_post,
+               FLOOR(1000000.0
+                     * (CAST(a.asy AS DOUBLE) / a.n_users
+                        - (CAST(q.covn AS DOUBLE) / q.varxn)
+                          * (CAST(a.asx AS DOUBLE) / a.n_users
+                             - CAST(q.sx AS DOUBLE) / q.n))
+                     + 0.5) / 1000000.0 AS cuped_mean_post,
+               FLOOR(1000000.0 * q.covn / q.varxn + 0.5) / 1000000.0
+                   AS theta,
+               FLOOR(1000000.0
+                     * (CAST(q.covn AS DOUBLE) * q.covn)
+                       / (CAST(q.varxn AS DOUBLE) * q.varyn)
+                     + 0.5) / 1000000.0 AS var_reduction
+        FROM a CROSS JOIN q
+    """,
+)
+def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM 2013) — the variance-reduction estimator every large A/B
+    platform applies before reading a metric: per user, the
+    POST-period activity count is adjusted by theta times the
+    PRE-period count (theta = cov(pre,post)/var(pre)), shrinking the
+    metric's variance by the squared correlation (reported as
+    ``var_reduction``) so the same experiment detects effects
+    var_reduction-fraction sooner. Arms are the user_id-parity A/A
+    split (no true effect — the adjusted means of the two arms should
+    coincide more tightly than the raw means, which is the point).
+
+    Determinism: pre/post are INTEGER event counts, all moments are
+    exact BIGINT sums (the covariance-matrix discipline), theta and
+    every mean are single divisions of exact integers, floor-half-up
+    6dp at display — no float accumulates anywhere.
+
+    Scale: one user-keyed count aggregate (data plane), one 6-long
+    moment aggregate, one 2-row arm census; the moment/arm relations
+    are bounded model state."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    )
+    m = ev.agg(F.min("d").alias("d0"))
+    u = (
+        ev.crossJoin(F.broadcast(m))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.datediff("d", "d0") < 15, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.datediff("d", "d0") >= 15, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+        .persist()
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    q = g.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "covn"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "varxn"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "varyn"
+        ),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("bigint").alias("asx"),
+        F.sum("y").cast("bigint").alias("asy"),
+    )
+
+    def fhu(col):
+        return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
+
+    return a.crossJoin(F.broadcast(q)).select(
+        "arm",
+        "n_users",
+        fhu(F.col("asy") / F.col("n_users")).alias("mean_post"),
+        fhu(
+            F.col("asy").cast("double") / F.col("n_users")
+            - (F.col("covn").cast("double") / F.col("varxn"))
+            * (
+                F.col("asx").cast("double") / F.col("n_users")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+        ).alias("cuped_mean_post"),
+        fhu(F.col("covn") / F.col("varxn")).alias("theta"),
+        fhu(
+            (F.col("covn").cast("double") * F.col("covn"))
+            / (F.col("varxn").cast("double") * F.col("varyn"))
+        ).alias("var_reduction"),
+    )

@@ -367,6 +367,10 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row global-max-day / total aggregates broadcast into
         # the user relation and O(days) risk table — scalar state
         "events_survival_km",
+        # the 1-row min-day broadcast into the event scan and the
+        # 1-row moment aggregate crossed with the 2-row arm census —
+        # every BNLJ side is scalar model state
+        "stats_cuped_adjusted",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
