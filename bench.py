@@ -235,6 +235,10 @@ HEADLINE = [
     "events_survival_km",
     "stats_logrank_cohorts",
     "stats_cuped_adjusted",
+    "stats_srm_check",
+    "stats_power_mde",
+    "stats_jackknife_ratio",
+    "stats_msprt_sequential",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

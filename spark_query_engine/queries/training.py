@@ -8516,3 +8516,539 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("varxn").cast("double") * F.col("varyn"))
         ).alias("var_reduction"),
     )
+
+
+@query(
+    "stats_srm_check",
+    oracle=f"""
+        WITH u AS (
+            SELECT DISTINCT user_id
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        a AS (
+            SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS arm
+            FROM u
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS obs0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS obs1
+            FROM a
+        ),
+        x AS (
+            SELECT n, obs0, obs1,
+                   FLOOR(1000000.0
+                         * (CAST((3*obs0 - n) * (3*obs0 - n) AS DOUBLE)
+                              / (3.0 * n)
+                            + CAST((3*obs1 - 2*n) * (3*obs1 - 2*n)
+                                   AS DOUBLE) / (6.0 * n))
+                         + 0.5) / 1000000.0 AS chi2
+            FROM c
+        )
+        SELECT n AS n_users, obs0 AS obs_0, obs1 AS obs_1,
+               FLOOR(1000000.0 * n / 3.0 + 0.5) / 1000000.0
+                   AS expected_0,
+               chi2,
+               CAST(CASE WHEN chi2 > CAST(3.841459 AS DOUBLE)
+                         THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+        FROM x
+    """,
+)
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check — the first gate every A/B readout
+    passes: a 1-df chi-square of the observed arm census against the
+    DESIGNED traffic split. Here the design is a deliberate 1/3 : 2/3
+    split (arm 0 = user_id divisible by 3), so the test exercises the
+    general weighted-expectation machinery rather than the degenerate
+    50/50 case; an SRM flag (chi2 > 3.841459, the 95% critical value)
+    means the assignment plumbing dropped users non-randomly and the
+    experiment readout cannot be trusted.
+
+    Determinism: obs counts are exact BIGINTs; the chi-square is
+    algebraically restated over integer numerators —
+    (3*obs0 - n)^2/(3n) + (3*obs1 - 2n)^2/(6n) — so each term is one
+    exact-integer division and the statistic is a fixed two-term sum,
+    floor-half-up 6dp; the flag compares the ROUNDED value so both
+    engines decide from the same double.
+
+    Scale: one distinct-user aggregate on the data plane; everything
+    downstream is a 1-row relation."""
+    u = load(spark, sf_dir, "events").select("user_id").distinct()
+    a = u.select(
+        F.when(F.col("user_id") % 3 == 0, 0).otherwise(1).alias("arm")
+    )
+    c = a.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("obs0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("obs1"),
+    )
+
+    def fhu(col):
+        return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
+
+    n, o0, o1 = F.col("n"), F.col("obs0"), F.col("obs1")
+    chi2 = fhu(
+        ((3 * o0 - n) * (3 * o0 - n)).cast("double") / (F.lit(3.0) * n)
+        + ((3 * o1 - 2 * n) * (3 * o1 - 2 * n)).cast("double")
+        / (F.lit(6.0) * n)
+    )
+    x = c.select("n", "obs0", "obs1", chi2.alias("chi2"))
+    return x.select(
+        F.col("n").alias("n_users"),
+        F.col("obs0").alias("obs_0"),
+        F.col("obs1").alias("obs_1"),
+        fhu(F.col("n") / F.lit(3.0)).alias("expected_0"),
+        "chi2",
+        F.when(F.col("chi2") > F.lit(3.841459), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("srm_detected"),
+    )
+
+
+@query(
+    "stats_power_mde",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id FROM ({EVENTS_ORACLE}) e
+        ),
+        u AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+            FROM ev GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x*x) AS BIGINT) AS sxx,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n1
+            FROM u
+        ),
+        v AS (
+            SELECT n, n0, n1,
+                   CAST(sx AS DOUBLE) / n AS mean_x,
+                   CAST(n*sxx - sx*sx AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1)) AS var_x
+            FROM m
+        ),
+        d AS (
+            SELECT n, n0, n1, mean_x, var_x,
+                   CAST(2.801585 AS DOUBLE)
+                       * SQRT(var_x * (CAST(1.0 AS DOUBLE) / n0
+                                       + CAST(1.0 AS DOUBLE) / n1))
+                       AS mde
+            FROM v
+        )
+        SELECT n AS n_users, n0 AS n_arm0, n1 AS n_arm1,
+               FLOOR(1000000.0 * mean_x + 0.5) / 1000000.0 AS mean_x,
+               FLOOR(1000000.0 * var_x + 0.5) / 1000000.0 AS var_x,
+               FLOOR(1000000.0 * mde + 0.5) / 1000000.0 AS mde_abs,
+               FLOOR(1000000.0 * (mde / mean_x) + 0.5) / 1000000.0
+                   AS mde_rel
+        FROM d
+    """,
+)
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER ANALYSIS / minimum-detectable-effect — the sizing
+    calculation run BEFORE any experiment ships: for the
+    events-per-user metric under the user_id-parity split, the
+    smallest true lift detectable at alpha=0.05 (two-sided) with 80%
+    power is (z_{{0.975}} + z_{{0.80}}) * sqrt(var * (1/n0 + 1/n1)) =
+    2.801585 * SE. Reported absolute and relative to the metric mean
+    — the number a PM reads to decide if the experiment is worth
+    running at the current traffic level.
+
+    Determinism: per-user counts are exact BIGINTs; variance is the
+    exact-integer-moment form (n*sxx - sx^2)/(n*(n-1)); the z-sum is
+    a double literal; SQRT is IEEE-exact; floor-half-up 6dp.
+
+    Scale: one user-keyed count aggregate, then a 1-row moment
+    relation — identical cost model to stats_cuped_adjusted."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    v = m.select(
+        "n",
+        "n0",
+        "n1",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_x"),
+    )
+    d = v.select(
+        "n",
+        "n0",
+        "n1",
+        "mean_x",
+        "var_x",
+        (
+            F.lit(2.801585)
+            * F.sqrt(
+                F.col("var_x")
+                * (
+                    F.lit(1.0) / F.col("n0")
+                    + F.lit(1.0) / F.col("n1")
+                )
+            )
+        ).alias("mde"),
+    )
+
+    def fhu(col):
+        return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
+
+    return d.select(
+        F.col("n").alias("n_users"),
+        F.col("n0").alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        fhu(F.col("mean_x")).alias("mean_x"),
+        fhu(F.col("var_x")).alias("var_x"),
+        fhu(F.col("mde")).alias("mde_abs"),
+        fhu(F.col("mde") / F.col("mean_x")).alias("mde_rel"),
+    )
+
+
+@query(
+    "stats_jackknife_ratio",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        day AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM ev GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS b,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM day
+        ),
+        q AS (
+            SELECT CAST(FLOOR(1000000.0
+                              * (CAST(sy - y AS DOUBLE) / (sx - x))
+                              + 0.5) AS BIGINT) AS qi
+            FROM day CROSS JOIN tot
+        ),
+        s AS (
+            SELECT CAST(SUM(qi) AS BIGINT) AS sq FROM q
+        ),
+        ss AS (
+            SELECT CAST(SUM((t.b * qi - sq) * (t.b * qi - sq))
+                        AS BIGINT) AS ssd
+            FROM q CROSS JOIN s CROSS JOIN tot t
+        )
+        SELECT t.b AS b_days,
+               FLOOR(1000000.0 * (CAST(t.sy AS DOUBLE) / t.sx) + 0.5)
+                   / 1000000.0 AS ratio_overall,
+               FLOOR(1000000000.0
+                     * SQRT(CAST(t.b - 1 AS DOUBLE) * ss.ssd
+                            / (CAST(t.b AS DOUBLE) * t.b * t.b
+                               * 1000000000000.0))
+                     + 0.5) / 1000000000.0 AS jk_se
+        FROM tot t CROSS JOIN ss
+    """,
+)
+def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-BUCKET JACKKNIFE standard error of a RATIO metric —
+    how every experimentation platform puts a confidence interval on
+    purchases-per-event (a ratio of two sums, whose naive per-unit
+    variance formula is wrong because numerator and denominator are
+    correlated): recompute the ratio leaving out each day-bucket i,
+    R_(i) = (SY-y_i)/(SX-x_i), and take
+    SE^2 = (B-1)/B * sum_i (R_(i) - mean R_(i))^2.
+
+    Determinism: the one float step per bucket — the leave-one-out
+    division — is immediately quantized to a 1e6-scaled BIGINT
+    (floor-half-up of a single exact-operand division, identical on
+    both engines); the mean and squared-deviation sums then run in
+    EXACT integers as sum (B*q_i - sum q)^2, and the final SE is one
+    sqrt of one division. No float ever enters a multi-row SUM.
+
+    Scale: one day-keyed aggregate on the data plane; the jackknife
+    itself runs on the bounded O(days) bucket relation."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    )
+    day = ev.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    tot = day.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    q = day.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            F.lit(1000000.0)
+            * ((F.col("sy") - F.col("y")).cast("double")
+               / (F.col("sx") - F.col("x")))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("qi")
+    )
+    s = q.agg(F.sum("qi").cast("bigint").alias("sq"))
+    ss = (
+        q.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("b") * F.col("qi") - F.col("sq"))
+                * (F.col("b") * F.col("qi") - F.col("sq"))
+            )
+            .cast("bigint")
+            .alias("ssd")
+        )
+    )
+    return tot.crossJoin(F.broadcast(ss)).select(
+        F.col("b").alias("b_days"),
+        (
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("sy").cast("double") / F.col("sx"))
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("ratio_overall"),
+        (
+            F.floor(
+                F.lit(1000000000.0)
+                * F.sqrt(
+                    (F.col("b") - 1).cast("double")
+                    * F.col("ssd")
+                    / (
+                        F.col("b").cast("double")
+                        * F.col("b")
+                        * F.col("b")
+                        * F.lit(1000000000000.0)
+                    )
+                )
+                + 0.5
+            )
+            / 1000000000.0
+        ).alias("jk_se"),
+    )
+
+
+@query(
+    "stats_msprt_sequential",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        pu AS (
+            SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+                   MIN(d) AS first_day,
+                   MIN(CASE WHEN event_type = 'purchase' THEN d END)
+                       AS purch_day
+            FROM ev GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT d FROM ev),
+        arms AS (SELECT CAST(0 AS BIGINT) AS arm
+                 UNION ALL SELECT CAST(1 AS BIGINT)),
+        inc AS (
+            SELECT arm, first_day AS d, CAST(COUNT(*) AS BIGINT) AS en
+            FROM pu GROUP BY 1, 2
+        ),
+        incc AS (
+            SELECT arm, purch_day AS d, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM pu WHERE purch_day IS NOT NULL GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT a.arm, dd.d,
+                   COALESCE(en, 0) AS en, COALESCE(cn, 0) AS cn
+            FROM arms a CROSS JOIN days dd
+            LEFT JOIN inc ON inc.arm = a.arm AND inc.d = dd.d
+            LEFT JOIN incc ON incc.arm = a.arm AND incc.d = dd.d
+        ),
+        cum AS (
+            SELECT arm, d,
+                   CAST(SUM(en) OVER (PARTITION BY arm ORDER BY d)
+                        AS BIGINT) AS n,
+                   CAST(SUM(cn) OVER (PARTITION BY arm ORDER BY d)
+                        AS BIGINT) AS c
+            FROM g
+        ),
+        j AS (
+            SELECT a.d, a.n AS n1, a.c AS c1, b.n AS n0, b.c AS c0
+            FROM cum a JOIN cum b ON a.d = b.d
+            WHERE a.arm = 1 AND b.arm = 0
+        ),
+        s AS (
+            SELECT d, n1, c1, n0, c0,
+                   CAST(c1 + c0 AS DOUBLE) / (n1 + n0) AS p,
+                   CAST(c1 AS DOUBLE) / n1
+                       - CAST(c0 AS DOUBLE) / n0 AS diff
+            FROM j
+            WHERE n1 > 0 AND n0 > 0
+              AND c1 + c0 > 0 AND c1 + c0 < n1 + n0
+        ),
+        v AS (
+            SELECT d, n1, c1, n0, c0, diff,
+                   p * (1 - p) * (CAST(1.0 AS DOUBLE) / n1
+                                  + CAST(1.0 AS DOUBLE) / n0) AS vv
+            FROM s
+        ),
+        l AS (
+            SELECT d, n1, c1, n0, c0,
+                   FLOOR(1000000.0
+                         * (CAST(0.5 AS DOUBLE)
+                              * LN(vv / (vv + CAST(0.0001 AS DOUBLE)))
+                            + diff * diff * CAST(0.0001 AS DOUBLE)
+                              / (2 * vv
+                                 * (vv + CAST(0.0001 AS DOUBLE))))
+                         + 0.5) / 1000000.0 AS log_lambda
+            FROM v
+        )
+        SELECT d, n1, c1, n0, c0, log_lambda,
+               CAST(CASE WHEN log_lambda > CAST(2.995732 AS DOUBLE)
+                         THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        FROM l
+    """,
+)
+def stats_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALWAYS-VALID SEQUENTIAL TEST (mixture SPRT, Johari et al.
+    "Peeking at A/B tests", KDD 2017) — the statistic that lets an
+    experimenter look at the dashboard EVERY DAY without inflating
+    false positives: for the conversion-rate difference between the
+    user_id-parity arms (an A/A null by construction), the mixture
+    likelihood ratio against N(0, tau^2=1e-4) is
+    log Lambda_t = 0.5*ln(V/(V+tau^2)) + diff^2*tau^2/(2V(V+tau^2)),
+    computed at every day t from the CUMULATIVE exposure/conversion
+    counts; the test rejects the first day log Lambda crosses
+    ln(1/alpha) = ln 20. On this A/A split the `rejected` column
+    staying all-zero IS the assertion.
+
+    Determinism: cumulative n/c are exact BIGINT window sums over the
+    bounded day grid; p, diff, V and log Lambda are per-row
+    closed-form expressions of those integers written with identical
+    association on both engines (one LN, one division chain each),
+    floor-half-up 6dp; the rejection flag compares the ROUNDED value.
+
+    Scale: one user-keyed aggregate on the data plane; the sequential
+    monitor itself is a window over the O(days) grid — exactly the
+    shape of a daily metrics rollup at any corpus size."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("d"))
+        ).alias("purch_day"),
+    )
+    pu = pu.withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    days = ev.select("d").distinct()
+    arms = spark.createDataFrame([(0,), (1,)], "arm bigint")
+    inc = pu.groupBy("arm", F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("en")
+    )
+    incc = (
+        pu.where(F.col("purch_day").isNotNull())
+        .groupBy("arm", F.col("purch_day").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    g = (
+        arms.crossJoin(days)
+        .join(inc, ["arm", "d"], "left")
+        .join(incc, ["arm", "d"], "left")
+        .fillna(0, subset=["en", "cn"])
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "arm",
+        "d",
+        F.sum("en").over(w).cast("bigint").alias("n"),
+        F.sum("cn").over(w).cast("bigint").alias("c"),
+    )
+    a = cum.where(F.col("arm") == 1).select(
+        "d", F.col("n").alias("n1"), F.col("c").alias("c1")
+    )
+    b = cum.where(F.col("arm") == 0).select(
+        "d", F.col("n").alias("n0"), F.col("c").alias("c0")
+    )
+    j = a.join(b, "d")
+    n1, c1, n0, c0 = (F.col(x) for x in ("n1", "c1", "n0", "c0"))
+    s = j.where(
+        (n1 > 0) & (n0 > 0) & (c1 + c0 > 0) & (c1 + c0 < n1 + n0)
+    ).select(
+        "d",
+        "n1",
+        "c1",
+        "n0",
+        "c0",
+        ((c1 + c0).cast("double") / (n1 + n0)).alias("p"),
+        (c1.cast("double") / n1 - c0.cast("double") / n0).alias("diff"),
+    )
+    # association mirrors the oracle exactly: 1/n1 + 1/n0
+    v = s.select(
+        "d",
+        "n1",
+        "c1",
+        "n0",
+        "c0",
+        "diff",
+        (
+            F.col("p")
+            * (1 - F.col("p"))
+            * (F.lit(1.0) / n1 + F.lit(1.0) / n0)
+        ).alias("vv"),
+    )
+    tau2 = F.lit(0.0001)
+    vv, diff = F.col("vv"), F.col("diff")
+    ll = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.lit(0.5) * F.log(vv / (vv + tau2))
+            + diff * diff * tau2 / (2 * vv * (vv + tau2))
+        )
+        + 0.5
+    ) / 1000000.0
+    out = v.select(
+        "d", "n1", "c1", "n0", "c0", ll.alias("log_lambda")
+    )
+    return out.select(
+        "*",
+        F.when(F.col("log_lambda") > F.lit(2.995732), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    )

@@ -371,6 +371,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row moment aggregate crossed with the 2-row arm census —
         # every BNLJ side is scalar model state
         "stats_cuped_adjusted",
+        # 1-row totals crossed into the O(days) bucket relation and
+        # the final 1-row assembly — every BNLJ side is O(1)/O(days)
+        "stats_jackknife_ratio",
+        # the 2-row arm literal crossed with the O(days) grid — both
+        # BNLJ sides bounded model relations
+        "stats_msprt_sequential",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",

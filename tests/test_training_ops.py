@@ -632,3 +632,49 @@ def test_curriculum_phases_are_terciles(spark):
     n = len(rows)
     for p, vals in by_phase.items():
         assert len(vals) >= n // 6, (p, len(vals), n)
+
+
+# ------------------------------------------------- experimentation suite
+def test_experimentation_suite_aa_sanity(spark):
+    """The A/A-null experimentation wave holds its design guarantees:
+    the mSPRT monitor never rejects on a true-null parity split, SRM
+    is not detected when the observed census matches the designed
+    1/3:2/3 split, the jackknife SE is positive and small relative to
+    the ratio, and CUPED's variance-reduction factor is a valid
+    squared correlation in [0, 1] with theta finite."""
+    from spark_query_engine.queries.training import (
+        stats_cuped_adjusted,
+        stats_jackknife_ratio,
+        stats_msprt_sequential,
+        stats_srm_check,
+    )
+
+    ms = stats_msprt_sequential(spark, SF).collect()
+    assert len(ms) > 0
+    assert all(r["rejected"] == 0 for r in ms), (
+        "always-valid test rejected on an A/A split"
+    )
+    # log_lambda is monotone-ish small under the null; never huge
+    assert all(r["log_lambda"] < 2.0 for r in ms)
+
+    srm = stats_srm_check(spark, SF).collect()[0]
+    assert srm["n_users"] == srm["obs_0"] + srm["obs_1"]
+    assert srm["srm_detected"] == 0, (
+        f"SRM flagged on the designed split: chi2={srm['chi2']}"
+    )
+
+    jk = stats_jackknife_ratio(spark, SF).collect()[0]
+    assert jk["jk_se"] > 0.0
+    assert jk["jk_se"] < jk["ratio_overall"], (
+        "leave-one-day SE should be far below the ratio itself"
+    )
+
+    cu = stats_cuped_adjusted(spark, SF).collect()
+    assert len(cu) == 2
+    for r in cu:
+        assert 0.0 <= r["var_reduction"] <= 1.0
+        assert abs(r["theta"]) < 100.0
+    # CUPED on an A/A split: adjusted means at least as close as raw
+    raw_gap = abs(cu[0]["mean_post"] - cu[1]["mean_post"])
+    adj_gap = abs(cu[0]["cuped_mean_post"] - cu[1]["cuped_mean_post"])
+    assert adj_gap <= raw_gap + 1e-9
