@@ -239,6 +239,7 @@ HEADLINE = [
     "stats_power_mde",
     "stats_jackknife_ratio",
     "stats_msprt_sequential",
+    "events_policy_replay",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

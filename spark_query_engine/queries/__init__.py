@@ -36,6 +36,13 @@ def query(name: str, oracle: str | None = None):
     events documents embeddings), or None for non-SQL-expressible ops."""
 
     def deco(fn):
+        # duplicate registration silently shadows the earlier (often
+        # already-driver-verified) implementation — make it loud
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} already registered by "
+                f"{REGISTRY[name].fn.__module__}; pick a new name"
+            )
         REGISTRY[name] = Query(name, fn, oracle)
         return fn
 

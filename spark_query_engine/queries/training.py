@@ -9052,3 +9052,123 @@ def stats_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     )
+
+
+@query(
+    "events_policy_replay",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type AS action,
+                   CAST(FLOOR(hour(ts) / 6.0) AS BIGINT) AS ctx,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS r
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+        cxa AS (
+            SELECT ctx, action,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(r) AS BIGINT) AS sr
+            FROM ev GROUP BY 1, 2
+        ),
+        cx AS (
+            SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS n_x
+            FROM cxa GROUP BY 1
+        ),
+        pi AS (
+            SELECT ctx, action AS pi_action, cnt AS n_matched,
+                   sr AS r_matched
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY ctx
+                      ORDER BY CAST(sr AS DOUBLE) / cnt DESC, action
+                  ) AS rn FROM cxa)
+            WHERE rn = 1
+        )
+        SELECT p.ctx AS context, c.n_x AS n_events, p.pi_action,
+               p.n_matched,
+               FLOOR(1000000.0
+                     * (CAST(p.r_matched AS DOUBLE)
+                        / (p.n_matched * 100.0)) + 0.5) / 1000000.0
+                   AS dm_value,
+               FLOOR(1000000.0
+                     * (CAST(p.r_matched * c.n_x AS DOUBLE)
+                        / (CAST(p.n_matched AS DOUBLE) * nn.n_total
+                           * 100.0)) + 0.5) / 1000000.0
+                   AS ips_value
+        FROM pi p JOIN cx c ON c.ctx = p.ctx CROSS JOIN n nn
+    """,
+)
+def events_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE POLICY EVALUATION by replay (Li et al., WSDM 2011) —
+    the counterfactual question behind every recommender / RLHF data
+    decision: "what reward WOULD the greedy policy have earned?",
+    answered from logged traffic alone. Context = 6-hour bucket,
+    action = logged event_type, reward = the event's value. The
+    target policy is the per-context greedy argmax of mean logged
+    reward; its value is estimated two ways per context — the DIRECT
+    METHOD (mean reward of matching events) and INVERSE-PROPENSITY
+    SCORING with the empirical behavior propensity
+    p(a|x) = cnt(x,a)/cnt(x), i.e. v_x = R_x * n_x / (c_xa * n). The
+    DM-vs-IPS gap per context is the selection-bias audit.
+
+    Determinism: rewards quantized to integer cents at the scan
+    (value has 2dp; floor-half-up is exact); every aggregate is a
+    BIGINT sum; each output value is a single division of exact
+    integers, floor-half-up 6dp — no multi-row float sums (the
+    per-context grouping makes the IPS sum algebraic, not
+    accumulated). The argmax orders by one exact-operand division
+    with an action-name tiebreak, identical on both engines.
+
+    Scale: one (ctx, action)-keyed aggregate on the data plane;
+    everything downstream lives on the bounded ctx x action grid."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("action"),
+        F.floor(F.hour("ts") / 6.0).cast("bigint").alias("ctx"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("r"),
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    cxa = ev.groupBy("ctx", "action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("r").cast("bigint").alias("sr"),
+    )
+    cx = cxa.groupBy("ctx").agg(
+        F.sum("cnt").cast("bigint").alias("n_x")
+    )
+    w = Window.partitionBy("ctx").orderBy(
+        (F.col("sr").cast("double") / F.col("cnt")).desc(), "action"
+    )
+    pi = (
+        cxa.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "ctx",
+            F.col("action").alias("pi_action"),
+            F.col("cnt").alias("n_matched"),
+            F.col("sr").alias("r_matched"),
+        )
+    )
+
+    def fhu(col):
+        return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
+
+    return (
+        pi.join(cx, "ctx")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("ctx").alias("context"),
+            F.col("n_x").alias("n_events"),
+            "pi_action",
+            "n_matched",
+            fhu(
+                F.col("r_matched").cast("double")
+                / (F.col("n_matched") * F.lit(100.0))
+            ).alias("dm_value"),
+            fhu(
+                (F.col("r_matched") * F.col("n_x")).cast("double")
+                / (
+                    F.col("n_matched").cast("double")
+                    * F.col("n_total")
+                    * F.lit(100.0)
+                )
+            ).alias("ips_value"),
+        )
+    )

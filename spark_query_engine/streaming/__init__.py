@@ -18,6 +18,8 @@ from spark_query_engine.streaming.events import (
     kmv_stream,
     cusum_stream,
     manifest_stream,
+    msprt_stream,
+    msprt_log_lambda,
     ohlc_stream,
     run_to_memory_sink,
     per_type_counts_tws,
@@ -49,6 +51,8 @@ __all__ = [
     "kmv_stream",
     "cusum_stream",
     "manifest_stream",
+    "msprt_stream",
+    "msprt_log_lambda",
     "write_foreach_batch_parquet",
     "run_to_memory_sink",
 ]

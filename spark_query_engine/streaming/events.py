@@ -1005,3 +1005,77 @@ def kmv_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def msprt_stream(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming ALWAYS-VALID experiment monitor — the live sibling of
+    the batch ``stats_msprt_sequential`` query (same mixture-SPRT
+    mathematics; the batch query scores USER-level conversion from
+    two-pass first-seen/first-purchase dates, which no single-pass
+    stream can know, so the streaming form monitors the EVENT-level
+    conversion share per arm — the quantity a live dashboard actually
+    has). Arms are the user-parity split; state per arm is exactly
+    two BIGINTs (exposures n, conversions c) folded per micro-batch —
+    counter addition is commutative/associative, so the final state
+    equals the batch counts of the same rows regardless of arrival
+    order or batch boundaries. Emits the running (arm, n, c) per
+    micro-batch (update mode); the log-likelihood-ratio itself is
+    dashboard-side arithmetic over the two emitted rows — see
+    ``msprt_log_lambda``, which mirrors the batch query's closed
+    form term for term.
+
+    State: 4 integers TOTAL. At cluster scale the per-arm groups fold
+    map-side partial counts, so the two stateful keys see
+    pre-aggregated deltas, not the raw event stream."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t = events.select(
+        (F.col(user_col) % 2).cast("long").alias("arm"),
+        F.when(F.col("event_type") == conv_type, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_conv"),
+    )
+
+    def fold(key, pdfs, state):
+        n, c = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            c += int(pdf["is_conv"].sum())
+        state.update((n, c))
+        yield pd.DataFrame({"arm": [key[0]], "n": [n], "c": [c]})
+
+    return t.groupBy("arm").applyInPandasWithState(
+        fold,
+        outputStructType="arm long, n long, c long",
+        stateStructType="n long, c long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def msprt_log_lambda(
+    n1: int, c1: int, n0: int, c0: int, tau2: float = 0.0001
+) -> float | None:
+    """The mixture-SPRT log likelihood ratio over two arm count
+    pairs — the identical closed form the batch
+    ``stats_msprt_sequential`` query evaluates per day:
+    0.5*ln(V/(V+tau2)) + diff^2*tau2/(2V(V+tau2)) with the pooled
+    binomial variance V. Returns None outside the test's support
+    (no conversions yet, or all conversions). Dashboard-side
+    arithmetic over the stream's two emitted rows."""
+    import math
+
+    if n1 <= 0 or n0 <= 0 or c1 + c0 <= 0 or c1 + c0 >= n1 + n0:
+        return None
+    p = (c1 + c0) / (n1 + n0)
+    diff = c1 / n1 - c0 / n0
+    vv = p * (1 - p) * (1.0 / n1 + 1.0 / n0)
+    return 0.5 * math.log(vv / (vv + tau2)) + diff * diff * tau2 / (
+        2 * vv * (vv + tau2)
+    )

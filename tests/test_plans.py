@@ -377,6 +377,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 2-row arm literal crossed with the O(days) grid — both
         # BNLJ sides bounded model relations
         "stats_msprt_sequential",
+        # the 1-row n_total aggregate crossed into the bounded
+        # ctx x action policy grid — scalar model state
+        "events_policy_replay",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",

@@ -1146,3 +1146,57 @@ def test_kmv_stream_matches_batch_bottom_k(spark, sf_dir, tmp_path):
         want[r["source"]] = (n_sk, kth, est)
     assert got == want
     assert len(want) > 1
+
+
+def test_msprt_stream_matches_batch_counts(spark, sf_dir, tmp_path):
+    """Streaming mSPRT monitor ≡ batch: drive the events in three
+    event_id-modulo micro-batches and the final per-arm (n, c) state
+    must equal the batch groupBy counts of the same rows (counter
+    adds are commutative); the dashboard-side log-lambda over those
+    counts is finite and, on this A/A parity split, far below the
+    ln(20) rejection boundary."""
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    d = tmp_path / "msprtstream"
+    d.mkdir()
+    pdf = ev.toPandas()
+    for i in range(3):
+        pdf[pdf["event_id"] % 3 == i].to_parquet(d / f"part{i}.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = ST.msprt_stream(stream)
+    ST.run_to_memory_sink(out, "msprt_out", mode="update")
+    got = {
+        r["arm"]: (r["n"], r["c"])
+        for r in spark.sql("SELECT * FROM msprt_out").collect()
+    }
+    want = {
+        r["arm"]: (r["n"], r["c"])
+        for r in ev.groupBy((F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+    ll = ST.msprt_log_lambda(
+        got[1][0], got[1][1], got[0][0], got[0][1]
+    )
+    assert ll is not None
+    assert ll < 2.995732  # A/A: the always-valid test must not reject

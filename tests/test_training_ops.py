@@ -678,3 +678,50 @@ def test_experimentation_suite_aa_sanity(spark):
     raw_gap = abs(cu[0]["mean_post"] - cu[1]["mean_post"])
     adj_gap = abs(cu[0]["cuped_mean_post"] - cu[1]["cuped_mean_post"])
     assert adj_gap <= raw_gap + 1e-9
+
+
+def test_policy_replay_and_dp_release_semantics(spark):
+    """Replay evaluation: the greedy action really is the per-context
+    argmax of mean logged reward, and the IPS contribution equals
+    DM * (n_x / n) algebraically for the matched-set estimator. DP
+    release (the existing curation mechanism): noisy = true +
+    rounded noise with |noise| in the Laplace(1) envelope for its
+    1e-6-grid uniform (|noise| <= ln(5e5) ~ 13.1, rounded <= 14)."""
+    from spark_query_engine.queries.curation import data_dp_noisy_counts
+    from spark_query_engine.queries.training import events_policy_replay
+    import pyspark.sql.functions as F
+    from spark_query_engine.queries import load
+
+    rep = events_policy_replay(spark, SF).collect()
+    ev = load(spark, SF, "events").select(
+        F.col("event_type").alias("action"),
+        F.floor(F.hour("ts") / 6.0).cast("bigint").alias("ctx"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("r"),
+    )
+    n = ev.count()
+    assert sum(r["n_events"] for r in rep) == n
+    means = {
+        (row["ctx"], row["action"]): row["m"]
+        for row in ev.groupBy("ctx", "action")
+        .agg((F.sum("r") / F.count(F.lit(1))).alias("m"))
+        .collect()
+    }
+    for r in rep:
+        best = max(
+            (v, k[1])
+            for k, v in means.items()
+            if k[0] == r["context"]
+        )[0]
+        assert means[(r["context"], r["pi_action"])] == best
+        # IPS = DM * n_x / n up to the two 6dp roundings
+        assert abs(
+            r["ips_value"] - r["dm_value"] * r["n_events"] / n
+        ) < 2e-6
+
+    dp = data_dp_noisy_counts(spark, SF).collect()
+    assert len(dp) > 0
+    for r in dp:
+        assert abs(r["noisy_count"] - r["true_count"]) <= 14
+        assert abs(r["noise"]) <= 13.2
+    # the release is non-trivial: some noise is actually non-zero
+    assert any(r["noisy_count"] != r["true_count"] for r in dp)
