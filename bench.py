@@ -240,6 +240,10 @@ HEADLINE = [
     "stats_jackknife_ratio",
     "stats_msprt_sequential",
     "events_policy_replay",
+    "stats_qini_uplift",
+    "ann_hard_negatives",
+    "graph_assortativity",
+    "events_seasonal_decompose",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

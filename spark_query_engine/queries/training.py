@@ -9172,3 +9172,441 @@ def events_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ips_value"),
         )
     )
+
+
+@query(
+    "stats_qini_uplift",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        m AS (SELECT MIN(d) AS d0 FROM ev),
+        u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS BIGINT) AS arm,
+                   CAST(SUM(CASE WHEN DATEDIFF('day',
+                                               (SELECT d0 FROM m), d) < 15
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS score,
+                   MAX(CASE WHEN DATEDIFF('day',
+                                          (SELECT d0 FROM m), d) >= 15
+                            AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS conv
+            FROM ev GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT score,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nt,
+                   CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                        AS BIGINT) AS ct,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nc,
+                   CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                        AS BIGINT) AS cc
+            FROM u GROUP BY 1
+        ),
+        c AS (
+            SELECT score,
+                   CAST(SUM(nt) OVER w AS BIGINT) AS cum_nt,
+                   CAST(SUM(ct) OVER w AS BIGINT) AS cum_ct,
+                   CAST(SUM(nc) OVER w AS BIGINT) AS cum_nc,
+                   CAST(SUM(cc) OVER w AS BIGINT) AS cum_cc
+            FROM g
+            WINDOW w AS (ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        )
+        SELECT score, cum_nt, cum_ct, cum_nc, cum_cc,
+               FLOOR(1000000.0
+                     * (CAST(cum_ct AS DOUBLE) / cum_nt
+                        - CAST(cum_cc AS DOUBLE) / cum_nc)
+                     + 0.5) / 1000000.0 AS uplift,
+               FLOOR(1000000.0
+                     * (cum_ct - CAST(cum_cc AS DOUBLE) * cum_nt
+                                 / cum_nc)
+                     + 0.5) / 1000000.0 AS qini
+        FROM c
+        WHERE cum_nt > 0 AND cum_nc > 0
+    """,
+)
+def stats_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI / UPLIFT CURVE — the evaluation every targeting model
+    ships with: rank users by a score (here the PRE-period activity
+    count, the same covariate CUPED uses), then at each score
+    threshold compare cumulative conversion between treated and
+    control arms: uplift(s) = C_t/N_t - C_c/N_c and the Qini value
+    C_t - C_c * N_t/N_c. Arms are the user-parity A/A split, so the
+    TRUE uplift is zero at every threshold — the curve hugging zero
+    is the negative control a real uplift model is judged against.
+
+    Scale note: the curve is built on the SCORE GRID, not a global
+    NTILE — per-score cells aggregate on the data plane and the
+    cumulative window runs over the bounded O(|scores|) relation
+    (the customer_rfm_segments bounds discipline: nothing sorts the
+    full population in one partition).
+
+    Determinism: all cells and cumulative sums are exact BIGINTs;
+    uplift and Qini are single divisions of exact integers per row,
+    floor-half-up 6dp."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    )
+    m = ev.agg(F.min("d").alias("d0"))
+    u = (
+        ev.crossJoin(F.broadcast(m))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.datediff("d", "d0") < 15, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("score"),
+            F.max(
+                F.when(
+                    (F.datediff("d", "d0") >= 15)
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+    g = u.groupBy("score").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("cc"),
+    )
+    w = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "score",
+        F.sum("nt").over(w).cast("bigint").alias("cum_nt"),
+        F.sum("ct").over(w).cast("bigint").alias("cum_ct"),
+        F.sum("nc").over(w).cast("bigint").alias("cum_nc"),
+        F.sum("cc").over(w).cast("bigint").alias("cum_cc"),
+    )
+
+    def fhu(col):
+        return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
+
+    return c.where((F.col("cum_nt") > 0) & (F.col("cum_nc") > 0)).select(
+        "score",
+        "cum_nt",
+        "cum_ct",
+        "cum_nc",
+        "cum_cc",
+        fhu(
+            F.col("cum_ct").cast("double") / F.col("cum_nt")
+            - F.col("cum_cc").cast("double") / F.col("cum_nc")
+        ).alias("uplift"),
+        fhu(
+            F.col("cum_ct")
+            - F.col("cum_cc").cast("double")
+            * F.col("cum_nt")
+            / F.col("cum_nc")
+        ).alias("qini"),
+    )
+
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+                   label
+            FROM embeddings
+        ),
+        q AS (SELECT id AS qid, vec AS qvec, label AS qlabel
+              FROM v WHERE id < {_NQ})
+        SELECT qid, qlabel, id, neg_label, cos_sim FROM (
+            SELECT q.qid, q.qlabel, v.id, v.label AS neg_label,
+                   ROUND(list_cosine_similarity(v.vec, q.qvec), 6)
+                       AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    v.vec, q.qvec), 6) DESC, v.id) AS rn
+            FROM v CROSS JOIN q
+            WHERE v.id >= {_NQ} AND v.label <> q.qlabel)
+        WHERE rn <= 3
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive embedding training — the
+    retrieval that makes or breaks a dual-encoder fine-tune (DPR /
+    E5 / SimCSE recipes): for each anchor in the query batch, the
+    top-3 most-similar corpus vectors whose LABEL differs from the
+    anchor's — maximally confusable negatives, far more informative
+    than the random negatives ``corpus_contrastive_pairs`` samples
+    (the two queries are the two halves of a production pair-mining
+    pipeline: lexical positives there, semantic hard negatives here).
+
+    Scale: identical plan to ``ann_batch_topk`` — the anchor batch
+    broadcasts ({_NQ}-row build side), the label filter fuses into
+    the one corpus scan, and the per-anchor top-3 plans as
+    WindowGroupLimit so each shuffle partition retains <= 3 rows per
+    anchor. One scan at any corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = C._vectors(emb, "vec_id", "embedding").join(
+        load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        ),
+        "id",
+    )
+    q = v.where(F.col("id") < _NQ).select(
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    sim = F.round(cosine(F.col("vec"), F.col("qvec")), 6)
+    win = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("id")
+    )
+    return (
+        v.where(F.col("id") >= _NQ)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            "id",
+            F.col("label").alias("neg_label"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 3)
+        .select("qid", "qlabel", "id", "neg_label", "cos_sim")
+    )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        ed AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed
+        ),
+        deg AS (
+            SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1
+        ),
+        dd AS (
+            SELECT du.d AS dx, dv.d AS dy
+            FROM sym s
+            JOIN deg du ON du.node = s.u
+            JOIN deg dv ON dv.node = s.v
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS mm,
+                   CAST(SUM(dx) AS BIGINT) AS sx,
+                   CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dx*dy) AS BIGINT) AS sxy
+            FROM dd
+        )
+        SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM ed) AS BIGINT) AS n_edges,
+               FLOOR(1000000.0
+                     * (CAST(mm*sxy - sx*sx AS DOUBLE)
+                        / (mm*sxx - sx*sx))
+                     + 0.5) / 1000000.0 AS assortativity
+        FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the co-purchase graph —
+    do high-degree parts co-occur with other high-degree parts (hub
+    clustering, r > 0) or with leaves (hub-and-spoke, r < 0)? The
+    answer decides whether degree-based partitioning strategies
+    (e.g. the triangle count's orientation trick) face correlated or
+    anti-correlated hubs. r is the Pearson correlation of the degree
+    pairs over the SYMMETRIZED edge relation, where by symmetry
+    sum(dx)=sum(dy) and sum(dx^2)=sum(dy^2), so
+    r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2).
+
+    Determinism: degrees and all four moments are exact BIGINT sums;
+    r is a single division of exact integers, floor-half-up 6dp.
+
+    Scale: the edge build is the triangle count's equi-join (bounded
+    by per-order basket sizes, never all-parts); degrees are one hash
+    agg; attaching both endpoint degrees is two equi-joins on the
+    edge relation; the moment fold is one map-side-combinable agg."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    sym = ed.unionByName(
+        ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    dd = (
+        sym.join(deg.select(F.col("node").alias("u"),
+                            F.col("d").alias("dx")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("d").alias("dy")), "v")
+        .select("dx", "dy")
+    )
+    m = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("mm"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ne = ed.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nn.crossJoin(ne)
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_nodes",
+            "n_edges",
+            (
+                F.floor(
+                    F.lit(1000000.0)
+                    * (
+                        (F.col("mm") * F.col("sxy")
+                         - F.col("sx") * F.col("sx")).cast("double")
+                        / (F.col("mm") * F.col("sxx")
+                           - F.col("sx") * F.col("sx"))
+                    )
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("assortativity"),
+        )
+    )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle=f"""
+        WITH ev AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        day AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1
+        ),
+        tr AS (
+            SELECT d, c,
+                   CAST(SUM(c) OVER w AS BIGINT) AS s7,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS k7,
+                   CAST(DATEDIFF('day', DATE '2000-01-03', d) % 7
+                        AS BIGINT) AS dow
+            FROM day
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        full_w AS (SELECT * FROM tr WHERE k7 = 7),
+        seas AS (
+            SELECT dow,
+                   CAST(SUM(7*c - s7) AS BIGINT) AS num,
+                   CAST(7 * COUNT(*) AS BIGINT) AS den
+            FROM full_w GROUP BY 1
+        )
+        SELECT f.d, f.c,
+               FLOOR(1000000.0 * (CAST(f.s7 AS DOUBLE) / 7) + 0.5)
+                   / 1000000.0 AS trend,
+               FLOOR(1000000.0 * (CAST(s.num AS DOUBLE) / s.den) + 0.5)
+                   / 1000000.0 AS seasonal,
+               FLOOR(1000000.0
+                     * (CAST(7*f.c - f.s7 AS DOUBLE) / 7
+                        - CAST(s.num AS DOUBLE) / s.den)
+                     + 0.5) / 1000000.0 AS residual
+        FROM full_w f JOIN seas s ON s.dow = f.dow
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION of the daily event series —
+    trend (centered 7-day moving average), day-of-week seasonal
+    component (mean detrended value per weekday), and residual: the
+    decomposition every traffic dashboard plots and every anomaly
+    detector (``events_seasonal_anomaly`` scores hour-of-day z-scores;
+    this is the day-grain additive model) subtracts first.
+
+    Determinism: daily counts and the 7-day window sums are exact
+    BIGINTs; detrended values are kept as the exact integer 7c - s7
+    (avoiding the c - s7/7 float), so the seasonal means are single
+    divisions of exact integer sums; weekday indexing is an epoch-
+    anchored DATEDIFF %% 7 (identical on both engines, unlike the
+    engines' dayofweek() conventions).
+
+    Scale: one day-keyed count on the data plane; the moving window,
+    weekday means, and residuals all live on the bounded O(days)
+    grid."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    )
+    day = ev.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = day.select(
+        "d",
+        "c",
+        F.sum("c").over(w).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k7"),
+        (
+            F.datediff("d", F.lit("2000-01-03").cast("date")) % 7
+        ).cast("bigint").alias("dow"),
+    )
+    full_w = tr.where(F.col("k7") == 7)
+    seas = full_w.groupBy("dow").agg(
+        F.sum(7 * F.col("c") - F.col("s7"))
+        .cast("bigint")
+        .alias("num"),
+        (7 * F.count(F.lit(1))).cast("bigint").alias("den"),
+    )
+
+    def fhu(col):
+        return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
+
+    return full_w.join(F.broadcast(seas), "dow").select(
+        "d",
+        "c",
+        fhu(F.col("s7").cast("double") / 7).alias("trend"),
+        fhu(F.col("num").cast("double") / F.col("den")).alias(
+            "seasonal"
+        ),
+        fhu(
+            (7 * F.col("c") - F.col("s7")).cast("double") / 7
+            - F.col("num").cast("double") / F.col("den")
+        ).alias("residual"),
+    )

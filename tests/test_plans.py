@@ -380,6 +380,15 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row n_total aggregate crossed into the bounded
         # ctx x action policy grid — scalar model state
         "events_policy_replay",
+        # the 1-row min-day broadcast into the event scan — scalar
+        # model state; the curve window runs on the bounded score grid
+        "stats_qini_uplift",
+        # the broadcast anchor batch is the bounded build side — the
+        # ann_batch_topk shape
+        "ann_hard_negatives",
+        # 1-row node/edge/moment aggregates assembled by crossJoin —
+        # every BNLJ side is O(1)
+        "graph_assortativity",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
@@ -554,6 +563,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # at-risk cumsum over the O(days) risk table — bounded
         # aggregated metadata, never the event plane
         "events_survival_km",
+        # threshold cumsums over the bounded O(|scores|) grid — the
+        # per-score cells aggregate on the data plane first
+        "stats_qini_uplift",
+        # 7-day moving window over the bounded O(days) daily-count
+        # grid — the day-keyed count aggregates on the data plane
+        "events_seasonal_decompose",
     }
 
     def global_windows(plan: str) -> list[str]:

@@ -725,3 +725,29 @@ def test_policy_replay_and_dp_release_semantics(spark):
         assert abs(r["noise"]) <= 13.2
     # the release is non-trivial: some noise is actually non-zero
     assert any(r["noisy_count"] != r["true_count"] for r in dp)
+
+
+def test_qini_uplift_aa_hugs_zero_and_is_monotone_in_counts(spark):
+    """On the A/A parity split the uplift curve must hug zero (no
+    threshold shows |uplift| above a few points at sf0.001 scale) and
+    the cumulative counts must be non-decreasing as the score
+    threshold relaxes; the full-population row's Qini is the total
+    conversion imbalance, bounded by the same A/A noise."""
+    from spark_query_engine.queries.training import stats_qini_uplift
+
+    rows = stats_qini_uplift(spark, SF).orderBy(
+        F.col("score").desc()
+    ).collect()
+    assert len(rows) >= 3
+    prev = None
+    for r in rows:
+        assert abs(r["uplift"]) < 0.5  # A/A: no real effect anywhere
+        if prev is not None:
+            assert r["cum_nt"] >= prev["cum_nt"]
+            assert r["cum_ct"] >= prev["cum_ct"]
+            assert r["cum_nc"] >= prev["cum_nc"]
+            assert r["cum_cc"] >= prev["cum_cc"]
+        prev = r
+    full = rows[-1]
+    # last row covers everyone with both arms present
+    assert full["cum_nt"] + full["cum_nc"] > 0
