@@ -244,6 +244,9 @@ HEADLINE = [
     "ann_hard_negatives",
     "graph_assortativity",
     "events_seasonal_decompose",
+    "data_target_encoding",
+    "stats_ols_elasticity",
+    "corpus_unigram_prune",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

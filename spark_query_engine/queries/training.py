@@ -9610,3 +9610,320 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("num").cast("double") / F.col("den")
         ).alias("residual"),
     )
+
+
+@query(
+    "data_target_encoding",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(user_id % 5 AS BIGINT) AS fold,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+            FROM ({EVENTS_ORACLE}) e
+        ),
+        tf AS (
+            SELECT event_type, fold,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s
+            FROM ev GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT event_type,
+                   CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(s) AS BIGINT) AS st
+            FROM tf GROUP BY 1
+        ),
+        g AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS ng,
+                   CAST(SUM(s) AS BIGINT) AS sg
+            FROM tf
+        )
+        SELECT tf.event_type, tf.fold, tf.n AS n_in_fold,
+               FLOOR(1000000.0
+                     * (CAST(t.st - tf.s AS DOUBLE)
+                        / ((t.nt - tf.n) * 100.0)) + 0.5) / 1000000.0
+                   AS oof_mean,
+               FLOOR(1000000.0
+                     * (CAST((t.st - tf.s) * (g.ng - t.nt)
+                             + 100 * (g.sg - t.st) AS DOUBLE)
+                        / (CAST(t.nt - tf.n + 100 AS DOUBLE)
+                           * (g.ng - t.nt) * 100.0))
+                     + 0.5) / 1000000.0 AS smoothed_oof_mean
+        FROM tf JOIN t USING (event_type) CROSS JOIN g
+    """,
+)
+def data_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD TARGET ENCODING — the leakage-free categorical feature
+    every tabular ML pipeline builds: encode event_type by the mean
+    target (the event's value) computed OUT-OF-FOLD, so a row's own
+    fold never contributes to its encoding (folds = user_id %% 5,
+    keyed by user so a user's rows share a fold — the grouped-split
+    discipline ``data_group_split_audit`` checks). The smoothed
+    variant shrinks toward the out-of-category prior with pseudo-count
+    m=100 (the standard mean-encoding regularizer); the prior is the
+    LEAVE-CATEGORY-OUT global mean, itself leakage-free.
+
+    Determinism: targets quantize to integer cents at the scan; all
+    fold/category/global moments are exact BIGINT sums; each output
+    is ONE division of exact integers — the smoothed form is cleared
+    of its inner prior division algebraically:
+    (S_oof*Ng' + m*Sg') / ((n_oof+m)*Ng') — floor-half-up 6dp.
+
+    Scale: one (type, fold) aggregate on the data plane; the encoding
+    table is the bounded |types| x 5 grid joined back by broadcast at
+    apply time."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 5).cast("bigint").alias("fold"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    tf = ev.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    t = tf.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+    )
+    g = tf.agg(
+        F.sum("n").cast("bigint").alias("ng"),
+        F.sum("s").cast("bigint").alias("sg"),
+    )
+
+    def fhu(col):
+        return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
+
+    return (
+        tf.join(t, "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "fold",
+            F.col("n").alias("n_in_fold"),
+            fhu(
+                (F.col("st") - F.col("s")).cast("double")
+                / ((F.col("nt") - F.col("n")) * F.lit(100.0))
+            ).alias("oof_mean"),
+            fhu(
+                (
+                    (F.col("st") - F.col("s"))
+                    * (F.col("ng") - F.col("nt"))
+                    + 100 * (F.col("sg") - F.col("st"))
+                ).cast("double")
+                / (
+                    (F.col("nt") - F.col("n") + 100).cast("double")
+                    * (F.col("ng") - F.col("nt"))
+                    * F.lit(100.0)
+                )
+            ).alias("smoothed_oof_mean"),
+        )
+    )
+
+
+@query(
+    "stats_ols_elasticity",
+    oracle="""
+        WITH li AS (
+            SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
+                   CAST(l_quantity AS BIGINT) AS y
+            FROM lineitem
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x*x) AS BIGINT) AS sxx,
+                   CAST(SUM(y*y) AS BIGINT) AS syy,
+                   CAST(SUM(x*y) AS BIGINT) AS sxy
+            FROM li
+        )
+        SELECT n,
+               FLOOR(1000000.0
+                     * (CAST(n*sxy - sx*sy AS DOUBLE)
+                        / (n*sxx - sx*sx) * 100.0)
+                     + 0.5) / 1000000.0 AS slope,
+               FLOOR(1000000.0
+                     * ((CAST(sy AS DOUBLE) / n)
+                        - CAST(n*sxy - sx*sy AS DOUBLE)
+                          / (n*sxx - sx*sx)
+                          * (CAST(sx AS DOUBLE) / n))
+                     + 0.5) / 1000000.0 AS intercept,
+               FLOOR(1000000.0
+                     * (CAST(n*sxy - sx*sy AS DOUBLE)
+                        * (n*sxy - sx*sy)
+                        / (CAST(n*sxx - sx*sx AS DOUBLE)
+                           * (n*syy - sy*sy)))
+                     + 0.5) / 1000000.0 AS r2
+        FROM m
+    """,
+)
+def stats_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DISTRIBUTED OLS — quantity-on-discount "elasticity"
+    regression over all of lineitem: slope (quantity units per unit
+    of discount — the 100x rescale undoes the cent quantization),
+    intercept, and R^2, all from ONE pass of six integer moments.
+    This is the moments-not-rows pattern that makes linear models
+    trivially distributable: the data plane contributes only
+    map-side-combinable BIGINT sums; the estimator assembles on a
+    1-row relation. (TPC-H's discounts are assigned independently of
+    quantity, so the true slope is ~0 and R^2 ~ 0 — the negative
+    control; a real elasticity fit slots any (x, y) pair into the
+    same plan.)
+
+    Determinism: discounts have 2dp (cent quantization exact);
+    quantities are integral; every moment is an exact BIGINT sum;
+    slope/intercept/R^2 are single fixed-association expressions of
+    those integers, floor-half-up 6dp."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+
+    def fhu(col):
+        return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
+
+    return m.select(
+        "n",
+        fhu(
+            (n * sxy - sx * sy).cast("double")
+            / (n * sxx - sx * sx)
+            * F.lit(100.0)
+        ).alias("slope"),
+        fhu(
+            (sy.cast("double") / n)
+            - (n * sxy - sx * sy).cast("double")
+            / (n * sxx - sx * sx)
+            * (sx.cast("double") / n)
+        ).alias("intercept"),
+        fhu(
+            (n * sxy - sx * sy).cast("double")
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx).cast("double") * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+@query(
+    "corpus_unigram_prune",
+    oracle="""
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE length(w) > 0
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS wtot FROM words),
+        occ AS (
+            SELECT w, cw, unnest(string_split(w, '')) AS ch
+            FROM words
+        ),
+        chars AS (
+            SELECT ch, CAST(SUM(cw) AS BIGINT) AS nch
+            FROM occ GROUP BY 1
+        ),
+        ctot AS (SELECT CAST(SUM(nch) AS BIGINT) AS t FROM chars),
+        spell AS (
+            SELECT o.w,
+                   CAST(SUM(ROUND(LN(c.nch), 6)) AS DOUBLE) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS lw
+            FROM occ o JOIN chars c ON c.ch = o.ch
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT wo.w, wo.cw,
+                   ROUND(wo.cw
+                         * ((sp.s - sp.lw * ROUND(LN(ct.t), 6))
+                            - (ROUND(LN(wo.cw), 6)
+                               - ROUND(LN(tt.wtot), 6))), 4)
+                       AS delta_ll
+            FROM words wo
+            JOIN spell sp ON sp.w = wo.w
+            CROSS JOIN ctot ct CROSS JOIN tot tt
+        )
+        SELECT w, cw, delta_ll FROM scored
+        ORDER BY delta_ll DESC, w
+        LIMIT 50
+    """,
+)
+def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER VOCAB PRUNING (the SentencePiece/Kudo 2018
+    EM-prune step, one round) — the other half of tokenizer training
+    next to ``corpus_bpe_train``: for every word type, the corpus
+    log-likelihood LOST if the word were evicted from the vocabulary
+    and forced to spell out as characters:
+    delta = c_w * (logP_char-spelling - logP_word), both probabilities
+    from exact corpus counts. The 50 types with the SMALLEST loss
+    (delta closest to zero) are the prune candidates — exactly how
+    SentencePiece shrinks its seed vocabulary each round.
+
+    Determinism: counts are exact BIGINTs; every ln() is taken of an
+    exact integer and ROUNDed per-term at 6dp before the per-word sum
+    (the repo's float-discipline for sums of logs), and the final
+    score rounds at 4dp before the rank — identical on both engines.
+
+    Scale: the unit of work is the WORD-TYPE relation (the BPE
+    trainer's discipline — |vocab| rows, never corpus-scale); the
+    char table is O(alphabet); the prune list is a 50-row
+    TakeOrdered. One corpus-plane aggregate total."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+        .persist()
+    )
+    tot = words.agg(F.sum("cw").cast("bigint").alias("wtot"))
+    occ = words.select(
+        "w", "cw", F.explode(F.split("w", "")).alias("ch")
+    ).where(F.length("ch") > 0)
+    chars = occ.groupBy("ch").agg(
+        F.sum("cw").cast("bigint").alias("nch")
+    )
+    ctot = chars.agg(F.sum("nch").cast("bigint").alias("t"))
+    spell = (
+        occ.join(F.broadcast(chars), "ch")
+        .groupBy("w")
+        .agg(
+            F.sum(F.round(F.log("nch"), 6)).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("lw"),
+        )
+    )
+    scored = (
+        words.join(spell, "w")
+        .crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "cw",
+            F.round(
+                F.col("cw")
+                * (
+                    (
+                        F.col("s")
+                        - F.col("lw") * F.round(F.log("t"), 6)
+                    )
+                    - (
+                        F.round(F.log("cw"), 6)
+                        - F.round(F.log("wtot"), 6)
+                    )
+                ),
+                4,
+            ).alias("delta_ll"),
+        )
+    )
+    return scored.orderBy(F.col("delta_ll").desc(), "w").limit(50)

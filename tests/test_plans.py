@@ -389,6 +389,12 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 1-row node/edge/moment aggregates assembled by crossJoin —
         # every BNLJ side is O(1)
         "graph_assortativity",
+        # the 1-row global-moment aggregate crossed into the bounded
+        # |types| x folds encoding grid — scalar model state
+        "data_target_encoding",
+        # the 1-row word/char grand totals crossed into the word-TYPE
+        # relation — scalar model state (the BPE trainer's shape)
+        "corpus_unigram_prune",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",
