@@ -247,6 +247,7 @@ HEADLINE = [
     "data_target_encoding",
     "stats_ols_elasticity",
     "corpus_unigram_prune",
+    "data_freshness_audit",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal

@@ -9927,3 +9927,92 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("delta_ll").desc(), "w").limit(50)
+
+
+@query(
+    "data_freshness_audit",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, ts FROM ({EVENTS_ORACLE}) e
+        ),
+        g AS (SELECT MAX(ts) AS now_ts FROM ev),
+        p AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(ts) AS last_ts
+            FROM ev GROUP BY 1
+        ),
+        s AS (
+            SELECT p.event_type, p.n_events,
+                   CAST(DATEDIFF('day', CAST(p.last_ts AS DATE),
+                                 CAST(g.now_ts AS DATE)) * 86400
+                        + (hour(g.now_ts) * 3600
+                           + minute(g.now_ts) * 60
+                           + CAST(FLOOR(second(g.now_ts)) AS BIGINT))
+                        - (hour(p.last_ts) * 3600
+                           + minute(p.last_ts) * 60
+                           + CAST(FLOOR(second(p.last_ts)) AS BIGINT))
+                        AS BIGINT) AS stale_sec
+            FROM p CROSS JOIN g
+        )
+        SELECT event_type, n_events,
+               CAST(FLOOR(stale_sec / 60.0) AS BIGINT) AS staleness_min,
+               CAST(CASE WHEN FLOOR(stale_sec / 60.0) > 360
+                         THEN 1 ELSE 0 END AS BIGINT) AS slo_breach
+        FROM s
+    """,
+)
+def data_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-FRESHNESS SLO audit — the first page of every pipeline
+    runbook: per source stream (event_type), how stale is the newest
+    record relative to the dataset WATERMARK (the global max ts — a
+    live job would use the wall clock; a batch audit must use the
+    watermark so the answer is replayable), and does it breach a
+    6-hour freshness SLO. A type that stops emitting shows up here
+    before it becomes silence in the heartbeat-gap detector
+    (``events_heartbeat_gaps`` finds INTERNAL gaps; this finds
+    trailing-edge death).
+
+    Determinism: both timestamps are exact MAX aggregates; staleness
+    is assembled from INTEGER calendar components (day diff * 86400 +
+    second-of-day difference — TIMESTAMP_NTZ exposes no epoch
+    extraction in Spark, and this component form is engine-identical
+    by construction); the breach flag compares integers.
+
+    Scale: one type-keyed max/count aggregate + a 1-row watermark
+    broadcast."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    g = ev.agg(F.max("ts").alias("now_ts"))
+    p = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+
+    def sod(c):
+        return (
+            F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+        ).cast("bigint")
+
+    s = p.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        (
+            F.datediff(
+                F.col("now_ts").cast("date"),
+                F.col("last_ts").cast("date"),
+            ).cast("bigint")
+            * 86400
+            + sod(F.col("now_ts"))
+            - sod(F.col("last_ts"))
+        ).alias("stale_sec"),
+    )
+    stale_min = F.floor(F.col("stale_sec") / 60.0).cast("bigint")
+    return s.select(
+        "event_type",
+        "n_events",
+        stale_min.alias("staleness_min"),
+        F.when(stale_min > 360, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("slo_breach"),
+    )

@@ -20,6 +20,8 @@ from spark_query_engine.streaming.events import (
     manifest_stream,
     msprt_stream,
     msprt_log_lambda,
+    moments_stream,
+    ols_from_moments,
     ohlc_stream,
     run_to_memory_sink,
     per_type_counts_tws,
@@ -53,6 +55,8 @@ __all__ = [
     "manifest_stream",
     "msprt_stream",
     "msprt_log_lambda",
+    "moments_stream",
+    "ols_from_moments",
     "write_foreach_batch_parquet",
     "run_to_memory_sink",
 ]

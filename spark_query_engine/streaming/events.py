@@ -1079,3 +1079,84 @@ def msprt_log_lambda(
     return 0.5 * math.log(vv / (vv + tau2)) + diff * diff * tau2 / (
         2 * vv * (vv + tau2)
     )
+
+def moments_stream(
+    pairs: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Streaming BIVARIATE MOMENT fold — the online engine behind
+    every running linear statistic (OLS slope/intercept/R^2, Pearson
+    correlation, variance): per key, exactly six BIGINT accumulators
+    (n, sx, sy, sxx, syy, sxy) folded per micro-batch. Addition is
+    commutative/associative, so the final state equals the batch
+    moments of the same rows regardless of arrival order or batch
+    boundaries — the streaming twin of the one-pass
+    ``stats_ols_elasticity`` plan (its readout closed form applies
+    verbatim to the emitted row; see ``ols_from_moments``).
+
+    Inputs must already be integer-quantized (the caller applies the
+    same cent/fixed-point quantization the batch query applies at the
+    scan) — no float ever enters the state.
+
+    State: 6 integers per key. Emits the running moment row per key
+    per micro-batch (update mode)."""
+    import pandas as pd  # local import: only the executor path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t = pairs.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+
+    def fold(key, pdfs, state):
+        n, sx, sy, sxx, syy, sxy = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            x = pdf["x"].astype("int64")
+            y = pdf["y"].astype("int64")
+            sx += int(x.sum())
+            sy += int(y.sum())
+            sxx += int((x * x).sum())
+            syy += int((y * y).sum())
+            sxy += int((x * y).sum())
+        state.update((n, sx, sy, sxx, syy, sxy))
+        yield pd.DataFrame(
+            {
+                "k": [key[0]], "n": [n], "sx": [sx], "sy": [sy],
+                "sxx": [sxx], "syy": [syy], "sxy": [sxy],
+            }
+        )
+
+    return t.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "k string, n long, sx long, sy long, sxx long, "
+            "syy long, sxy long"
+        ),
+        stateStructType=(
+            "n long, sx long, sy long, sxx long, syy long, sxy long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ols_from_moments(
+    n: int, sx: int, sy: int, sxx: int, syy: int, sxy: int
+) -> tuple[float, float, float] | None:
+    """(slope, intercept, r2) from exact integer moments — the same
+    closed form the batch ``stats_ols_elasticity`` query assembles
+    on its 1-row relation. Returns None for degenerate x variance."""
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    if vx == 0 or vy == 0:
+        return None
+    slope = cov / vx
+    intercept = sy / n - slope * (sx / n)
+    return slope, intercept, (cov * cov) / (vx * vy)

@@ -395,6 +395,9 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row word/char grand totals crossed into the word-TYPE
         # relation — scalar model state (the BPE trainer's shape)
         "corpus_unigram_prune",
+        # the 1-row watermark aggregate crossed into the |types|-row
+        # census — scalar model state
+        "data_freshness_audit",
         # ivf_assign scores every vector against all k centroids: the
         # BNLJ broadcast side is the k-row codebook (model state)
         "ann_ivf_topk",

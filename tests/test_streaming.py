@@ -1200,3 +1200,66 @@ def test_msprt_stream_matches_batch_counts(spark, sf_dir, tmp_path):
     )
     assert ll is not None
     assert ll < 2.995732  # A/A: the always-valid test must not reject
+
+
+def test_moments_stream_matches_batch_ols(spark, sf_dir, tmp_path):
+    """Streaming moment fold ≡ batch: drive lineitem's (discount-cent,
+    quantity) pairs in three micro-batches keyed by a constant; the
+    final six-integer state must equal the batch moments, and the
+    ols_from_moments readout must equal the batch
+    stats_ols_elasticity row (same closed form, same integers)."""
+    from pyspark.sql import types as T
+    from spark_query_engine.queries.training import stats_ols_elasticity
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.lit("all").alias("k"),
+        F.floor(F.col("l_discount") * 100 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    d = tmp_path / "momstream"
+    d.mkdir()
+    pdf = li.toPandas()
+    for i in range(3):
+        pdf[pdf["l_orderkey"] % 3 == i].to_parquet(d / f"part{i}.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = ST.moments_stream(stream, "k", "x", "y")
+    ST.run_to_memory_sink(out, "mom_out", mode="update")
+    # update-mode memory sink appends one row per trigger; the final
+    # state is the row with the largest n
+    got = spark.sql(
+        "SELECT * FROM mom_out ORDER BY n DESC LIMIT 1"
+    ).collect()[0]
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+        assert got[c] == want[c], c
+    slope, intercept, r2 = ST.ols_from_moments(
+        got["n"], got["sx"], got["sy"], got["sxx"], got["syy"],
+        got["sxy"],
+    )
+    batch = stats_ols_elasticity(spark, sf_dir).collect()[0]
+    import math
+    assert batch["n"] == got["n"]
+    assert abs(batch["slope"] - math.floor(1e6 * slope * 100.0 + 0.5) / 1e6) < 1e-9
+    assert abs(batch["r2"] - math.floor(1e6 * r2 + 0.5) / 1e6) < 1e-9
