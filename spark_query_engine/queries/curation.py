@@ -522,15 +522,9 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     average, and swapping in a real KenLM changes only the model
     relation, not the plan."""
     docs = load(spark, sf_dir, "documents")
-    bi = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.substring(F.col("text"), i, 2),
-            )
-        ).alias("bg"),
-    ).persist()  # read by BOTH the trainer and the scorer — one explode
+    from spark_query_engine.operators.textanalysis import char_bigrams
+
+    bi = char_bigrams(docs, "doc_id", "text").persist()  # read by BOTH the trainer and the scorer — one explode
     counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     c1 = counts.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
         F.sum("c").alias("tot")
@@ -1531,15 +1525,9 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, one map-side-combined groupBy(doc_id). The 100 TB
     plan is identical — the model is carried by the expression."""
     docs = load(spark, sf_dir, "documents")
-    bi = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.substring(F.col("text"), i, 2),
-            )
-        ).alias("bg"),
-    )
+    from spark_query_engine.operators.textanalysis import char_bigrams
+
+    bi = char_bigrams(docs, "doc_id", "text")
     h = F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
     w = ((h % 2049) - 1024) / F.lit(1024.0)
     return bi.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
@@ -2173,15 +2161,9 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adds ONE aggregate and one broadcast CASE scan on top of the
     scoring pipeline — bucketing at 100 TB costs what scoring costs."""
     docs = load(spark, sf_dir, "documents")
-    bi = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.substring(F.col("text"), i, 2),
-            )
-        ).alias("bg"),
-    ).persist()
+    from spark_query_engine.operators.textanalysis import char_bigrams
+
+    bi = char_bigrams(docs, "doc_id", "text").persist()
     counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     c1 = counts.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
         F.sum("c").alias("tot")

@@ -365,15 +365,9 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc sum accumulates the 1e6-scaled ratios as exact BIGINTs on
     both engines (integer-moment float discipline)."""
     docs = load(spark, sf_dir, "documents")
-    bi = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.substring(F.col("text"), i, 2),
-            )
-        ).alias("bg"),
-    ).persist()  # shared by the proposal counter, target counter, scorer
+    from spark_query_engine.operators.textanalysis import char_bigrams
+
+    bi = char_bigrams(docs, "doc_id", "text").persist()  # shared by the proposal counter, target counter, scorer
     raw = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
         bi.join(
@@ -9429,8 +9423,10 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
                CAST((SELECT COUNT(*) FROM ed) AS BIGINT) AS n_edges,
                FLOOR(1000000.0
-                     * (CAST(mm*sxy - sx*sx AS DOUBLE)
-                        / (mm*sxx - sx*sx))
+                     * (CAST(CAST(mm AS HUGEINT)*sxy
+                             - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+                        / CAST(CAST(mm AS HUGEINT)*sxx
+                               - CAST(sx AS HUGEINT)*sx AS DOUBLE))
                      + 0.5) / 1000000.0 AS assortativity
         FROM m
     """,
@@ -9446,8 +9442,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(dx)=sum(dy) and sum(dx^2)=sum(dy^2), so
     r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2).
 
-    Determinism: degrees and all four moments are exact BIGINT sums;
-    r is a single division of exact integers, floor-half-up 6dp.
+    Determinism AND range: degrees and all four moments are exact
+    BIGINT sums; the Pearson numerator/denominator products are then
+    formed in exact 38-digit integer arithmetic (DECIMAL(38,0) on
+    Spark, HUGEINT on DuckDB — the sf1 scaling run measured mm*sxy
+    overflowing BIGINT at ~1e19) and cast once to double for the one
+    division, floor-half-up 6dp.
 
     Scale: the edge build is the triangle count's equi-join (bounded
     by per-order basket sizes, never all-parts); degrees are one hash
@@ -9501,10 +9501,18 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(
                     F.lit(1000000.0)
                     * (
-                        (F.col("mm") * F.col("sxy")
-                         - F.col("sx") * F.col("sx")).cast("double")
-                        / (F.col("mm") * F.col("sxx")
-                           - F.col("sx") * F.col("sx"))
+                        (
+                            F.col("mm").cast("decimal(38,0)")
+                            * F.col("sxy")
+                            - F.col("sx").cast("decimal(38,0)")
+                            * F.col("sx")
+                        ).cast("double")
+                        / (
+                            F.col("mm").cast("decimal(38,0)")
+                            * F.col("sxx")
+                            - F.col("sx").cast("decimal(38,0)")
+                            * F.col("sx")
+                        ).cast("double")
                     )
                     + 0.5
                 )
@@ -9736,25 +9744,28 @@ def data_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(y*y) AS BIGINT) AS syy,
                    CAST(SUM(x*y) AS BIGINT) AS sxy
             FROM li
+        ),
+        q AS (
+            SELECT n,
+                   CAST(CAST(n AS HUGEINT)*sxy
+                        - CAST(sx AS HUGEINT)*sy AS DOUBLE) AS cov,
+                   CAST(CAST(n AS HUGEINT)*sxx
+                        - CAST(sx AS HUGEINT)*sx AS DOUBLE) AS vx,
+                   CAST(CAST(n AS HUGEINT)*syy
+                        - CAST(sy AS HUGEINT)*sy AS DOUBLE) AS vy,
+                   sx, sy
+            FROM m
         )
         SELECT n,
-               FLOOR(1000000.0
-                     * (CAST(n*sxy - sx*sy AS DOUBLE)
-                        / (n*sxx - sx*sx) * 100.0)
-                     + 0.5) / 1000000.0 AS slope,
+               FLOOR(1000000.0 * (cov / vx * 100.0) + 0.5)
+                   / 1000000.0 AS slope,
                FLOOR(1000000.0
                      * ((CAST(sy AS DOUBLE) / n)
-                        - CAST(n*sxy - sx*sy AS DOUBLE)
-                          / (n*sxx - sx*sx)
-                          * (CAST(sx AS DOUBLE) / n))
+                        - cov / vx * (CAST(sx AS DOUBLE) / n))
                      + 0.5) / 1000000.0 AS intercept,
-               FLOOR(1000000.0
-                     * (CAST(n*sxy - sx*sy AS DOUBLE)
-                        * (n*sxy - sx*sy)
-                        / (CAST(n*sxx - sx*sx AS DOUBLE)
-                           * (n*syy - sy*sy)))
-                     + 0.5) / 1000000.0 AS r2
-        FROM m
+               FLOOR(1000000.0 * (cov * cov / (vx * vy)) + 0.5)
+                   / 1000000.0 AS r2
+        FROM q
     """,
 )
 def stats_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9770,10 +9781,13 @@ def stats_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     control; a real elasticity fit slots any (x, y) pair into the
     same plan.)
 
-    Determinism: discounts have 2dp (cent quantization exact);
-    quantities are integral; every moment is an exact BIGINT sum;
-    slope/intercept/R^2 are single fixed-association expressions of
-    those integers, floor-half-up 6dp."""
+    Determinism AND range: discounts have 2dp (cent quantization
+    exact); quantities are integral; every moment is an exact BIGINT
+    sum; the n*Sxy-style products form in exact 38-digit integer
+    arithmetic (DECIMAL(38,0) / HUGEINT — the BIGINT form overflows
+    around 1e19, measured on the assortativity twin at sf1) and cast
+    once to double; slope/intercept/R^2 are then fixed-association
+    expressions, floor-half-up 6dp."""
     li = load(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_discount") * 100 + 0.5)
         .cast("bigint")
@@ -9788,30 +9802,45 @@ def stats_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
     )
-    n, sx, sy, sxx, syy, sxy = (
-        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    d38 = "decimal(38,0)"
+    q = m.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            F.col("n").cast(d38) * F.col("sxy")
+            - F.col("sx").cast(d38) * F.col("sy")
+        )
+        .cast("double")
+        .alias("cov"),
+        (
+            F.col("n").cast(d38) * F.col("sxx")
+            - F.col("sx").cast(d38) * F.col("sx")
+        )
+        .cast("double")
+        .alias("vx"),
+        (
+            F.col("n").cast(d38) * F.col("syy")
+            - F.col("sy").cast(d38) * F.col("sy")
+        )
+        .cast("double")
+        .alias("vy"),
     )
 
     def fhu(col):
         return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
 
-    return m.select(
+    return q.select(
         "n",
+        fhu(F.col("cov") / F.col("vx") * F.lit(100.0)).alias("slope"),
         fhu(
-            (n * sxy - sx * sy).cast("double")
-            / (n * sxx - sx * sx)
-            * F.lit(100.0)
-        ).alias("slope"),
-        fhu(
-            (sy.cast("double") / n)
-            - (n * sxy - sx * sy).cast("double")
-            / (n * sxx - sx * sx)
-            * (sx.cast("double") / n)
+            (F.col("sy").cast("double") / F.col("n"))
+            - F.col("cov")
+            / F.col("vx")
+            * (F.col("sx").cast("double") / F.col("n"))
         ).alias("intercept"),
         fhu(
-            (n * sxy - sx * sy).cast("double")
-            * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx).cast("double") * (n * syy - sy * sy))
+            F.col("cov") * F.col("cov") / (F.col("vx") * F.col("vy"))
         ).alias("r2"),
     )
 
