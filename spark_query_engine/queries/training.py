@@ -8389,9 +8389,12 @@ def stats_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q AS (
             SELECT n, sx, sy,
-                   (n*sxy - sx*sy) AS covn,
-                   (n*sxx - sx*sx) AS varxn,
-                   (n*syy - sy*sy) AS varyn
+                   (CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy)
+                       AS covn,
+                   (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)
+                       AS varxn,
+                   (CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy)
+                       AS varyn
             FROM g
         ),
         a AS (
@@ -8431,10 +8434,13 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     split (no true effect — the adjusted means of the two arms should
     coincide more tightly than the raw means, which is the point).
 
-    Determinism: pre/post are INTEGER event counts, all moments are
-    exact BIGINT sums (the covariance-matrix discipline), theta and
-    every mean are single divisions of exact integers, floor-half-up
-    6dp at display — no float accumulates anywhere.
+    Determinism AND range: pre/post are INTEGER event counts, all
+    moments are exact BIGINT sums (the covariance-matrix discipline);
+    the n*Sxy-style moment products widen to exact 38-digit integers
+    (DECIMAL(38,0)/HUGEINT — the r5g range rule) so they survive
+    1e9-user populations; theta and every mean are single divisions
+    of exact integers, floor-half-up 6dp at display — no float
+    accumulates anywhere.
 
     Scale: one user-keyed count aggregate (data plane), one 6-long
     moment aggregate, one 2-row arm census; the moment/arm relations
@@ -8469,19 +8475,23 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
     )
+    d38 = "decimal(38,0)"
     q = g.select(
         "n",
         "sx",
         "sy",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
-            "covn"
-        ),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
-            "varxn"
-        ),
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
-            "varyn"
-        ),
+        (
+            F.col("n").cast(d38) * F.col("sxy")
+            - F.col("sx").cast(d38) * F.col("sy")
+        ).alias("covn"),
+        (
+            F.col("n").cast(d38) * F.col("sxx")
+            - F.col("sx").cast(d38) * F.col("sx")
+        ).alias("varxn"),
+        (
+            F.col("n").cast(d38) * F.col("syy")
+            - F.col("sy").cast(d38) * F.col("sy")
+        ).alias("varyn"),
     )
     a = u.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -8534,9 +8544,11 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         x AS (
             SELECT n, obs0, obs1,
                    FLOOR(1000000.0
-                         * (CAST((3*obs0 - n) * (3*obs0 - n) AS DOUBLE)
+                         * (CAST(CAST(3*obs0 - n AS HUGEINT)
+                                 * (3*obs0 - n) AS DOUBLE)
                               / (3.0 * n)
-                            + CAST((3*obs1 - 2*n) * (3*obs1 - 2*n)
+                            + CAST(CAST(3*obs1 - 2*n AS HUGEINT)
+                                   * (3*obs1 - 2*n)
                                    AS DOUBLE) / (6.0 * n))
                          + 0.5) / 1000000.0 AS chi2
             FROM c
@@ -8562,7 +8574,8 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: obs counts are exact BIGINTs; the chi-square is
     algebraically restated over integer numerators —
-    (3*obs0 - n)^2/(3n) + (3*obs1 - 2n)^2/(6n) — so each term is one
+    (3*obs0 - n)^2/(3n) + (3*obs1 - 2n)^2/(6n), the squares widened
+    to 38-digit integers (the r5g range rule) — so each term is one
     exact-integer division and the statistic is a fixed two-term sum,
     floor-half-up 6dp; the flag compares the ROUNDED value so both
     engines decide from the same double.
@@ -8587,9 +8600,11 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.floor(F.lit(1000000.0) * col + 0.5) / 1000000.0
 
     n, o0, o1 = F.col("n"), F.col("obs0"), F.col("obs1")
+    d38 = "decimal(38,0)"
     chi2 = fhu(
-        ((3 * o0 - n) * (3 * o0 - n)).cast("double") / (F.lit(3.0) * n)
-        + ((3 * o1 - 2 * n) * (3 * o1 - 2 * n)).cast("double")
+        ((3 * o0 - n).cast(d38) * (3 * o0 - n)).cast("double")
+        / (F.lit(3.0) * n)
+        + ((3 * o1 - 2 * n).cast(d38) * (3 * o1 - 2 * n)).cast("double")
         / (F.lit(6.0) * n)
     )
     x = c.select("n", "obs0", "obs1", chi2.alias("chi2"))
@@ -8629,7 +8644,8 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         v AS (
             SELECT n, n0, n1,
                    CAST(sx AS DOUBLE) / n AS mean_x,
-                   CAST(n*sxx - sx*sx AS DOUBLE)
+                   CAST(CAST(n AS HUGEINT)*sxx
+                        - CAST(sx AS HUGEINT)*sx AS DOUBLE)
                        / (CAST(n AS DOUBLE) * (n - 1)) AS var_x
             FROM m
         ),
@@ -8661,7 +8677,9 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     running at the current traffic level.
 
     Determinism: per-user counts are exact BIGINTs; variance is the
-    exact-integer-moment form (n*sxx - sx^2)/(n*(n-1)); the z-sum is
+    exact-integer-moment form (n*sxx - sx^2)/(n*(n-1)) with the
+    products widened to 38-digit integers (the r5g range rule); the
+    z-sum is
     a double literal; SQRT is IEEE-exact; floor-half-up 6dp.
 
     Scale: one user-keyed count aggregate, then a 1-row moment
@@ -8687,7 +8705,10 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
         (
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            )
             .cast("double")
             / (F.col("n").cast("double") * (F.col("n") - 1))
         ).alias("var_x"),
@@ -9652,8 +9673,10 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / ((t.nt - tf.n) * 100.0)) + 0.5) / 1000000.0
                    AS oof_mean,
                FLOOR(1000000.0
-                     * (CAST((t.st - tf.s) * (g.ng - t.nt)
-                             + 100 * (g.sg - t.st) AS DOUBLE)
+                     * (CAST(CAST(t.st - tf.s AS HUGEINT)
+                             * (g.ng - t.nt)
+                             + CAST(100 AS HUGEINT) * (g.sg - t.st)
+                             AS DOUBLE)
                         / (CAST(t.nt - tf.n + 100 AS DOUBLE)
                            * (g.ng - t.nt) * 100.0))
                      + 0.5) / 1000000.0 AS smoothed_oof_mean
@@ -9675,7 +9698,8 @@ def data_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold/category/global moments are exact BIGINT sums; each output
     is ONE division of exact integers — the smoothed form is cleared
     of its inner prior division algebraically:
-    (S_oof*Ng' + m*Sg') / ((n_oof+m)*Ng') — floor-half-up 6dp.
+    (S_oof*Ng' + m*Sg') / ((n_oof+m)*Ng'), the products widened to
+    38-digit integers (the r5g range rule) — floor-half-up 6dp.
 
     Scale: one (type, fold) aggregate on the data plane; the encoding
     table is the bounded |types| x 5 grid joined back by broadcast at
@@ -9714,9 +9738,10 @@ def data_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oof_mean"),
             fhu(
                 (
-                    (F.col("st") - F.col("s"))
+                    (F.col("st") - F.col("s")).cast("decimal(38,0)")
                     * (F.col("ng") - F.col("nt"))
-                    + 100 * (F.col("sg") - F.col("st"))
+                    + F.lit(100).cast("decimal(38,0)")
+                    * (F.col("sg") - F.col("st"))
                 ).cast("double")
                 / (
                     (F.col("nt") - F.col("n") + 100).cast("double")
