@@ -41,9 +41,15 @@ def char_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the 10x replica scale (r5g scaling run) with identical output,
     because the codegen'd pipeline never allocates the string array.
     Callers persist when they traverse the relation more than once
-    (measured: recompute is worse than the spill at sf1)."""
+    (measured: recompute is worse than the spill at sf1).
+
+    Texts shorter than 2 chars yield no rows — guarded explicitly,
+    because ``sequence(1, len-1)`` on len<2 builds a DESCENDING range
+    (the Spark trap the word-trigram query documents) and would emit
+    junk pseudo-bigrams."""
     return (
-        df.select(
+        df.where(F.length(text_col) >= 2)
+        .select(
             id_col,
             text_col,
             F.explode(

@@ -751,3 +751,105 @@ def test_qini_uplift_aa_hugs_zero_and_is_monotone_in_counts(spark):
     full = rows[-1]
     # last row covers everyone with both arms present
     assert full["cum_nt"] + full["cum_nc"] > 0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_char_bigrams_matches_array_transform_form(spark, texts):
+    """The integer-sequence/substr bigram generator (the r5g measured
+    optimization) produces exactly the multiset the original
+    array-transform explode produced, on arbitrary short strings
+    including empties and single chars (no bigrams)."""
+    from spark_query_engine.operators.textanalysis import char_bigrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = sorted(
+        (r["id"], r["bg"])
+        for r in char_bigrams(df, "id", "text").collect()
+    )
+    want = sorted(
+        (i, t[k : k + 2])
+        for i, t in enumerate(texts)
+        for k in range(len(t) - 1)
+    )
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_ols_from_moments_matches_sequential_least_squares(spark, pts):
+    """The streaming moment readout equals the normal-equation least
+    squares computed sequentially: slope/intercept minimize the sum
+    of squared residuals (checked by perturbation), and r2 in [0,1]."""
+    from spark_query_engine.streaming import ols_from_moments
+
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    out = ols_from_moments(n, sx, sy, sxx, syy, sxy)
+    if out is None:
+        assert n * sxx - sx * sx == 0 or n * syy - sy * sy == 0
+        return
+    slope, intercept, r2 = out
+    assert -1e-9 <= r2 <= 1 + 1e-9
+
+    def sse(a, b):
+        return sum((y - (a * x + b)) ** 2 for x, y in pts)
+
+    base = sse(slope, intercept)
+    for da, db in ((1e-4, 0), (-1e-4, 0), (0, 1e-4), (0, -1e-4)):
+        assert base <= sse(slope + da, intercept + db) + 1e-9
+
+
+def test_target_encoding_is_out_of_fold(spark):
+    """Leakage check by construction: recompute each (type, fold)
+    encoding from ONLY the other folds' rows and it must equal the
+    query's oof_mean (up to the 6dp display rounding)."""
+    import math
+
+    from spark_query_engine.queries import load
+    from spark_query_engine.queries.training import data_target_encoding
+
+    rows = data_target_encoding(spark, SF).collect()
+    ev = (
+        load(spark, SF, "events")
+        .select(
+            "event_type",
+            (F.col("user_id") % 5).alias("fold"),
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .collect()
+    )
+    for r in rows:
+        others = [
+            e["y"]
+            for e in ev
+            if e["event_type"] == r["event_type"]
+            and e["fold"] != r["fold"]
+        ]
+        want = math.floor(
+            1e6 * (sum(others) / (len(others) * 100.0)) + 0.5
+        ) / 1e6
+        assert r["oof_mean"] == want, (r["event_type"], r["fold"])
