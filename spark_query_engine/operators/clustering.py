@@ -139,7 +139,11 @@ def covariance_matrix(
         el.join(b, (F.col("id") == F.col("id_b")) & (F.col("i") <= F.col("j")))
         .groupBy("i", "j")
         .agg(
-            F.sum((F.col("xq") * F.col("yq")).cast("decimal(38,0)")).alias("s_xy")
+            # Cast an OPERAND (not the product) to decimal(38,0): a
+            # BIGINT*BIGINT multiply wraps silently in Spark before a
+            # post-hoc cast can widen it (the r5g overflow rule); the
+            # DuckDB oracle widens the same operand to HUGEINT.
+            F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq")).alias("s_xy")
         )
     )
     marg = el.groupBy("i").agg(F.sum(F.col("xq").cast("decimal(38,0)")).alias("s"))
@@ -153,15 +157,23 @@ def covariance_matrix(
         .select(
             "i",
             "j",
-            F.round(
-                (
-                    F.col("s_xy").cast("double")
-                    - F.col("s_x").cast("double")
-                    * F.col("s_y").cast("double")
-                    / F.lit(nn)
+            # + 0.0 normalizes IEEE signed zero: DuckDB's ROUND keeps
+            # -0.0 for tiny negative covariances while Spark's
+            # BigDecimal round emits +0.0; values compare equal but a
+            # bit-pattern hash distinguishes them. -0.0 + 0.0 = +0.0
+            # on both engines, so the two sides now agree bitwise.
+            (
+                F.round(
+                    (
+                        F.col("s_xy").cast("double")
+                        - F.col("s_x").cast("double")
+                        * F.col("s_y").cast("double")
+                        / F.lit(nn)
+                    )
+                    / F.lit(nn * 1e12),
+                    6,
                 )
-                / F.lit(nn * 1e12),
-                6,
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )
@@ -335,6 +347,12 @@ def kmeans_parallel_init(
         ).cast("double") / F.lit(4294967296.0)
 
     seed = v.where(F.col("id") == 0).collect()
+    if not seed:
+        raise ValueError(
+            "kmeans_parallel_init seeds from the row with id 0 "
+            "(deterministic stand-in for a uniform draw); the input's "
+            "id column must include 0"
+        )
     centers: list[tuple[int, list[float]]] = [
         (int(r["id"]), [float(x) for x in r["vec"]]) for r in seed
     ]
@@ -354,7 +372,9 @@ def kmeans_parallel_init(
                 centers.append((cid, [float(x) for x in row["vec"]]))
                 added_round[cid] = r
 
-    # weight candidates: points served (argmin with ties -> lowest id)
+    # weight candidates: points served (argmin via array_position, so
+    # ties break to the FIRST candidate in (round_added, id) insertion
+    # order — the oracle replays the same order)
     cl = F.lit([[float(x) for x in c] for _cid, c in centers])
     ids = F.lit([int(cid) for cid, _c in centers])
     dists = F.transform(

@@ -668,7 +668,8 @@ def corpus_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         el AS (SELECT id, generate_subscripts(vec, 1) AS i,
                       CAST(FLOOR(unnest(vec) * 1000000.0) AS BIGINT) AS xq
                FROM v),
-        sxy AS (SELECT a.i, b.i AS j, SUM(a.xq * b.xq) AS s_xy
+        sxy AS (SELECT a.i, b.i AS j,
+                       SUM(CAST(a.xq AS HUGEINT) * b.xq) AS s_xy
                 FROM el a JOIN el b ON a.id = b.id AND a.i <= b.i
                 GROUP BY a.i, b.i),
         marg AS (SELECT i, SUM(xq) AS s FROM el GROUP BY i),
@@ -676,7 +677,7 @@ def corpus_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sxy.i, sxy.j,
                ROUND((CAST(s_xy AS DOUBLE)
                       - CAST(mx.s AS DOUBLE) * CAST(my.s AS DOUBLE) / n.n)
-                     / (n.n * 1e12), 6) AS cov
+                     / (n.n * 1e12), 6) + 0.0 AS cov
         FROM sxy
         JOIN marg mx ON mx.i = sxy.i
         JOIN marg my ON my.i = sxy.j, n
@@ -716,7 +717,8 @@ def _pca_ctes() -> str:
         el AS MATERIALIZED (SELECT id, generate_subscripts(vec, 1) AS i,
                       CAST(FLOOR(unnest(vec) * 1000000.0) AS BIGINT) AS xq
                FROM v),
-        sxy AS (SELECT a.i, b.i AS j, SUM(a.xq * b.xq) AS s_xy
+        sxy AS (SELECT a.i, b.i AS j,
+                       SUM(CAST(a.xq AS HUGEINT) * b.xq) AS s_xy
                 FROM el a JOIN el b ON a.id = b.id AND a.i <= b.i
                 GROUP BY a.i, b.i),
         marg AS (SELECT i, SUM(xq) AS s FROM el GROUP BY i),
@@ -725,7 +727,7 @@ def _pca_ctes() -> str:
                        ROUND((CAST(s_xy AS DOUBLE)
                               - CAST(mx.s AS DOUBLE) * CAST(my.s AS DOUBLE)
                                 / n.n)
-                             / (n.n * 1e12), 6) AS cov
+                             / (n.n * 1e12), 6) + 0.0 AS cov
                 FROM sxy JOIN marg mx ON mx.i = sxy.i
                          JOIN marg my ON my.i = sxy.j, n),
         cfull AS MATERIALIZED (

@@ -8505,7 +8505,16 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(F.broadcast(q)).select(
         "arm",
         "n_users",
-        fhu(F.col("asy") / F.col("n_users")).alias("mean_post"),
+        # mean_post / theta mirror the oracle's ASSOCIATION ORDER and
+        # double arithmetic exactly — (1e6 * a) / b, all doubles — so
+        # no decimal-division double-rounding or reassociation can
+        # flip the 6dp floor on a boundary value.
+        (
+            F.floor(
+                F.lit(1000000.0) * F.col("asy") / F.col("n_users") + 0.5
+            )
+            / 1000000.0
+        ).alias("mean_post"),
         fhu(
             F.col("asy").cast("double") / F.col("n_users")
             - (F.col("covn").cast("double") / F.col("varxn"))
@@ -8514,7 +8523,15 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("sx").cast("double") / F.col("n")
             )
         ).alias("cuped_mean_post"),
-        fhu(F.col("covn") / F.col("varxn")).alias("theta"),
+        (
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("covn").cast("double")
+                / F.col("varxn").cast("double")
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("theta"),
         fhu(
             (F.col("covn").cast("double") * F.col("covn"))
             / (F.col("varxn").cast("double") * F.col("varyn"))
@@ -8612,7 +8629,12 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_users"),
         F.col("obs0").alias("obs_0"),
         F.col("obs1").alias("obs_1"),
-        fhu(F.col("n") / F.lit(3.0)).alias("expected_0"),
+        # mirror the oracle's association: (1e6 * n) / 3.0, not
+        # 1e6 * (n / 3.0) — one rounding instead of two.
+        (
+            F.floor(F.lit(1000000.0) * F.col("n") / F.lit(3.0) + 0.5)
+            / 1000000.0
+        ).alias("expected_0"),
         "chi2",
         F.when(F.col("chi2") > F.lit(3.841459), 1)
         .otherwise(0)

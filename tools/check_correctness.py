@@ -102,6 +102,22 @@ def compare(spark_pdf, duck_pdf) -> tuple[bool, str]:
             pt.assert_series_equal(av, bv, check_names=False, check_exact=True)
         except Exception as e:
             return False, f"col {c}: {str(e).splitlines()[0] if str(e) else type(e).__name__}"
+        # The driver hashes BIT PATTERNS, so IEEE -0.0 != +0.0 there
+        # even though == (and assert_series_equal) calls them equal —
+        # the two-round vec_covariance_matrix red row. Mirror that:
+        # any signbit skew on a float column is a failure here.
+        if av.dtype.kind == "f":
+            import numpy as np
+
+            sa, sb = np.signbit(av.to_numpy()), np.signbit(bv.to_numpy())
+            ok_mask = np.isnan(av.to_numpy()) | (sa == sb)
+            if not ok_mask.all():
+                i = int(np.argmin(ok_mask))
+                return False, (
+                    f"col {c}: signed-zero/signbit skew at row {i} "
+                    f"(spark={av.iloc[i]!r} signbit={bool(sa[i])}, "
+                    f"duck={bv.iloc[i]!r} signbit={bool(sb[i])})"
+                )
     return True, "ok"
 
 
