@@ -175,18 +175,8 @@ def _driver_verified() -> set[str]:
 #: once a name earns a green CORRECTNESS row it leaves the unverified
 #: set and this pin becomes a no-op.
 _WINDOW_FIRST = (
-    "corpus_bpe_train",
-    "corpus_bpe_tokenize",
-    "corpus_bpe_fertility",
-    "corpus_dup_span_removal",
-    "corpus_winnow_fingerprint",
-    "pipeline_pretraining_full",
-    "pipeline_rag_index",
-    "graph_triangle_count",
-    "data_scd2_history",
-    "data_scd2_pointintime",
-    "data_gdpr_cascade_delete",
-    "events_rolling_wau",
+    # (r3 backlog fully green by r4 — list emptied r6. Names stay
+    # documented in git history; an empty tuple keeps the mechanism.)
 )
 
 #: Queries whose implementation was REWRITTEN after their last green
@@ -197,15 +187,15 @@ _WINDOW_FIRST = (
 #: verdict (task 4) wants fresh driver rows under the current code.
 #: Drop a name once a CORRECTNESS round NEWER than its rewrite lands.
 _REPIN_REWRITTEN = (
-    # r4 rewrites (driver rows predate): CP-LSH embedding dedup,
-    # star-CC components, keep-best rollup, recursive-chain dedup
-    "dedup_embedding_cosine",
-    "dedup_embedding_scaled",
-    "dedup_cluster_components",
-    "corpus_dedup_keep_best",
-    "dedup_chain_recursive",
-    # r5 rewrite: norm_mass switched to exact integer moments
-    "vec_quality_checks",
+    # (r4/r5 rewrites all re-verified green in CORRECTNESS_r05 —
+    # pruned r6 so they stop consuming window slots.)
+    # r6 rewrites: signed-zero normalization (+0.0) + decimal-operand
+    # widening in the covariance kernel, shared by the PCA chain.
+    # vec_covariance_matrix has been driver-red twice on the signed
+    # zero alone — it goes first.
+    "vec_covariance_matrix",
+    "vec_pca_project",
+    "vec_pca_variance",
 )
 
 
