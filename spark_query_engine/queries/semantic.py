@@ -31,44 +31,54 @@ _THRESHOLD = 0.45
 _PQ_M, _PQ_K, _PQ_SUBDIM = 4, 16, 16
 
 
-def _kmeans_ctes(k: int = _K, iters: int = _ITERS) -> str:
+def _kmeans_ctes(
+    k: int | str = _K, iters: int = _ITERS, prefix: str = ""
+) -> str:
     """DuckDB CTE chain replicating ``clustering.kmeans_assign``:
     c0 (init) → [assign → mean → next centroids] × iters → a_final.
     COALESCE keeps an empty cluster's previous centroid, mirroring the
-    fit loop's dict semantics."""
+    fit loop's dict semantics.
+
+    ``k`` may be an int or a scalar-subquery SQL string (for k ∝ n
+    blocking, e.g. ``pipeline_dedup_cascade``'s
+    ``GREATEST(8, (COUNT(*) + 63) // 64)``). ``prefix`` namespaces
+    every CTE so the chain can be embedded in a host oracle whose own
+    CTE names (s1, s2, ...) would otherwise collide."""
+    p = prefix
     parts = [
-        "v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec"
+        f"{p}v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec"
         " FROM embeddings)",
-        f"c0 AS (SELECT id AS centroid,"
+        f"{p}c0 AS (SELECT id AS centroid,"
         f" list_transform(vec, x -> ROUND(x, 6)) AS cvec"
-        f" FROM v WHERE id < {k})",
+        f" FROM {p}v WHERE id < {k})",
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for i in range(1, iters + 1):
         parts += [
-            f"s{i} AS (SELECT v.id, v.vec, c.centroid,"
+            f"{p}s{i} AS (SELECT v.id, v.vec, c.centroid,"
             f" ROUND(list_cosine_similarity(v.vec, c.cvec), 6) AS sim"
-            f" FROM v CROSS JOIN {prev} c)",
-            f"a{i} AS (SELECT id, vec, centroid, sim FROM"
+            f" FROM {p}v v CROSS JOIN {prev} c)",
+            f"{p}a{i} AS (SELECT id, vec, centroid, sim FROM"
             f" (SELECT *, ROW_NUMBER() OVER (PARTITION BY id"
-            f" ORDER BY sim DESC, centroid) AS rn FROM s{i}) WHERE rn = 1)",
-            f"e{i} AS (SELECT centroid, unnest(vec) AS val,"
-            f" generate_subscripts(vec, 1) AS pos FROM a{i})",
-            f"m{i} AS (SELECT centroid, pos, ROUND(AVG(val), 6) AS val"
-            f" FROM e{i} GROUP BY 1, 2)",
-            f"cr{i} AS (SELECT centroid, list(val ORDER BY pos) AS cvec"
-            f" FROM m{i} GROUP BY 1)",
-            f"c{i} AS (SELECT p.centroid, COALESCE(cr{i}.cvec, p.cvec) AS cvec"
-            f" FROM {prev} p LEFT JOIN cr{i} USING (centroid))",
+            f" ORDER BY sim DESC, centroid) AS rn FROM {p}s{i}) WHERE rn = 1)",
+            f"{p}e{i} AS (SELECT centroid, unnest(vec) AS val,"
+            f" generate_subscripts(vec, 1) AS pos FROM {p}a{i})",
+            f"{p}m{i} AS (SELECT centroid, pos, ROUND(AVG(val), 6) AS val"
+            f" FROM {p}e{i} GROUP BY 1, 2)",
+            f"{p}cr{i} AS (SELECT centroid, list(val ORDER BY pos) AS cvec"
+            f" FROM {p}m{i} GROUP BY 1)",
+            f"{p}c{i} AS (SELECT p.centroid,"
+            f" COALESCE({p}cr{i}.cvec, p.cvec) AS cvec"
+            f" FROM {prev} p LEFT JOIN {p}cr{i} USING (centroid))",
         ]
-        prev = f"c{i}"
+        prev = f"{p}c{i}"
     parts += [
-        f"sf AS (SELECT v.id, v.vec, c.centroid,"
+        f"{p}sf AS (SELECT v.id, v.vec, c.centroid,"
         f" ROUND(list_cosine_similarity(v.vec, c.cvec), 6) AS sim"
-        f" FROM v CROSS JOIN {prev} c)",
-        "a_final AS (SELECT id, vec, centroid, sim FROM"
+        f" FROM {p}v v CROSS JOIN {prev} c)",
+        f"{p}a_final AS (SELECT id, vec, centroid, sim FROM"
         " (SELECT *, ROW_NUMBER() OVER (PARTITION BY id"
-        " ORDER BY sim DESC, centroid) AS rn FROM sf) WHERE rn = 1)",
+        f" ORDER BY sim DESC, centroid) AS rn FROM {p}sf) WHERE rn = 1)",
     ]
     return "WITH " + ",\n".join(parts)
 

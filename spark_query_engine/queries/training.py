@@ -33,6 +33,7 @@ from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.operators.dedup import cosine
 from spark_query_engine.queries import EVENTS_ORACLE, load, query
+from spark_query_engine.queries.semantic import _kmeans_ctes
 
 #: Sliding-window chunking geometry: 32-token windows, stride 24
 #: (25% overlap) — the standard LM pretraining chunker shape.
@@ -3463,11 +3464,23 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Dedup-cascade thresholds: lexical near-dup Jaccard, semantic cosine.
 _CASC_J, _CASC_COS = 0.6, 0.9
 
+#: Stage-3 blocking: k-means clusters with k ∝ n (target cluster size
+#: 64), one Lloyd round — the ``corpus_semdedup`` discipline. A fixed
+#: block count (the pre-r6 10-value label column) is O(n²/10) at 100×;
+#: k = ⌈n/64⌉ keeps per-cluster pair work ~64·n = linear.
+_CASC_KM_ITERS = 1
+_CASC_K_EXPR = "(SELECT GREATEST(8, (COUNT(*) + 63) // 64) FROM embeddings)"
+
+
+def _casc_k(n: int) -> int:
+    return max(8, (n + 63) // 64)
+
 
 @query(
     "pipeline_dedup_cascade",
     oracle=f"""
-        WITH norm AS (
+        {_kmeans_ctes(k=_CASC_K_EXPR, iters=_CASC_KM_ITERS, prefix="km_")},
+        norm AS (
             SELECT doc_id, text,
                    md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
                        AS fp
@@ -3498,14 +3511,12 @@ _CASC_J, _CASC_COS = 0.6, 0.9
         ),
         s2 AS (SELECT doc_id FROM s1
                WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
-              FROM embeddings),
-        s2e AS (SELECT s2.doc_id, e.vec, e.label
-                FROM s2 JOIN e ON e.vec_id = s2.doc_id),
+        s2e AS (SELECT s2.doc_id, f.vec, f.centroid
+                FROM s2 JOIN km_a_final f ON f.id = s2.doc_id),
         d3 AS (
             SELECT DISTINCT b.doc_id
             FROM s2e a JOIN s2e b
-              ON a.label = b.label AND a.doc_id < b.doc_id
+              ON a.centroid = b.centroid AND a.doc_id < b.doc_id
             WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6)
                   >= {_CASC_COS}
         ),
@@ -3532,10 +3543,12 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup on the whitespace-normalized md5 fingerprint, (2) MinHash-
     LSH lexical near-dup (exact-Jaccard verify ≥ {_CASC_J}, drop the
     higher id of each pair), (3) semantic near-dup over the linked
-    embeddings (label-blocked exact cosine ≥ {_CASC_COS} — the label
-    stands in for the k-means cluster blocking ``corpus_semdedup``
-    does for real). Output: the per-stage attrition census — the
-    funnel report every dedup pipeline publishes.
+    embeddings — exact cosine ≥ {_CASC_COS} blocked on K-MEANS
+    CLUSTERS with k ∝ n (⌈n/64⌉, one Lloyd round): the
+    ``corpus_semdedup`` discipline, so per-cluster pair work stays
+    ~64·n as the corpus grows where a fixed block count would go
+    quadratic. Output: the per-stage attrition census — the funnel
+    report every dedup pipeline publishes.
 
     Stage ordering is the cost argument: exact is one hash aggregate
     and removes the mass duplicates; MinHash's banded equi-join then
@@ -3566,20 +3579,31 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d2 = pairs2.select(F.col("id_b").alias("doc_id")).distinct()
     s2 = s1.join(d2, "doc_id", "left_anti").select("doc_id").persist()
+    # Stage-3 blocking key: k-means clusters over the embedding corpus
+    # with k ∝ n (target cluster size 64, one Lloyd round) — the
+    # corpus_semdedup discipline. Fit state is k·dim floats on the
+    # driver (model, not data); the pair join below is then a
+    # centroid-keyed equi-join whose work stays ~64·n at any scale,
+    # where the pre-r6 fixed-10-label blocking was O(n²/10).
     e = load(spark, sf_dir, "embeddings")
+    k3 = _casc_k(e.count())
+    assigned = C.kmeans_assign(
+        spark, e, "vec_id", "embedding", k=k3, iters=_CASC_KM_ITERS
+    )
+    # persist the assigned survivor relation: it feeds BOTH sides of
+    # the d3 self-join — without the barrier each side re-runs the
+    # whole assignment scan (and its parquet read).
     s2e = s2.join(
-        e.select(
-            F.col("vec_id").alias("doc_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-            "label",
+        assigned.select(
+            F.col("id").alias("doc_id"), "vec", "centroid"
         ),
         "doc_id",
-    )
+    ).persist()
     a, b = s2e.alias("a"), s2e.alias("b")
     d3 = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.centroid") == F.col("b.centroid"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(
@@ -3593,7 +3617,9 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
     n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
     n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
-    c = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+    # the 1-row census feeds THREE union branches; persist it or each
+    # branch re-evaluates the whole cascade (incl. the d3 pair join).
+    c = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3).persist()
     rows = [
         (1, "exact", "n0", "n1"),
         (2, "minhash_jaccard", "n1", "n2"),
