@@ -38,6 +38,39 @@ def widen(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df
 
 
+def release_on_drop(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie operator-internal ``persist()`` lifetimes to the RESULT.
+
+    Several operators persist an intermediate deliberately (a barrier
+    against Catalyst re-inlining an expensive fold, or a relation read
+    by multiple downstream branches) while returning a LAZY DataFrame
+    that still references the cache — so an in-function ``unpersist()``
+    is impossible without forcing materialization, and the repo's
+    bench/checker released these via ``spark.catalog.clearCache()``.
+    Arbitrary library consumers won't do that, so: register a weakref
+    finalizer that unpersists every handle the moment the returned
+    DataFrame object is garbage-collected (CPython refcounting makes
+    that the point where the caller drops the result — after their
+    collect/write). Until then the closure keeps the handles alive, so
+    the barrier semantics and measured performance are unchanged. A
+    second invocation after the first result is dropped re-caches
+    fresh — no "already cached" warnings, no unbounded cache growth.
+    """
+    import weakref
+
+    def _release(handles=cached):
+        for h in handles:
+            try:
+                h.unpersist()
+            except Exception:
+                # session already stopped / cache already cleared —
+                # nothing to release
+                pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 from spark_query_engine.operators import (  # noqa: E402
     clustering,
     dedup,
@@ -61,4 +94,5 @@ __all__ = [
     "textanalysis",
     "timeseries",
     "widen",
+    "release_on_drop",
 ]

@@ -94,9 +94,13 @@ def kmeans_assign(
     iters: int = 2,
 ) -> DataFrame:
     """Fit + final assignment: (id, vec, centroid, cent_sim)."""
+    from spark_query_engine.operators import release_on_drop
+
     v = _vectors(df, id_col, vec_col)
     cents = kmeans_fit(spark, v, k=k, iters=iters)
-    return assign_to_centroids(v, cents)
+    # v was persisted inside kmeans_fit and still backs the lazy
+    # assignment scan — release it when the caller drops the result
+    return release_on_drop(assign_to_centroids(v, cents), v)
 
 
 def covariance_matrix(

@@ -25,7 +25,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import widen
+from spark_query_engine.operators import release_on_drop, widen
 
 
 # --- shingling -------------------------------------------------------------
@@ -322,7 +322,8 @@ def minhash_near_duplicates(
     sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes).persist()
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
-    return verify_jaccard(sh, cand, threshold)
+    # cache lifetime = result lifetime (see operators.release_on_drop)
+    return release_on_drop(verify_jaccard(sh, cand, threshold), sh, sig)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -390,7 +391,7 @@ def simhash_near_duplicates(
         ).alias("block_idx", "block_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
@@ -407,6 +408,7 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_distance)
         .distinct()
     )
+    return release_on_drop(out, sim)
 
 
 # --- n-gram Jaccard (exact, via shingle equi-join) ---------------------------
@@ -453,6 +455,7 @@ def ngram_jaccard_pairs(
     # backs the RETURNED lazy plan, so the release point is the
     # caller's (bench.py clears cache between queries)
     sh = sh.persist()
+    sh_cached = sh
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -472,7 +475,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    return release_on_drop(
         inter.join(sizes.alias("za"), F.col("za.id") == F.col("id_a"))
         .join(sizes.alias("zb"), F.col("zb.id") == F.col("id_b"))
         .select(
@@ -484,7 +487,8 @@ def ngram_jaccard_pairs(
                 6,
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= threshold),
+        sh_cached,
     )
 
 
@@ -670,6 +674,7 @@ def connected_components_label(
             new = cp
         changed = new.where(F.col("label") < F.col("old_label")).count()
         labels.unpersist()
+        labels_handle = new
         labels = new.select("n", "label")
         if changed == 0:
             break
@@ -687,7 +692,9 @@ def connected_components_label(
         )
     out = labels.select(F.col("n").alias("id"), F.col("label").alias("component"))
     sym.unpersist()
-    return out
+    # the final round's persisted relation backs the lazy result —
+    # release it when the caller drops the result
+    return release_on_drop(out, labels_handle)
 
 
 # --- embedding cosine near-dup ----------------------------------------------
@@ -818,11 +825,12 @@ def ngram_jaccard_prefix_pairs(
     jac = F.round(
         F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
     )
-    return (
+    return release_on_drop(
         inter.join(za, "id_a")
         .join(zb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= threshold),
+        sh,
     )
 
 

@@ -594,4 +594,6 @@ def ahash_near_duplicates(
         .where(F.col("hamming") <= max_distance)
         .distinct()
     )
-    return out
+    from spark_query_engine.operators import release_on_drop
+
+    return release_on_drop(out, hs)

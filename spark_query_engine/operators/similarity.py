@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import widen
+from spark_query_engine.operators import release_on_drop, widen
 from spark_query_engine.operators.dedup import cosine
 
 
@@ -192,7 +192,7 @@ def banded_near_duplicates(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
-    return out
+    return release_on_drop(out, sig)
 
 
 def cp_rotations(bands: int, dim: int) -> list[list[list[float]]]:
@@ -313,8 +313,11 @@ def cp_keys(
             .cast("long")
         )
 
-    return yb.select(
-        "id", "band", signed(i1).alias("k1"), signed(i2).alias("k2")
+    return release_on_drop(
+        yb.select(
+            "id", "band", signed(i1).alias("k1"), signed(i2).alias("k2")
+        ),
+        yb,
     )
 
 
@@ -471,8 +474,12 @@ def cp_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
-    return verified.crossJoin(F.broadcast(frac)).select(
-        "id_a", "id_b", "cos_sim", "candidate_fraction"
+    return release_on_drop(
+        verified.crossJoin(F.broadcast(frac)).select(
+            "id_a", "id_b", "cos_sim", "candidate_fraction"
+        ),
+        keys,
+        cand,
     )
 
 
@@ -750,6 +757,9 @@ def pq_train_codebooks(
         )
         for r in means.collect():
             cbs[int(r["j"])][int(r["code"])] = [float(x) for x in r["c"]]
+    # NOTE: v stays persisted on purpose — every caller keeps using
+    # the vector relation after training (query fetch, encode, rerank)
+    # and the cache lifetime is the caller's (clearCache contract).
     return cbs
 
 

@@ -413,7 +413,11 @@ def bpe_train(
         new = toks.withColumn("t", _merge_fold_expr(a, b)).persist()
         toks.unpersist()
         toks = new
-    return toks, merges
+    from spark_query_engine.operators import release_on_drop
+
+    # the returned token relation IS the persisted handle — release
+    # its cache when the caller drops it
+    return release_on_drop(toks, toks), merges
 
 
 def _merge_fold_expr(a: str, b: str):

@@ -1573,19 +1573,40 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.s", "e.t")
     )
+    # Size the wedge-scale shuffles to the WEDGE relation, not the
+    # session default: at sf1 the oriented wedge relation reaches
+    # ~1.5 B rows (~24 GB at 16 B/row) and a 32-partition shuffle
+    # spills — round-5 measurement (SCALING.md): 32→52.4 s,
+    # 128→35.1 s, 256→36.7 s. The knob is anchored to that
+    # measurement via the one scalar available WITHOUT a pre-pass
+    # job: the lineitem row count (parquet-footer count, ~0.1 s).
+    # 6 M rows → the measured-optimal 128 partitions, linear in
+    # rows, never below the session default, capped at 4096. When
+    # the resolved width equals the session default (all SF ≤ 0.3
+    # locally) the plan is left untouched — no repartition nodes,
+    # no extra exchange.
+    li_rows = load(spark, sf_dir, "lineitem").count()
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wp = max(session_parts, min(4096, (li_rows * 128) // 6_000_000))
+    if wp > session_parts:
+        oriented = oriented.repartition(wp, "s")
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
         (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
     ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
+    if wp > session_parts:
+        # e1.t < e2.t makes x < y by construction, so (x, y) is the
+        # canonical undirected key the closing join shuffles on —
+        # widen that exchange explicitly.
+        wedges = wedges.repartition(wp, "x", "y")
     # close the wedge: the third edge may be oriented either way
     closing = ed.select(
         F.least("u", "v").alias("cx"), F.greatest("u", "v").alias("cy")
     )
     tri = wedges.join(
         closing,
-        (F.least("x", "y") == F.col("cx"))
-        & (F.greatest("x", "y") == F.col("cy")),
+        (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")),
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -672,3 +672,43 @@ def test_kmv_estimate_within_theory_error(spark):
     kth = sk.agg(F.max("h")).collect()[0][0]
     est = (k - 1) * float(1 << 48) / kth
     assert abs(est - n) / n < 4.0 / (k ** 0.5)
+
+
+def test_operator_caches_release_when_result_dropped(spark, docs):
+    """Persist-lifecycle contract (round-5 verdict item): operators
+    that persist internals (cp_keys' rotated coordinates,
+    cp_near_duplicates' keys/candidates, minhash's shingles/
+    signatures) must release them once the caller drops the result —
+    WITHOUT requiring spark.catalog.clearCache(). Double invocation
+    must also not emit 'already cached' re-cache warnings, which is
+    equivalent to the cache actually having been dropped in between."""
+    import gc
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "test requires a clean cache"
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)])
+         for i in range(40)],
+        "id bigint, vec array<double>",
+    )
+    for _ in range(2):  # double invocation: second run must re-cache fresh
+        out = S.cp_near_duplicates(
+            vecs, "id", "vec", threshold=0.8, bands=4, dim=8
+        )
+        out.collect()
+        assert not cm.isEmpty()  # caches in use while result is alive
+        del out
+        gc.collect()
+        assert cm.isEmpty(), "cp caches must release when result dropped"
+
+    out = D.minhash_near_duplicates(
+        spark.createDataFrame(DOCS, ["doc_id", "text"]),
+        "doc_id", "text", shingle_k=3, num_hashes=16, bands=4, threshold=0.5,
+    )
+    out.collect()
+    assert not cm.isEmpty()
+    del out
+    gc.collect()
+    assert cm.isEmpty(), "minhash caches must release when result dropped"
