@@ -280,6 +280,7 @@ def main() -> None:
     qs["limit_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         # run 1 = warmup (whole-stage-codegen compile + JIT of this
         # query's generated classes — one-time cost, heavily load-
@@ -298,13 +299,25 @@ def main() -> None:
             # shingle caches etc.) so cache residue can't tax the next
             spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
+        all_runs[name] = [round(r, 3) for r in runs]
 
     total = round(sum(timings.values()), 3)
+    # Dispersion, made visible (round-5 verdict task 5): the same tree
+    # measured 217.9 s (builder) vs 236.3 s (driver) on this shared
+    # box — ±~8% ambient. Recording BOTH post-warmup runs per query
+    # makes round-over-round drift vs noise decidable from the
+    # committed artifact alone: if run pairs straddle the delta, it's
+    # ambient; if both runs moved together, it's the code.
+    spread = round(
+        sum(max(r) - min(r) for r in all_runs.values()), 3
+    )
     record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
+        "run_spread_total": spread,
         "r1_subset_total": round(
             sum(timings[n] for n in R1_SUBSET if n in timings), 3
         ),
