@@ -1396,7 +1396,7 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("gap_s").alias("n_gaps"),
             F.sum("gap_s").alias("s1"),
-            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+            F.sum(F.col("gap_s").cast("decimal(38,0)") * F.col("gap_s")).cast("bigint").alias("s2"),
         )
         .where(F.col("n_gaps") >= 5)
     )
@@ -1470,7 +1470,7 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.sum("n").alias("s1"),
-            F.sum(F.col("n") * F.col("n")).alias("s2"),
+            F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).cast("bigint").alias("s2"),
         )
         .where(F.col("n_days") >= 5)
     )

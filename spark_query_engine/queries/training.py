@@ -2234,7 +2234,7 @@ def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("in_train").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
         F.sum("f").cast("bigint").alias("n_occurrences"),
-        F.sum(F.col("f") * F.col("n_t")).cast("bigint").alias(
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("n_t")).cast("bigint").alias(
             "n_tokens_emitted"
         ),
         F.round(
@@ -3212,9 +3212,9 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("xi").cast("bigint").alias("sx"),
         F.sum("vq").cast("bigint").alias("sy"),
-        F.sum(F.col("xi") * F.col("vq")).cast("bigint").alias("sxy"),
-        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sxx"),
-        F.sum(F.col("vq") * F.col("vq")).cast("bigint").alias("syy"),
+        F.sum(F.col("xi").cast("decimal(38,0)") * F.col("vq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xi")).cast("bigint").alias("sxx"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).cast("bigint").alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -4621,7 +4621,7 @@ def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("nh"),
         F.sum("nt").cast("bigint").alias("sx"),
-        F.sum(F.col("nt") * F.col("nt")).cast("bigint").alias("sxx"),
+        F.sum(F.col("nt").cast("decimal(38,0)") * F.col("nt")).cast("bigint").alias("sxx"),
     )
     var_h = (
         (F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx"))
@@ -5030,7 +5030,7 @@ def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b"),
     )
     ct = lab.agg(
-        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).cast("bigint").alias("n11"),
         F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
         F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
         F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
@@ -5872,7 +5872,7 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("r"),
     ).select("r", "cents", w.alias("w"))
     repagg = wtd.groupBy("r").agg(
-        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents")).cast("bigint").alias("s"),
         F.sum("w").cast("bigint").alias("n"),
     )
     rk = repagg.select(
@@ -8518,9 +8518,9 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("bigint").alias("sxy"),
     )
     d38 = "decimal(38,0)"
     q = g.select(
@@ -8760,7 +8760,7 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = u.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n0"),
@@ -9576,8 +9576,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = dd.agg(
         F.count(F.lit(1)).cast("bigint").alias("mm"),
         F.sum("dx").cast("bigint").alias("sx"),
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("bigint").alias("sxy"),
     )
     nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     ne = ed.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -9892,9 +9892,9 @@ def stats_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("bigint").alias("sxy"),
     )
     d38 = "decimal(38,0)"
     q = m.select(

@@ -62,8 +62,92 @@ def gate_registry_docs() -> list[str]:
     return errs
 
 
+#: Raw `F.sum(F.col(a) * F.col(b))` / SQL `SUM(a * b)` product sums
+#: that are ALLOWED to stay unwidened, each with the range argument
+#: that bounds them below int64 at 100 TB. Everything else must cast
+#: an OPERAND to decimal(38,0) (Spark) — a BIGINT*BIGINT multiply or
+#: a BIGINT sum accumulator hits the r5g ANSI abort at scale before
+#: any post-hoc cast can widen it. Keyed by (file, matched text).
+MOMENT_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/extended.py", 'F.sum(F.col("l_extendedprice") * F.col("l_discount"))'):
+        "TPC-H decimal columns — Spark widens decimal products itself",
+    ("queries/training.py", 'F.sum(F.col("f") * F.col("n_t"))'):
+        "fertility numerator <= total_tokens * max_tokens_per_word "
+        "(~2.5e13 * 50 = 1.3e15 at 100 TB) < 2^63",
+    ("queries/training.py", 'F.sum(F.col("x") * F.col("y"))'):
+        "degree-powerlaw log-log regression over O(64) degree buckets "
+        "of 1e6-quantized logs: sum <= 64 * (3e7)^2 ~ 6e16 < 2^63",
+    ("queries/training.py", 'F.sum(F.col("x") * F.col("x"))'):
+        "see x*y row — same O(buckets) relation",
+    ("queries/training.py", 'F.sum(F.col("y") * F.col("y"))'):
+        "see x*y row — same O(buckets) relation",
+    ("queries/training.py", 'F.sum(F.col("cl") * F.col("ce_below"))'):
+        "Mann-Whitney wins <= n0*n1 <= (1e9)^2/4 ~ 2.5e17 < 2^63",
+    ("queries/training.py", 'F.sum(F.col("cl") * F.col("ce"))'):
+        "Mann-Whitney ties — bounded by the wins bound above",
+    ("queries/training.py", 'F.sum(F.col("a") * F.col("a"))'):
+        "ACF denominator over an O(days) daily series (n <= ~1e4 "
+        "rows of n*x-s residuals, |a| <= 1e4*1e9): bounded by the "
+        "series length, not the corpus",
+    ("queries/training.py", 'F.sum(F.col("r_x") * F.col("r_x"))'):
+        "Spearman over DAILY aggregates: ranks <= ~3650",
+    ("queries/training.py", 'F.sum(F.col("r_y") * F.col("r_y"))'):
+        "Spearman daily — see r_x row",
+    ("queries/training.py", 'F.sum(F.col("r_x") * F.col("r_y"))'):
+        "Spearman daily — see r_x row",
+    ("queries/events.py", 'F.sum(F.col("value") * F.col("dur_us"))'):
+        "DOUBLE operand (time-weighted average) — decimal cast would "
+        "change the value; float path is deliberate here",
+    ("queries/semantic.py", 'F.sum(F.col("xq") * F.col("va"))'):
+        "PCA projection dot: sum over d=64 dims of 1e12 products "
+        "~ 6e13 — bounded by DIMENSION, not corpus size",
+    ("queries/semantic.py", 'F.sum(F.col("xq") * F.col("vb"))'):
+        "see xq*va row",
+}
+
+
+def gate_moment_widening() -> list[str]:
+    """The r5g DECIMAL(38,0) range rule, enforced statically: any
+    `F.sum(<col> * <col>)`-shaped product sum in the query/operator
+    sources must widen an operand to decimal(38,0) or carry an
+    explicit range-bound entry in MOMENT_ALLOWLIST. A future moment
+    query that forgets the widening turns this gate red."""
+    pat = re.compile(
+        r'F\.sum\(\s*F\.col\("[A-Za-z_]+"\)\s*\*\s*F\.col\("[A-Za-z_]+"\)\s*\)'
+    )
+    errs: list[str] = []
+    pkg = ROOT / "spark_query_engine"
+    for p in sorted(pkg.rglob("*.py")):
+        rel = str(p.relative_to(pkg))
+        text = p.read_text()
+        for m in pat.finditer(text):
+            snippet = re.sub(r"\s+", " ", m.group(0))
+            if (rel, snippet) not in MOMENT_ALLOWLIST:
+                line = text[: m.start()].count("\n") + 1
+                errs.append(
+                    f"{rel}:{line}: unwidened BIGINT moment product "
+                    f"`{snippet}` — cast an operand to decimal(38,0) "
+                    "or add a range-bound MOMENT_ALLOWLIST entry"
+                )
+    # stale allowlist entries rot silently — flag them too
+    for (rel, snippet), _why in MOMENT_ALLOWLIST.items():
+        p = pkg / rel
+        if not p.exists() or snippet not in re.sub(r"\s+", " ", p.read_text()):
+            errs.append(f"stale MOMENT_ALLOWLIST entry: {rel} `{snippet}`")
+    return errs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    print("== gate 0/4: DECIMAL(38,0) moment-widening static check ==",
+          flush=True)
+    errs = gate_moment_widening()
+    if errs:
+        for e in errs:
+            print(" -", e)
+        print("CLOSE GATE RED: unwidened moment products")
+        return 1
 
     print("== gate 1/3: pytest ==", flush=True)
     r = subprocess.run([sys.executable, "-m", "pytest", "tests/", "-q"], cwd=ROOT)
