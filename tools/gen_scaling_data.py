@@ -17,6 +17,16 @@ columns the three ceiling queries read:
   counts and cluster sizes scale linearly instead of exploding into
   ×replica cliques.
 
+- ``embeddings(vec_id, embedding, label)`` — replica r applies a
+  PER-REPLICA RANDOM ORTHOGONAL ROTATION Q_r (seeded QR of a gaussian;
+  Q_0 = identity) to every vector: rotations preserve all norms and
+  pairwise cosines WITHIN a replica (internal near-dup structure,
+  cluster geometry, and recall targets carry over exactly from sf0.1),
+  while cross-replica cosines become ~N(0, 1/d) background noise — so
+  near-dup pair counts and cluster populations scale linearly instead
+  of every vector gaining replicas-1 exact twins (the failure that
+  excluded vector queries from the round-5 scaling study).
+
 Usage: python tools/gen_scaling_data.py [out_root]
 Writes {out_root}/sf0.3 and {out_root}/sf1 (default
 /root/repo/.scaling_data — gitignored; ~10x sf0.1 at sf1).
@@ -98,7 +108,49 @@ def gen(out_root: Path, replicas: int, name: str) -> None:
         ),
         out / "documents.parquet",
     )
-    print(f"{name}: lineitem {len(okeys)} rows, documents {len(ids)} rows")
+    import numpy as np
+
+    emb = con.execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{SRC}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vids = np.array([e[0] for e in emb], dtype=np.int64)
+    mat = np.array([e[1] for e in emb], dtype=np.float32)
+    labels = np.array([e[2] for e in emb], dtype=np.int32)
+    d = mat.shape[1]
+    max_v = int(vids.max()) + 1
+    out_ids, out_vecs, out_labels = [], [], []
+    for r in range(replicas):
+        if r == 0:
+            q = np.eye(d)
+        else:
+            rng = np.random.default_rng(1_000_003 * r)  # deterministic
+            q, rr = np.linalg.qr(rng.standard_normal((d, d)))
+            q = q * np.sign(np.diag(rr))  # canonical orthogonal factor
+        rot = (mat.astype(np.float64) @ q.T).astype(np.float32)
+        out_ids.append(vids + r * max_v)
+        out_vecs.append(rot)
+        out_labels.append(labels)
+    all_vecs = np.concatenate(out_vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in all_vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(
+                    np.concatenate(out_labels), pa.int32()
+                ),
+            }
+        ),
+        out / "embeddings.parquet",
+    )
+    print(
+        f"{name}: lineitem {len(okeys)} rows, documents {len(ids)} rows, "
+        f"embeddings {len(all_vecs)} rows"
+    )
 
 
 if __name__ == "__main__":
