@@ -248,6 +248,142 @@ HEADLINE = [
     "stats_ols_elasticity",
     "corpus_unigram_prune",
     "data_freshness_audit",
+    # round 6: complete coverage — every registered query priced
+    # (except graph_components_deep_chain, which stays out per the
+    # documented convergence-depth exclusion above)
+    "agg_approx_distinct",
+    "agg_approx_distinct_error",
+    "agg_argmax",
+    "agg_array_collect",
+    "agg_cube",
+    "agg_filter_clause",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "ann_centroid_margin_audit",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_topk",
+    "ann_range_search",
+    "arithmetic_exprs",
+    "cast_types",
+    "corpus_bpe_fertility",
+    "corpus_cluster_cohesion",
+    "corpus_contamination",
+    "corpus_dedup_eval",
+    "corpus_graph_pagerank",
+    "corpus_ivf_learned",
+    "corpus_length_gate",
+    "corpus_mixture_plan",
+    "corpus_multimodal_features",
+    "corpus_multimodal_resize",
+    "corpus_normalize_dedup",
+    "corpus_quality_funnel_report",
+    "corpus_sketch_merge",
+    "corpus_source_balance_gini",
+    "corpus_source_mix",
+    "corpus_temperature_sample",
+    "corpus_token_packing",
+    "corpus_vocab_coverage",
+    "customer_interpurchase_time",
+    "data_late_arriving_facts",
+    "dedup_bag_jaccard",
+    "dedup_chain_recursive",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_ngram_prefix",
+    "dedup_simhash",
+    "dedup_source_attribution",
+    "dedup_threshold_sweep",
+    "distinct_dedup_rows",
+    "events_bounce_rate",
+    "events_burstiness",
+    "events_dwell_time",
+    "events_funnel",
+    "events_mix_drift",
+    "events_seasonal_anomaly",
+    "events_sliding_window",
+    "events_type_affinity",
+    "events_type_stats",
+    "events_weekend_effect",
+    "explode_tokens",
+    "filter_boolean_ops",
+    "filter_neq_in_between",
+    "join_anti",
+    "join_asof_clicks",
+    "join_cross_count",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range_bands",
+    "join_salted_skew",
+    "join_semi",
+    "json_extract_props",
+    "multimodal_metadata",
+    "orders_backlog_aging",
+    "orders_quarterly_yoy",
+    "part_price_integrity",
+    "part_supply_geography",
+    "project_literals",
+    "region_revenue_rollup",
+    "reshape_unpivot",
+    "sample_deterministic",
+    "sample_stratified",
+    "scalar_array_funcs",
+    "scalar_case_when",
+    "scalar_date_funcs",
+    "scalar_map_funcs",
+    "scalar_math_funcs",
+    "scalar_null_funcs",
+    "scalar_regexp_funcs",
+    "scalar_string_funcs",
+    "scan_project",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "set_union_all",
+    "sort_multi_key",
+    "subquery_exists",
+    "subquery_scalar",
+    "text_langid",
+    "text_lexical_diversity",
+    "text_rolling_hash",
+    "text_tfidf",
+    "text_token_counts",
+    "text_word_length_profile",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q6",
+    "tpch_q9",
+    "udaf_grouped_pandas",
+    "udf_pandas_sigmoid",
+    "udtf_bigrams",
+    "udtf_polymorphic_onehot",
+    "vec_covariance_matrix",
+    "vec_doc_referential_audit",
+    "vec_label_balance",
+    "vec_text_alignment_audit",
+    "window_first_last",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_ntile_cume",
+    "window_range_frame",
+    "window_rank_dense",
+    "window_running_sum",
+    "window_topk_with_ties",
 ]
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal
@@ -328,6 +464,9 @@ def main() -> None:
         ),
         "r3_subset_total": round(
             sum(timings[n] for n in HEADLINE[:124] if n in timings), 3
+        ),
+        "r5_subset_total": round(
+            sum(timings[n] for n in HEADLINE[:210] if n in timings), 3
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

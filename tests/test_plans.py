@@ -527,6 +527,51 @@ def test_headline_plans_have_no_scale_killers(spark):
         # the 1-row global vocab/mass aggregate of the KL pass (the
         # text_source_kl_divergence shape)
         "corpus_domain_mixture",
+        # --- round 6: HEADLINE extended to the full registry; the
+        # --- pre-r6 queries below were audited when first registered
+        # --- and re-audited now — every build side is 1-row or a
+        # --- bounded dimension/model relation
+        # every-vector-vs-broadcast-k-centroids fan-out (the
+        # assignment shape; build side = k rows of model state)
+        "ann_centroid_margin_audit",
+        # precision/recall census: three 1-row aggregates crossJoin
+        "corpus_dedup_eval",
+        # the per-doc gate crosses the 1-row corpus-percentile row
+        "corpus_length_gate",
+        # |sources|-row mixture relation × its 1-row totals
+        "corpus_mixture_plan",
+        # two 1-row mergeable-sketch aggregates crossJoin for the
+        # exact-vs-merged comparison
+        "corpus_sketch_merge",
+        # the |sources|-row census crosses itself (|s|² ≤ 100 cells)
+        # and its 1-row total — Gini needs all pairwise gaps
+        "corpus_source_balance_gini",
+        # head-coverage census crosses the 1-row vocab total
+        "corpus_vocab_coverage",
+        # the broadcast ~9-row threshold dimension fans into the
+        # verified-pair relation via a bounded theta-join (pricing
+        # every threshold off ONE pass is the point of the query)
+        "dedup_threshold_sweep",
+        # three 1-row funnel-stage counts crossJoin (census shape)
+        "events_funnel",
+        # pair-lift relation crosses its 1-row user total
+        "events_type_affinity",
+        # region × nation (5 × 25 rows) — the deliberate CROSS JOIN
+        # demonstration query; both sides are static dimensions
+        "join_cross_count",
+        # non-equi band-interval join against the broadcast bounded
+        # band dimension — the range-join shape, inherently BNLJ
+        "join_range_bands",
+        # aging buckets cross the 1-row reference-date aggregate
+        "orders_backlog_aging",
+        # rollup census crosses its 1-row revenue total
+        "region_revenue_rollup",
+        # tf·idf crosses the 1-row corpus doc-count aggregate
+        "text_tfidf",
+        # length histogram crosses its 1-row token total
+        "text_word_length_profile",
+        # label census crosses its 1-row corpus total
+        "vec_label_balance",
     }
     # queries whose plan carries an UNPARTITIONED window over a
     # provably bounded relation (top-k candidate lists, tiny rollups)
@@ -578,6 +623,21 @@ def test_headline_plans_have_no_scale_killers(spark):
         # 7-day moving window over the bounded O(days) daily-count
         # grid — the day-keyed count aggregates on the data plane
         "events_seasonal_decompose",
+        # --- round 6 HEADLINE extension ---
+        # share/cum-share windows over the AGGREGATED (lang, source)
+        # cell relation (≤ |langs|·|sources| rows), never documents
+        "corpus_source_mix",
+        # temperature weights window over the same aggregated
+        # (lang, source) cell relation
+        "corpus_temperature_sample",
+        # head-rank window over the word-TYPE (vocabulary) relation —
+        # vocab-bounded, the text_zipf_fit shape
+        "corpus_vocab_coverage",
+        # global ntile/cume_dist is DEFINITIONALLY a total order over
+        # the input — the API-demonstration query keeps the exact
+        # semantics; at corpus scale quartiles come from
+        # percentile_approx boundaries instead (documented trade)
+        "window_ntile_cume",
     }
 
     def global_windows(plan: str) -> list[str]:
