@@ -71,6 +71,24 @@ def release_on_drop(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+def carry_caches(result: DataFrame, *parents: DataFrame) -> DataFrame:
+    """Chain cache lifetimes through a COMPOSITION.
+
+    ``release_on_drop`` fires when the operator's own result object is
+    garbage-collected. A query that derives further DataFrames from
+    that result and returns the derivative lets the intermediate die
+    at function return — the caches release before the caller's
+    collect, which is CORRECT (the plan recomputes) but pays the
+    intermediate's recompute once. Where that recompute is expensive
+    (a MinHash shingle relation, a k-means vector cache, a BPE merge
+    chain), attach the intermediate to the outer result so its
+    finalizer — and therefore its unpersist — waits for the OUTER
+    result to be dropped."""
+    existing = getattr(result, "_sqe_cache_parents", ())
+    result._sqe_cache_parents = tuple(existing) + parents
+    return result
+
+
 from spark_query_engine.operators import (  # noqa: E402
     clustering,
     dedup,
@@ -95,4 +113,5 @@ __all__ = [
     "timeseries",
     "widen",
     "release_on_drop",
+    "carry_caches",
 ]

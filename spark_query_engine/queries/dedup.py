@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_query_engine.operators import carry_caches
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.queries import load, query
 
@@ -857,10 +858,11 @@ def dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     count vectors; every quantity is an exact integer until the one
     final rounding."""
     docs = load(spark, sf_dir, "documents")
-    cand = D.minhash_near_duplicates(
+    mh = D.minhash_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
         threshold=0.6,
-    ).select("id_a", "id_b")
+    )
+    cand = mh.select("id_a", "id_b")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
@@ -889,7 +891,7 @@ def dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ba = bag.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     bb = bag.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return (
+    return carry_caches(
         ov.join(ba, "id_a")
         .join(bb, "id_b")
         .select(
@@ -900,7 +902,8 @@ def dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") + F.col("nb") - F.col("n_min")),
                 6,
             ).alias("bag_jaccard"),
-        )
+        ),
+        mh,
     )
 
 
@@ -941,14 +944,15 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sweep itself is a 5-row dimension joined against the (small)
     verified-pair relation — five thresholds cost one."""
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_near_duplicates(
+    mh = D.minhash_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
         threshold=0.6,
-    ).select("jaccard").persist()
+    )
+    pairs = mh.select("jaccard").persist()
     ths = pairs.sparkSession.createDataFrame(
         [(0.6,), (0.7,), (0.8,), (0.9,), (0.95,)], "th double"
     )
-    return (
+    return carry_caches(
         ths.join(F.broadcast(pairs), F.lit(True), "left")
         .groupBy("th")
         .agg(
@@ -961,7 +965,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_pairs")
         )
-        .select(F.col("th").alias("threshold"), "n_pairs")
+        .select(F.col("th").alias("threshold"), "n_pairs"),
+        mh,
     )
 
 
@@ -1003,19 +1008,23 @@ def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride the banded LSH pipeline; source tagging is two id-keyed
     hash joins; the census is |sources|²-bounded."""
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_near_duplicates(
+    mh = D.minhash_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
         threshold=0.6,
-    ).select("id_a", "id_b")
+    )
+    pairs = mh.select("id_a", "id_b")
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
     tagged = pairs.join(sa, "id_a").join(sb, "id_b")
     sx = F.least("sa", "sb")
     sy = F.greatest("sa", "sb")
-    return tagged.groupBy(sx.alias("source_x"), sy.alias("source_y")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.first(sx == sy).alias("within_source"),
+    return carry_caches(
+        tagged.groupBy(sx.alias("source_x"), sy.alias("source_y")).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.first(sx == sy).alias("within_source"),
+        ),
+        mh,
     )
 
 

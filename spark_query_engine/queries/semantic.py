@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_query_engine.operators import carry_caches
 from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators.dedup import cosine
@@ -99,9 +100,12 @@ def corpus_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     story: ``ann_ivf_topk`` shows the probe shape, this learns the
     codebook it probes."""
     emb = load(spark, sf_dir, "embeddings")
-    return C.kmeans_assign(
+    assigned = C.kmeans_assign(
         spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
-    ).select("id", "centroid", "cent_sim")
+    )
+    return carry_caches(
+        assigned.select("id", "centroid", "cent_sim"), assigned
+    )
 
 
 @query(
@@ -130,7 +134,7 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = C.kmeans_assign(
         spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
     )
-    return C.semantic_dedup(assigned, _THRESHOLD)
+    return carry_caches(C.semantic_dedup(assigned, _THRESHOLD), assigned)
 
 
 @query(
@@ -227,7 +231,7 @@ def corpus_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = assigned.where(F.col("id") == 0).select(
         F.col("centroid").alias("qcent"), F.col("vec").alias("qvec")
     )
-    return (
+    return carry_caches(
         assigned.join(F.broadcast(qrow), F.col("centroid") == F.col("qcent"))
         .where(F.col("id") != 0)
         .select(
@@ -236,7 +240,8 @@ def corpus_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("id"))
-        .limit(5)
+        .limit(5),
+        assigned,
     )
 
 
@@ -325,11 +330,14 @@ def corpus_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("id", F.col("vote").alias("predicted"))
     )
-    return pred.join(lbl, "id").select(
-        "id",
-        "label",
-        "predicted",
-        (F.col("label") == F.col("predicted")).alias("correct"),
+    return carry_caches(
+        pred.join(lbl, "id").select(
+            "id",
+            "label",
+            "predicted",
+            (F.col("label") == F.col("predicted")).alias("correct"),
+        ),
+        assigned,
     )
 
 
@@ -658,15 +666,18 @@ def corpus_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = C.kmeans_assign(
         spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
     )
-    return assigned.groupBy("centroid").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.round(
-            F.sum(F.round(F.col("cent_sim") * 1000000, 0).cast("bigint"))
-            / 1000000.0,
-            4,
-        ).alias("sim_mass"),
-        F.round(F.min("cent_sim"), 6).alias("min_sim"),
-        F.round(F.max("cent_sim"), 6).alias("max_sim"),
+    return carry_caches(
+        assigned.groupBy("centroid").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.round(F.col("cent_sim") * 1000000, 0).cast("bigint"))
+                / 1000000.0,
+                4,
+            ).alias("sim_mass"),
+            F.round(F.min("cent_sim"), 6).alias("min_sim"),
+            F.round(F.max("cent_sim"), 6).alias("max_sim"),
+        ),
+        assigned,
     )
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_query_engine.operators import carry_caches
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.queries import load, query
 
@@ -716,10 +717,11 @@ def vec_text_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_near_duplicates,
     )
 
-    pairs = minhash_near_duplicates(
+    mh = minhash_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
         threshold=0.6,
-    ).select("id_a", "id_b")
+    )
+    pairs = mh.select("id_a", "id_b")
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -731,18 +733,21 @@ def vec_text_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "id_b")
         .select(F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
     )
-    return cs.agg(
-        F.count(F.lit(1)).alias("n_text_pairs"),
-        F.round(F.min("cos"), 6).alias("min_cos"),
-        F.round(F.max("cos"), 6).alias("max_cos"),
-        F.sum(F.when(F.col("cos") >= 0.5, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_aligned"),
-        F.round(
+    return carry_caches(
+        cs.agg(
+            F.count(F.lit(1)).alias("n_text_pairs"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
             F.sum(F.when(F.col("cos") >= 0.5, 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("aligned_share"),
+            .cast("bigint")
+            .alias("n_aligned"),
+            F.round(
+                F.sum(F.when(F.col("cos") >= 0.5, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("aligned_share"),
+        ),
+        mh,
     )
 
 

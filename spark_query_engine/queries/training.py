@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_query_engine.operators import carry_caches
 from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators import dedup as D
@@ -755,11 +756,14 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     toks, _merges = bpe_train(docs, "text", rounds=_BPE_ROUNDS)
-    return toks.select(
-        F.col("w").alias("word"),
-        F.col("f").alias("freq"),
-        F.size("t").alias("n_tokens"),
-        F.array_join("t", "|").alias("seg"),
+    return carry_caches(
+        toks.select(
+            F.col("w").alias("word"),
+            F.col("f").alias("freq"),
+            F.size("t").alias("n_tokens"),
+            F.array_join("t", "|").alias("seg"),
+        ),
+        toks,
     )
 
 
@@ -1353,13 +1357,16 @@ def corpus_ivf_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = occ.agg(
         F.sum("n_vectors").alias("n"), F.count(F.lit(1)).alias("k")
     )
-    return occ.crossJoin(F.broadcast(tot)).select(
-        "centroid",
-        "n_vectors",
-        F.round(F.col("n_vectors") * 1.0 / F.col("n"), 6).alias("share"),
-        F.round(
-            F.col("n_vectors") * 1.0 * F.col("k") / F.col("n"), 6
-        ).alias("balance"),
+    return carry_caches(
+        occ.crossJoin(F.broadcast(tot)).select(
+            "centroid",
+            "n_vectors",
+            F.round(F.col("n_vectors") * 1.0 / F.col("n"), 6).alias("share"),
+            F.round(
+                F.col("n_vectors") * 1.0 * F.col("k") / F.col("n"), 6
+            ).alias("balance"),
+        ),
+        assigned,
     )
 
 
@@ -1433,14 +1440,11 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pos feeds BOTH the labeled union and the negative anti-join;
     # persist so the whole minhash pipeline runs once (the bench
     # harness clearCache()s between queries)
-    pos = (
-        minhash_near_duplicates(
-            docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
-            threshold=0.6,
-        )
-        .select("id_a", "id_b")
-        .persist()
+    mh = minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.6,
     )
+    pos = mh.select("id_a", "id_b").persist()
     bk = docs.select(
         "doc_id",
         (
@@ -1478,8 +1482,11 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     neg = cand.where(gate).join(pos, ["id_a", "id_b"], "left_anti")
-    return pos.withColumn("label", F.lit(1)).unionByName(
-        neg.withColumn("label", F.lit(0))
+    return carry_caches(
+        pos.withColumn("label", F.lit(1)).unionByName(
+            neg.withColumn("label", F.lit(0))
+        ),
+        mh,
     )
 
 
@@ -3659,7 +3666,10 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # hold the minhash pair relation and the k-means assignment alive
+    # until the caller drops the census — their operator-internal
+    # caches back this lazy plan (see operators.carry_caches)
+    return carry_caches(out, pairs2, assigned)
 
 
 @query(

@@ -712,3 +712,32 @@ def test_operator_caches_release_when_result_dropped(spark, docs):
     del out
     gc.collect()
     assert cm.isEmpty(), "minhash caches must release when result dropped"
+
+
+def test_compositional_caches_release_via_carry(spark):
+    """carry_caches chains cache lifetime through a composition: a
+    query that derives from a wrapped operator result must keep the
+    operator's caches alive until the OUTER result is dropped (so the
+    collect reuses them), then release everything."""
+    import gc
+
+    from spark_query_engine.operators import carry_caches
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    mh = D.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        threshold=0.5,
+    )
+    out = carry_caches(mh.select("id_a", "id_b"), mh)
+    del mh
+    gc.collect()
+    # the intermediate is dead but carried — caches must still be live
+    assert not cm.isEmpty(), "carried caches released too early"
+    assert out.count() > 0
+    del out
+    gc.collect()
+    assert cm.isEmpty(), "carried caches must release with the outer result"
