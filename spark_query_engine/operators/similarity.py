@@ -225,6 +225,87 @@ def cp_rotations(bands: int, dim: int) -> list[list[list[float]]]:
     ]
 
 
+def cp_bucket_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rotations: list[list[list[float]]],
+    arity: int = 2,
+) -> DataFrame:
+    """ARITY-m cross-polytope bucket keys — the key-space knob the
+    round-6 scaling study showed is mandatory past ~1e5 vectors per
+    shard: with the rank-1/rank-2 keys of ``cp_keys`` the bucket
+    space per band is fixed at ~(2·dim)², so iid background
+    collisions grow ~n²/(2d)² (measured: dedup_embedding_cosine
+    exponent ~1.55 at 10× data, SCALING.md round-6 table). Keying a
+    bucket on the TOP-m signed argmax coordinates in rank order gives
+    (2·dim)^m buckets: pick m ≈ log_{2d}(n·bands/occupancy) and
+    expected occupancy — and with it the collision count per vector —
+    stays O(1) as n grows. Same one-scan/zero-shuffle plan as
+    ``cp_keys``; exact-duplicate vectors share every band's key at
+    any arity, so exact-dup recall is 1 by construction.
+
+    Returns (id, band, key) with key = ':'-joined signed coordinates
+    (±1..±dim each), rank order preserved."""
+    if arity < 1:
+        raise ValueError("cp_bucket_keys: arity must be >= 1")
+    v = widen(df).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    )
+    spark = df.sparkSession
+    gband = F.broadcast(
+        spark.createDataFrame(
+            [(b, [list(row) for row in g]) for b, g in enumerate(rotations)],
+            "band int, g array<array<double>>",
+        )
+    )
+    yb = (
+        v.crossJoin(gband)
+        .select(
+            "id",
+            "band",
+            F.transform(
+                F.col("g"),
+                lambda row: F.round(
+                    F.aggregate(
+                        F.zip_with(F.col("vec"), row, lambda x, w: x * w),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ),
+            ).alias("y"),
+        )
+        # same persist-barrier rationale as cp_keys (Catalyst has no
+        # CSE inside higher-order functions); released on result drop
+        .persist()
+    )
+    y = F.col("y")
+    cur = F.transform(y, lambda e: F.abs(e))
+    parts = []
+    for _r in range(arity):
+        idx = F.array_position(cur, F.array_max(cur))
+        signed = (
+            F.when(F.element_at(y, idx.cast("int")) < 0, -idx)
+            .otherwise(idx)
+            .cast("long")
+        )
+        parts.append(signed.cast("string"))
+        # mask the extracted coordinate out for the next rank. The
+        # lambda runs EAGERLY inside F.transform to build the
+        # expression tree, so the loop-variable capture of `idx` is
+        # bound now, not at iteration end.
+        this_idx = idx
+        cur = F.transform(
+            cur,
+            lambda e, i: F.when(i == this_idx - 1, F.lit(-1.0)).otherwise(e),
+        )
+    return release_on_drop(
+        yb.select("id", "band", F.concat_ws(":", *parts).alias("key")),
+        yb,
+    )
+
+
 def cp_keys(
     df: DataFrame,
     id_col: str,

@@ -741,3 +741,48 @@ def test_compositional_caches_release_via_carry(spark):
     del out
     gc.collect()
     assert cm.isEmpty(), "carried caches must release with the outer result"
+
+
+def test_cp_bucket_key_arity_shrinks_collisions(spark):
+    """The round-6 scaling rule, exercised: arity-m cross-polytope
+    bucket keys multiply the key space by (2·dim) per rank, so the
+    iid background collision count must DROP as arity grows, while
+    exact-duplicate vectors (identical rotated coordinates) keep
+    colliding in every band at any arity — recall of exact dups is 1
+    by construction."""
+    import hashlib
+
+    n, dim, bands = 300, 16, 8
+
+    def hval(*k):
+        return int(hashlib.md5(":".join(map(str, k)).encode()).hexdigest()[:8], 16)
+
+    rows = [
+        (i, [(hval("v", i, j) % 2001 - 1000) / 1000.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    rows.append((n, list(rows[0][1])))  # planted exact duplicate of id 0
+    vecs = spark.createDataFrame(rows, "id bigint, vec array<double>")
+    rot = S.cp_rotations(bands, dim)
+
+    def collisions(arity):
+        keys = S.cp_bucket_keys(vecs, "id", "vec", rot, arity=arity)
+        a, b = keys.alias("a"), keys.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select("a.id", "b.id")
+            .distinct()
+        )
+
+    c2, c3 = collisions(2), collisions(3)
+    n2, n3 = c2.count(), c3.count()
+    dup2 = c2.where((F.col("a.id") == 0) & (F.col("b.id") == n)).count()
+    dup3 = c3.where((F.col("a.id") == 0) & (F.col("b.id") == n)).count()
+    assert dup2 == 1 and dup3 == 1  # exact dup always collides
+    assert n3 < n2, f"arity 3 must shrink collisions ({n3} !< {n2})"
+    assert n3 >= 1  # the planted dup at minimum
