@@ -7,6 +7,7 @@ the fix: run it after the LAST registry/HEADLINE/test edit of the
 round, and only commit the close when it prints ALL GATES GREEN.
 
 Gates, in order (fail-fast):
+  0. DECIMAL(38,0) moment-widening static check (MOMENT_ALLOWLIST)
   1. full pytest suite (``python -m pytest tests/ -q``)
   2. the sf0.01 oracle sweep over EVERY registered query
      (``tools/check_correctness.py`` — the driver's local mirror)
@@ -153,13 +154,13 @@ def main() -> int:
         print("CLOSE GATE RED: unwidened moment products")
         return 1
 
-    print("== gate 1/3: pytest ==", flush=True)
+    print("== gate 1/4: pytest ==", flush=True)
     r = subprocess.run([sys.executable, "-m", "pytest", "tests/", "-q"], cwd=ROOT)
     if r.returncode != 0:
         print("CLOSE GATE RED: pytest failed")
         return 1
 
-    print("== gate 2/3: sf0.01 oracle sweep ==", flush=True)
+    print("== gate 2/4: sf0.01 oracle sweep ==", flush=True)
     r = subprocess.run(
         [sys.executable, "tools/check_correctness.py", sf_dir], cwd=ROOT
     )
@@ -167,7 +168,7 @@ def main() -> int:
         print("CLOSE GATE RED: correctness sweep failed")
         return 1
 
-    print("== gate 3/3: registry/docs consistency ==", flush=True)
+    print("== gate 3/4: registry/docs consistency ==", flush=True)
     errs = gate_registry_docs()
     if errs:
         for e in errs:
