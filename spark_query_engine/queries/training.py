@@ -1592,7 +1592,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the resolved width equals the session default (all SF ≤ 0.3
     # locally) the plan is left untouched — no repartition nodes,
     # no extra exchange.
-    li_rows = load(spark, sf_dir, "lineitem").count()
+    try:
+        # parquet footer metadata — milliseconds, no Spark job. Falls
+        # back to a (metadata-optimized) count for directory layouts.
+        import pyarrow.parquet as _papq
+
+        li_rows = _papq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet"
+        ).metadata.num_rows
+    except Exception:
+        li_rows = load(spark, sf_dir, "lineitem").count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     wp = max(session_parts, min(4096, (li_rows * 128) // 6_000_000))
     if wp > session_parts:
