@@ -55,8 +55,23 @@ def release_on_drop(result: DataFrame, *cached: DataFrame) -> DataFrame:
     the barrier semantics and measured performance are unchanged. A
     second invocation after the first result is dropped re-caches
     fresh — no "already cached" warnings, no unbounded cache growth.
+
+    The result must NOT appear among ``cached``: ``weakref.finalize``
+    holds a strong reference to the callback's arguments, so a
+    self-referential registration pins the result alive forever and
+    the finalizer can never fire (the round-6 ``bpe_train`` leak).
+    When the persisted relation IS the result, wrap it first —
+    ``DataFrame(result._jdf, result.sparkSession)`` — and register
+    the wrapper.
     """
     import weakref
+
+    if any(h is result for h in cached):
+        raise ValueError(
+            "release_on_drop: the result must not be one of its own "
+            "cache handles (the finalizer would pin it alive forever);"
+            " wrap it in DataFrame(result._jdf, result.sparkSession)"
+        )
 
     def _release(handles=cached):
         for h in handles:
@@ -83,7 +98,14 @@ def carry_caches(result: DataFrame, *parents: DataFrame) -> DataFrame:
     (a MinHash shingle relation, a k-means vector cache, a BPE merge
     chain), attach the intermediate to the outer result so its
     finalizer — and therefore its unpersist — waits for the OUTER
-    result to be dropped."""
+    result to be dropped.
+
+    Mechanism note: nothing ever READS ``_sqe_cache_parents`` — the
+    attribute exists purely to hold a strong reference chain
+    (outer result → intermediate result → finalize closure → cache
+    handles), so the intermediates' finalizers are deferred by
+    ordinary CPython refcounting until the outer result drops. The
+    attribute name is only a namespace for that reference."""
     existing = getattr(result, "_sqe_cache_parents", ())
     result._sqe_cache_parents = tuple(existing) + parents
     return result

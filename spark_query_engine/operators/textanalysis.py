@@ -413,11 +413,19 @@ def bpe_train(
         new = toks.withColumn("t", _merge_fold_expr(a, b)).persist()
         toks.unpersist()
         toks = new
+    from pyspark.sql import DataFrame as _DF
+
     from spark_query_engine.operators import release_on_drop
 
-    # the returned token relation IS the persisted handle — release
-    # its cache when the caller drops it
-    return release_on_drop(toks, toks), merges
+    # the returned token relation IS the persisted handle, and
+    # weakref.finalize keeps a strong reference to its callback
+    # arguments — registering the result as its own handle would pin
+    # it alive forever (the round-6 leak ADVICE caught empirically).
+    # Return a fresh wrapper over the same JVM plan instead: when the
+    # CALLER drops the wrapper, the finalizer unpersists ``toks`` and
+    # only then does the closure release it.
+    result = _DF(toks._jdf, toks.sparkSession)
+    return release_on_drop(result, toks), merges
 
 
 def _merge_fold_expr(a: str, b: str):

@@ -94,6 +94,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def footer_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count of a testdata table from PARQUET FOOTER METADATA —
+    milliseconds, no Spark job — for queries that size a knob from n
+    (k ∝ n blocking, shuffle widths, GEMM tile grids). Falls back to
+    a (metadata-optimized) count for directory layouts. This is the
+    ``graph_triangle_count`` footer-sizing pattern, shared."""
+    try:
+        import pyarrow.parquet as _papq
+
+        return int(
+            _papq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+        )
+    except Exception:
+        return load(spark, sf_dir, table).count()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
     return {name: q.fn for name, q in REGISTRY.items()}
@@ -187,15 +203,15 @@ _WINDOW_FIRST = (
 #: verdict (task 4) wants fresh driver rows under the current code.
 #: Drop a name once a CORRECTNESS round NEWER than its rewrite lands.
 _REPIN_REWRITTEN = (
-    # (r4/r5 rewrites all re-verified green in CORRECTNESS_r05 —
-    # pruned r6 so they stop consuming window slots.)
-    # r6 rewrites: signed-zero normalization (+0.0) + decimal-operand
-    # widening in the covariance kernel, shared by the PCA chain.
-    # vec_covariance_matrix has been driver-red twice on the signed
-    # zero alone — it goes first.
-    "vec_covariance_matrix",
-    "vec_pca_project",
-    "vec_pca_variance",
+    # (r4/r5 rewrites re-verified green in CORRECTNESS_r05, pruned r6;
+    # the r6 signed-zero/covariance trio re-verified green in
+    # CORRECTNESS_r06, pruned r7 — the docstring's own drop rule.)
+    # r7 rewrites (the round-6 verdict's top two tasks): semdedup
+    # re-blocked on footer-sized k ∝ n, embedding-cosine re-planned
+    # on the exact tiled-GEMM kernel. Fresh driver rows must land the
+    # same round the code changes (the r4/r5 covariance lesson).
+    "corpus_semdedup",
+    "dedup_embedding_cosine",
 )
 
 

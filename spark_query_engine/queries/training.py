@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_query_engine.operators import carry_caches
+from spark_query_engine.operators import carry_caches, release_on_drop
 from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators import dedup as D
@@ -1483,8 +1483,11 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neg = cand.where(gate).join(pos, ["id_a", "id_b"], "left_anti")
     return carry_caches(
-        pos.withColumn("label", F.lit(1)).unionByName(
-            neg.withColumn("label", F.lit(0))
+        release_on_drop(
+            pos.withColumn("label", F.lit(1)).unionByName(
+                neg.withColumn("label", F.lit(0))
+            ),
+            pos,
         ),
         mh,
     )
@@ -1602,7 +1605,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).metadata.num_rows
     except Exception:
         li_rows = load(spark, sf_dir, "lineitem").count()
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # the conf can be non-numeric (e.g. "auto" under some
+        # AQE/coalesce setups) — fall back to Spark's default and let
+        # the max() below keep the knob monotone (ADVICE r6)
+        session_parts = 200
     wp = max(session_parts, min(4096, (li_rows * 128) // 6_000_000))
     if wp > session_parts:
         oriented = oriented.repartition(wp, "s")
@@ -3677,8 +3686,13 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(p)
     # hold the minhash pair relation and the k-means assignment alive
     # until the caller drops the census — their operator-internal
-    # caches back this lazy plan (see operators.carry_caches)
-    return carry_caches(out, pairs2, assigned)
+    # caches back this lazy plan (see operators.carry_caches); the
+    # query-local persisted stages (s1/s2/s2e/c) release when the
+    # caller drops the census — same lifecycle the operators got in
+    # round 6 (ADVICE r6: these stayed resident until clearCache)
+    return carry_caches(
+        release_on_drop(out, s1, s2, s2e, c), pairs2, assigned
+    )
 
 
 @query(

@@ -743,6 +743,44 @@ def test_compositional_caches_release_via_carry(spark):
     assert cm.isEmpty(), "carried caches must release with the outer result"
 
 
+def test_release_on_drop_rejects_self_reference(spark):
+    """weakref.finalize keeps STRONG references to its callback
+    arguments, so registering a result as its own cache handle pins
+    it alive forever and the finalizer never fires (the round-6
+    ``bpe_train`` leak, verified empirically by ADVICE) — the guard
+    must refuse the pattern outright."""
+    import pytest
+
+    from spark_query_engine.operators import release_on_drop
+
+    df = spark.range(3).persist()
+    try:
+        with pytest.raises(ValueError, match="own"):
+            release_on_drop(df, df)
+    finally:
+        df.unpersist()
+
+
+def test_bpe_train_cache_releases_on_drop(spark):
+    """``bpe_train`` returns its own persisted token relation (via a
+    fresh JVM-plan wrapper): dropping the result must actually
+    release the cache — the exact leak the round-6 ADVICE caught."""
+    import gc
+
+    from spark_query_engine.operators.textanalysis import bpe_train
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    toks, _merges = bpe_train(docs, "text", rounds=2)
+    assert toks.count() > 0
+    assert not cm.isEmpty()  # persisted token relation backs the result
+    del toks
+    gc.collect()
+    assert cm.isEmpty(), "bpe token cache must release when result dropped"
+
+
 def test_cp_bucket_key_arity_shrinks_collisions(spark):
     """The round-6 scaling rule, exercised: arity-m cross-polytope
     bucket keys multiply the key space by (2·dim) per rank, so the

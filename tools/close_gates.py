@@ -63,7 +63,9 @@ def gate_registry_docs() -> list[str]:
     return errs
 
 
-#: Raw `F.sum(F.col(a) * F.col(b))` / SQL `SUM(a * b)` product sums
+#: Raw `F.sum(F.col(a) * F.col(b))` product sums (Spark side only —
+#: DuckDB oracle SQL auto-widens integer SUMs to HUGEINT, so SQL
+#: `SUM(a * b)` needs no gate)
 #: that are ALLOWED to stay unwidened, each with the range argument
 #: that bounds them below int64 at 100 TB. Everything else must cast
 #: an OPERAND to decimal(38,0) (Spark) — a BIGINT*BIGINT multiply or
@@ -117,8 +119,10 @@ def gate_moment_widening() -> list[str]:
     sources must widen an operand to decimal(38,0) or carry an
     explicit range-bound entry in MOMENT_ALLOWLIST. A future moment
     query that forgets the widening turns this gate red."""
+    # [A-Za-z0-9_]: digit-bearing column names (s1, n11) must not
+    # slip past the gate (ADVICE r6)
     pat = re.compile(
-        r'F\.sum\(\s*F\.col\("[A-Za-z_]+"\)\s*\*\s*F\.col\("[A-Za-z_]+"\)\s*\)'
+        r'F\.sum\(\s*F\.col\("[A-Za-z0-9_]+"\)\s*\*\s*F\.col\("[A-Za-z0-9_]+"\)\s*\)'
     )
     errs: list[str] = []
     pkg = ROOT / "spark_query_engine"
