@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from spark_query_engine.operators import carry_caches, release_on_drop
 from spark_query_engine.operators import dedup as D
-from spark_query_engine.queries import load, query
+from spark_query_engine.queries import footer_rows, load, query
 
 # word-3gram shingle CTE shared by minhash oracle (DuckDB lists are 1-indexed)
 _WORD_SHINGLES = """
@@ -268,42 +268,63 @@ def _cp_key_ctes(bands: int, rank: int, dim: int = 64) -> str:
 
 @query(
     "dedup_embedding_cosine",
-    oracle=f"""
+    oracle="""
         WITH v AS (
             SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
             FROM embeddings
-        ),
-        {_cp_key_ctes(bands=32, rank=2)}
+        )
         SELECT a.id AS id_a, b.id AS id_b,
                ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim,
-               ROUND(n_cand * 2.0 / (n * (n - 1)), 6) AS candidate_fraction
-        FROM v a JOIN v b ON a.id < b.id, cpstat
+               CAST(1.0 AS DOUBLE) AS candidate_fraction
+        FROM v a JOIN v b ON a.id < b.id
         WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs ≥ 0.45 via CROSS-POLYTOPE LSH
-    blocking (32 md5-seeded pseudo-rotations, signed-argmax keys,
-    rank-2 multiprobe) with exact cosine verify — the round-3 upgrade
-    from sign-LSH, whose mid-threshold candidate set was ~94% of all
-    pairs. The pair rows still verify against the brute-force
-    all-pairs oracle (recall enforced: a lost pair is a red row), and
-    every row now carries the audited ``candidate_fraction`` — 0.49
-    here, the measured floor for recall-1.0 blocking when qualifying
-    pairs sit 3.6σ into an iid background similarity tail (per-band
-    collision 0.077 qualifying vs 0.0087 background; see the operator
-    docstring for the frontier math). The oracle REPLAYS the hashing
-    from md5 alone — rotations, argmax keys, candidate join, fraction
-    — then emits the brute-force pairs beside it."""
+    """Embedding cosine near-dup pairs ≥ 0.45 — EXACT, via the tiled-
+    GEMM kernel (``similarity.cosine_pairs_exact``), replacing the
+    round-3/4 cross-polytope LSH blocking whose measured sf1 exponent
+    was 1.55.
+
+    Why exact is the right plan AT THIS THRESHOLD (round-7 analysis,
+    SCALING.md): 0.45 sits 3.6σ into the iid background similarity
+    tail of this corpus, where the qualifying-pair count is itself
+    Θ(n²·p) with p ≈ 8.5e-5 (closed-form sphere-cap mass at d=64;
+    measured 14 pairs at n=500, 144 at n=2000 — n² growth, and
+    same-label pairs occur only at chance rate, so there is no latent
+    cluster structure to block on). With quadratic OUTPUT, recall-1.0
+    blocking cannot be subquadratic — the r5 CP curve's measured 0.49
+    candidate fraction at recall 1.0 was that law, not a tuning
+    failure. So the quadratic term is paid where it is cheapest: a
+    blocked dense GEMM at SIMD flop rates (the FAISS brute-force
+    call), with the candidate JOIN machinery — 1e8 shuffled pair rows
+    at n=20k — deleted. The prefilter margin makes the GEMM provably
+    lossless and the emitted ``cos_sim`` is the engine-exact fold, so
+    the brute-force oracle enforces recall 1.0 at every checked
+    scale. ``candidate_fraction`` reads 1.0 honestly: the exact plan
+    examines all pairs. For the regimes where blocking DOES pay —
+    true near-dup thresholds — see ``dedup_embedding_scaled``
+    (scale-invariant CP keys, footer-sized arity) and
+    ``corpus_semdedup`` (k ∝ n cluster blocking)."""
     from spark_query_engine.operators import similarity as S
 
-    return S.cp_near_duplicates(
+    pairs = S.cosine_pairs_exact(
         load(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         threshold=0.45,
-        bands=32,
-        probe_rank=2,
+        n_rows=footer_rows(spark, sf_dir, "embeddings"),
+    )
+    # carry: the block cache inside the operator must outlive this
+    # derived projection, not the operator's own result object
+    return carry_caches(
+        pairs.select(
+            "id_a",
+            "id_b",
+            "cos_sim",
+            F.lit(1.0).alias("candidate_fraction"),
+        ),
+        pairs,
     )
 
 

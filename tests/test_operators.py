@@ -743,6 +743,53 @@ def test_compositional_caches_release_via_carry(spark):
     assert cm.isEmpty(), "carried caches must release with the outer result"
 
 
+def test_cosine_pairs_exact_matches_brute_force(spark):
+    """The tiled-GEMM kernel must emit EXACTLY the brute-force pair
+    set at every tiling — single block, many blocks, ragged last
+    block — with the same rounded similarities: the prefilter margin
+    makes the GEMM provably lossless w.r.t. the rounded comparison.
+    Zero vectors must never qualify (cosine undefined)."""
+    import hashlib
+    import math
+
+    n, dim, t = 120, 8, 0.45
+
+    def hv(*k):
+        return int(
+            hashlib.md5(":".join(map(str, k)).encode()).hexdigest()[:8], 16
+        )
+
+    rows = [
+        (i, [(hv("g", i, j) % 2001 - 1000) / 1000.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    rows.append((n, [0.0] * dim))  # zero vector: excluded by definition
+    vecs = spark.createDataFrame(rows, "id bigint, vec array<double>")
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(
+            sum(x * x for x in b)
+        )
+        return d / (na * nb) if na and nb else float("nan")
+
+    brute = sorted(
+        (a[0], b[0], round(cos(a[1], b[1]), 6))
+        for i, a in enumerate(rows)
+        for b in rows[i + 1:]
+        if not math.isnan(cos(a[1], b[1])) and round(cos(a[1], b[1]), 6) >= t
+    )
+    assert brute, "fixture must have qualifying pairs"
+    for block_rows in (1000, 37, 7):  # B = 1, 4, 18 (ragged)
+        got = sorted(
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in S.cosine_pairs_exact(
+                vecs, "id", "vec", t, n_rows=n + 1, block_rows=block_rows
+            ).collect()
+        )
+        assert got == brute, f"block_rows={block_rows}"
+
+
 def test_release_on_drop_rejects_self_reference(spark):
     """weakref.finalize keeps STRONG references to its callback
     arguments, so registering a result as its own cache handle pins

@@ -160,33 +160,54 @@ def test_q7_q8_broadcast_dims_no_cartesian(spark):
 
 
 def test_embedding_dedup_is_bucketed_not_nested_loop(spark):
-    """The registered embedding near-dup query must generate its
-    candidates through an EQUI-join on the cross-polytope (band, key)
-    — never the all-pairs id_a < id_b theta-join, the nested-loop
-    cartesian that cannot survive a 100x scale-up. Exactly two
-    BroadcastNestedLoopJoins are allowed, and both are bounded-side
-    broadcasts, not data-plane joins: the bands-row rotation-matrix
-    relation into the signature scan (model state, the ann_ivf_topk
-    codebook shape) and the 1-row candidate_fraction aggregate into
-    the verified output."""
+    """``dedup_embedding_scaled`` (near-dup threshold, CP-LSH
+    blocking) must generate its candidates through an EQUI-join on
+    the cross-polytope (band, key) — never the all-pairs id_a < id_b
+    theta-join. BroadcastNestedLoopJoins are allowed only as
+    bounded-side broadcasts (the bands-row rotation-matrix relation —
+    model state — and the 1-row candidate_fraction aggregate), never
+    data-plane joins."""
     from spark_query_engine.plans import format_plan
     from spark_query_engine.queries import queries
 
-    for name in ("dedup_embedding_cosine", "dedup_embedding_scaled"):
-        df = queries()[name](spark, "/root/testdata/sf0.001")
-        plan = format_plan(df, "physical")
-        assert "CartesianProduct" not in plan, name
-        # every nested-loop line is the BuildRight Cross of a bounded
-        # broadcast (plan text may repeat cached subtrees, so check
-        # shape, not count)
-        for ln in plan.splitlines():
-            if "BroadcastNestedLoopJoin" in ln:
-                assert "BuildRight, Cross" in ln, (name, ln.strip())
-        # the candidate join itself is a hash/merge equi-join
-        assert any(
-            op in plan
-            for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-        ), name
+    df = queries()["dedup_embedding_scaled"](spark, "/root/testdata/sf0.001")
+    plan = format_plan(df, "physical")
+    assert "CartesianProduct" not in plan
+    # every nested-loop line is the BuildRight Cross of a bounded
+    # broadcast (plan text may repeat cached subtrees, so check
+    # shape, not count)
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight, Cross" in ln, ln.strip()
+    # the candidate join itself is a hash/merge equi-join
+    assert any(
+        op in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_embedding_cosine_exact_is_tiled_gemm(spark):
+    """``dedup_embedding_cosine`` (round-7 exact rewrite): the tile
+    grid must assemble through EQUI-joins on block id — zero
+    BroadcastNestedLoopJoin, zero CartesianProduct anywhere — with
+    the GEMM prefilter running as one Arrow-batched MapInPandas and
+    the block relation cached once and served to both grid roles
+    (two InMemoryTableScans), so the n-row blocking shuffle runs
+    once, not twice."""
+    from spark_query_engine.queries import queries
+
+    df = queries()["dedup_embedding_cosine"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("InMemoryTableScan") == 2, (
+        "block cache must serve both grid roles"
+    )
+    assert any(
+        op in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
 
 
 def test_semdedup_pairs_join_is_cluster_blocked(spark):
@@ -467,8 +488,10 @@ def test_headline_plans_have_no_scale_killers(spark):
         # relation (model state, the ann_ivf_topk codebook shape) into
         # the signature scan, and the 1-row candidate_fraction
         # aggregate into the verified-pairs output; the candidate join
-        # itself is a hash equi-join on (band, key)
-        "dedup_embedding_cosine",
+        # itself is a hash equi-join on (band, key).
+        # (dedup_embedding_cosine left this list in round 7: its exact
+        # tiled-GEMM plan is pure equi-joins — see
+        # test_embedding_cosine_exact_is_tiled_gemm)
         "dedup_embedding_scaled",
         # the bands-row cross-polytope rotation relation (model state,
         # 32 rows, F.broadcast()'d at operators/similarity.py) fans
