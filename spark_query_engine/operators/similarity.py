@@ -435,13 +435,44 @@ _CP_CURVE: dict[float, dict[tuple[int, int], tuple[float, float]]] = {
 }
 
 
-def cp_config(threshold: float, recall_target: float = 1.0) -> tuple[int, int]:
-    """Cheapest measured (bands, probe_rank) meeting ``recall_target``
-    at ``threshold`` — the knob the round-4 verdict asked for: the
-    recall/candidate-fraction trade is chosen from the MEASURED curve
-    (_CP_CURVE / SCALING.md), not a heuristic. Calibration is
-    conservative: the highest measured threshold ≤ the requested one
-    (a lower threshold is strictly harder to block for)."""
+def cp_arity(
+    n: int, bands: int, dim: int = 64, target_occupancy: int = 64
+) -> int:
+    """Key arity m for n vectors — the round-6 scaling rule in
+    integer arithmetic (EXACT, so a SQL oracle replays it without
+    float-log edge cases): the per-band key space must grow with the
+    corpus, (2·dim)^m buckets, m chosen as the smallest arity keeping
+    expected bucket occupancy ≤ ``target_occupancy`` —
+    m = min{ m ≥ 1 : n·bands ≤ occ·(2d)^m }, capped at 5 (that cap
+    is n ≈ 5e14 at d=64; see SCALING.md round-6 for the collision
+    math: fixed arity ⇒ background candidates ∝ n²/(2d)^m)."""
+    m, space = 1, 2 * dim
+    while m < 5 and n * bands > target_occupancy * space:
+        m += 1
+        space *= 2 * dim
+    return m
+
+
+def cp_config(
+    threshold: float,
+    recall_target: float = 1.0,
+    n: int | None = None,
+    dim: int = 64,
+) -> tuple[int, int, int]:
+    """Cheapest measured (bands, probe_rank, arity) meeting
+    ``recall_target`` at ``threshold`` — the knob the round-4 verdict
+    asked for: the recall/candidate-fraction trade is chosen from the
+    MEASURED curve (_CP_CURVE / SCALING.md), not a heuristic.
+    Calibration is conservative: the highest measured threshold ≤ the
+    requested one (a lower threshold is strictly harder to block
+    for). With ``n`` given and a rank-1 config, the key arity grows
+    with the corpus per ``cp_arity`` (the round-6 scaling rule);
+    arity stays 1 for rank-2 multiprobe configs — multiprobe exists
+    to RAISE collision odds for mid-threshold pairs, which higher
+    arity would lower again (the two knobs serve opposite regimes:
+    arity for near-dup thresholds where qualifying pairs share their
+    whole coordinate ranking, multiprobe for similarity levels where
+    they don't)."""
     ts = [t for t in sorted(_CP_CURVE) if t <= threshold]
     row = _CP_CURVE[ts[-1] if ts else min(_CP_CURVE)]
     ok = [
@@ -450,9 +481,11 @@ def cp_config(threshold: float, recall_target: float = 1.0) -> tuple[int, int]:
         if rec >= recall_target
     ]
     if not ok:
-        return (32, 2)  # strongest measured setting
-    _frac, bands, rank = min(ok)
-    return (bands, rank)
+        bands, rank = 32, 2  # strongest measured setting
+    else:
+        _frac, bands, rank = min(ok)
+    arity = cp_arity(n, bands, dim) if (n is not None and rank == 1) else 1
+    return (bands, rank, arity)
 
 
 def cp_near_duplicates(
@@ -464,6 +497,8 @@ def cp_near_duplicates(
     probe_rank: int = 2,
     dim: int = 64,
     recall_target: float = 1.0,
+    arity: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via cross-polytope LSH blocking + exact
     cosine verify, with the blocking cost AUDITED in the output: every
@@ -491,48 +526,94 @@ def cp_near_duplicates(
     recall provable — identical-direction vectors share every key).
 
     With ``bands=None`` the setting auto-configures from the MEASURED
-    curve via ``cp_config(threshold, recall_target)`` — the full
-    recall × candidate-fraction grid is in SCALING.md (round 5).
+    curve via ``cp_config(threshold, recall_target, n=n_rows)`` — the
+    full recall × candidate-fraction grid is in SCALING.md (round 5).
+
+    Arity (round-7, the round-6 scaling rule wired in): rank-1
+    configs key each band on the TOP-``arity`` signed coordinates —
+    (2·dim)^arity buckets — with ``arity=None`` auto-sized from
+    ``n_rows`` via ``cp_arity`` so expected bucket occupancy (and
+    with it the n²/(2d)^m background-collision term that measured
+    exponent 1.55 on the fixed-arity config) stays bounded as the
+    corpus grows. Direction-identical vectors share every band key
+    at ANY arity, so near-dup recall is 1 by construction. Arity > 1
+    does not compose with rank-2 multiprobe: multiprobe exists to
+    RAISE collision odds at mid thresholds, which higher arity would
+    undo (use ``cosine_pairs_exact`` there instead — mid-threshold
+    output is intrinsically quadratic, see its docstring).
     """
     if bands is None:
-        bands, probe_rank = cp_config(threshold, recall_target)
+        bands, probe_rank, arity = cp_config(
+            threshold, recall_target, n=n_rows, dim=dim
+        )
+    if arity is None:
+        arity = (
+            cp_arity(n_rows, bands, dim)
+            if (n_rows is not None and probe_rank == 1)
+            else 1
+        )
+    if arity > 1 and probe_rank != 1:
+        raise ValueError(
+            "cp_near_duplicates: arity > 1 composes with rank-1 keys "
+            "only (multiprobe and key concatenation pull opposite ways)"
+        )
     v = widen(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     )
-    # persist the small (id, band, k1, k2) key relation: the a/b
-    # sides of the candidate self-join both read it (cache lifetime =
-    # caller clearCache, see cp_keys)
-    keys = cp_keys(df, id_col, vec_col, cp_rotations(bands, dim)).persist()
-    roles = keys.select(
-        "id",
-        "band",
-        F.explode(
-            F.array(
-                F.struct(F.col("k1").alias("key"), F.lit(1).alias("role")),
-                F.struct(F.col("k2").alias("key"), F.lit(2).alias("role")),
+    if probe_rank == 1:
+        # rank-1: arity-keyed buckets, candidates on exact (band, key)
+        # equality — the scale path (key space grows with n)
+        keys = cp_bucket_keys(
+            df, id_col, vec_col, cp_rotations(bands, dim), arity=arity
+        ).persist()
+        a, b = keys.alias("a"), keys.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key")),
             )
-        ).alias("rk"),
-    ).select("id", "band", F.col("rk.key").alias("key"), F.col("rk.role").alias("role"))
-    if probe_rank < 2:
-        roles = roles.where(F.col("role") == 1)
-    a, b = roles.alias("a"), roles.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key")),
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+            .persist()
         )
-        .where(
-            (F.col("a.id") < F.col("b.id"))
-            & ~((F.col("a.role") == 2) & (F.col("b.role") == 2))
+    else:
+        # persist the small (id, band, k1, k2) key relation: the a/b
+        # sides of the candidate self-join both read it (cache
+        # lifetime = caller clearCache, see cp_keys)
+        keys = cp_keys(df, id_col, vec_col, cp_rotations(bands, dim)).persist()
+        roles = keys.select(
+            "id",
+            "band",
+            F.explode(
+                F.array(
+                    F.struct(F.col("k1").alias("key"), F.lit(1).alias("role")),
+                    F.struct(F.col("k2").alias("key"), F.lit(2).alias("role")),
+                )
+            ).alias("rk"),
+        ).select(
+            "id", "band", F.col("rk.key").alias("key"), F.col("rk.role").alias("role")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-        # persist: candidates are read by both the fraction count and
-        # the verify join (cache lifetime = caller clearCache, see
-        # cp_keys — the checkpoint variant measured 25-35% slower)
-        .persist()
-    )
+        a, b = roles.alias("a"), roles.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key")),
+            )
+            .where(
+                (F.col("a.id") < F.col("b.id"))
+                & ~((F.col("a.role") == 2) & (F.col("b.role") == 2))
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+            # persist: candidates are read by both the fraction count
+            # and the verify join (cache lifetime = caller clearCache,
+            # see cp_keys — the checkpoint variant measured 25-35%
+            # slower)
+            .persist()
+        )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     n_vec = v.agg(F.count(F.lit(1)).alias("n"))
     frac = (

@@ -214,17 +214,23 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
-def _cp_key_ctes(bands: int, rank: int, dim: int = 64) -> str:
+def _cp_key_ctes(
+    bands: int, rank: int, dim: int = 64, dynamic_arity: bool = False
+) -> str:
     """DuckDB CTE fragment replaying ``similarity.cp_keys`` over a CTE
     named ``v(id, vec)``: md5-rebuilt pseudo-rotations → 6dp-rounded
     rotated coordinates → signed-argmax rank-1/rank-2 keys, with the
     Spark tiebreaks (lowest coordinate on abs ties, -index iff y<0).
-    Ends with ``cpkeys(id, b, k1, k2)`` and ``cpcand(id_a, id_b)``."""
-    if rank >= 2:
-        probe = "a.k1 = bb.k1 OR a.k1 = bb.k2 OR a.k2 = bb.k1"
-    else:
-        probe = "a.k1 = bb.k1"
-    return f"""
+    Ends with ``cpkeys`` and ``cpcand(id_a, id_b)``.
+
+    With ``dynamic_arity`` (rank-1 only) the fragment instead replays
+    ``similarity.cp_bucket_keys`` + ``cp_arity``: the key is the
+    ':'-joined top-m signed coordinates with m derived from COUNT(*)
+    by the same EXACT integer rule the Spark side evaluates on the
+    parquet-footer row count — smallest m ≥ 1 with
+    n·bands ≤ 64·(2·dim)^m, capped at 5 — so both engines grow the
+    key space with the corpus in lockstep."""
+    base = f"""
         rot AS (
             SELECT b, i, j,
                    ROUND((('0x' || substr(md5('cp:' || b || ':' || i
@@ -246,7 +252,41 @@ def _cp_key_ctes(bands: int, rank: int, dim: int = 64) -> str:
                    ROW_NUMBER() OVER (PARTITION BY id, b
                                       ORDER BY ABS(y) DESC, i) AS rn
             FROM yrot
+        ),"""
+    if dynamic_arity:
+        if rank != 1:
+            raise ValueError("dynamic_arity replays rank-1 keys only")
+        occ, space = 64, 2 * dim
+        terms = []
+        for _ in range(4):
+            terms.append(f"CAST(n * {bands} > {occ * space} AS INT)")
+            space *= 2 * dim
+        arity_expr = " + ".join(["1"] + terms)
+        return base + f"""
+        ar AS (SELECT {arity_expr} AS m
+               FROM (SELECT COUNT(*) AS n FROM v)),
+        cpkeys AS (
+            SELECT id, b,
+                   string_agg(CASE WHEN y < 0
+                                   THEN CAST(-(i+1) AS VARCHAR)
+                                   ELSE CAST(i+1 AS VARCHAR) END,
+                              ':' ORDER BY rn) AS key
+            FROM yrank, ar WHERE rn <= ar.m GROUP BY id, b
         ),
+        cpcand AS (
+            SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+            FROM cpkeys a JOIN cpkeys bb
+              ON a.b = bb.b AND a.key = bb.key AND a.id < bb.id
+        ),
+        cpstat AS (
+            SELECT (SELECT COUNT(*) FROM cpcand) AS n_cand,
+                   (SELECT COUNT(*) FROM v) AS n
+        )"""
+    if rank >= 2:
+        probe = "a.k1 = bb.k1 OR a.k1 = bb.k2 OR a.k2 = bb.k1"
+    else:
+        probe = "a.k1 = bb.k1"
+    return base + f"""
         cpkeys AS (
             SELECT id, b,
                    MAX(CASE WHEN rn = 1 THEN
@@ -339,7 +379,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
             FROM embeddings
         ),
-        {_cp_key_ctes(bands=4, rank=1)}
+        {_cp_key_ctes(bands=4, rank=1, dynamic_arity=True)}
         SELECT a.id AS id_a, b.id AS id_b,
                ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim,
                ROUND(n_cand * 2.0 / (n * (n - 1)), 6) AS candidate_fraction
@@ -351,22 +391,27 @@ def dedup_embedding_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-scaled duplicate embeddings (the normalization-variant dup an
     ingestion pipeline actually hunts): each vector is planted back at
     half scale, and the job finds cosine ≥ 0.999999 pairs with
-    cross-polytope blocking (4 bands, rank-1 keys) + exact verify.
-    This is the regime where the LSH design from
-    ``dedup_embedding_cosine`` earns its pruning: the signed-argmax
-    key is SCALE-INVARIANT, so direction-identical vectors share every
-    band key (recall = 1 by construction), while background pairs
-    collide at ~1/(2·dim) per band — the audited
-    ``candidate_fraction`` lands around 2%, versus 49% in the
-    mid-threshold regime, putting the geometric-pruning claim on the
-    table as a verified number. Oracle = brute-force all-pairs over
-    the same planted union, plus the md5-replayed hashing for the
-    fraction column."""
+    cross-polytope blocking (4 bands, rank-1 ARITY-SIZED keys) +
+    exact verify. This is the regime where LSH blocking earns its
+    pruning: the signed-argmax key is SCALE-INVARIANT, so
+    direction-identical vectors share every band key at ANY arity
+    (recall = 1 by construction), while background pairs collide at
+    ~1/(2·dim)^m per band. Since round 7 the key arity m grows with
+    the corpus — ``cp_arity`` on the parquet-footer row count, the
+    round-6 scaling rule that kills the n²/(2d)^m background-
+    collision term the fixed-arity config measured at exponent 1.55;
+    the oracle replays m from COUNT(*) with the same exact integer
+    rule. At sf0.01 (n=1000, m=1) behavior is bit-identical to the
+    pre-r7 rank-1 config; at sf0.1 (n=4000) m=2 engages. The audited
+    ``candidate_fraction`` stays on the table as a verified number.
+    Oracle = brute-force all-pairs over the same planted union, plus
+    the md5-replayed arity keys for the fraction column."""
     from pyspark.sql import functions as F
 
     from spark_query_engine.operators import similarity as S
 
     emb = load(spark, sf_dir, "embeddings")
+    n_planted = 2 * footer_rows(spark, sf_dir, "embeddings")
     # cast-to-double BEFORE scaling, mirroring the oracle's
     # CAST(... AS DOUBLE[]) -> x * 0.5, so planted values are bit-equal
     base = emb.select(
@@ -389,6 +434,7 @@ def dedup_embedding_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.999999,
         bands=4,
         probe_rank=1,
+        n_rows=n_planted,
     )
 
 

@@ -529,22 +529,46 @@ def test_distributed_pca_projection(spark, sf_dir):
 def test_cp_config_measured_curve():
     """cp_config picks the cheapest MEASURED (bands, rank) meeting the
     recall target, conservatively calibrated at the highest measured
-    threshold <= the requested one (SCALING.md round-5 curve)."""
+    threshold <= the requested one (SCALING.md round-5 curve); the
+    third element is the corpus-sized key arity (1 without n, or for
+    rank-2 multiprobe configs)."""
     from spark_query_engine.operators.similarity import cp_config
 
     # hardest regime: recall 1.0 at mid-threshold needs the full grid
-    assert cp_config(0.45, 1.0) == (32, 2)
+    assert cp_config(0.45, 1.0) == (32, 2, 1)
     # relaxing recall buys candidate-fraction headroom
-    assert cp_config(0.45, 0.95) == (16, 2)
-    assert cp_config(0.45, 0.80) == (8, 2)
+    assert cp_config(0.45, 0.95) == (16, 2, 1)
+    assert cp_config(0.45, 0.80) == (8, 2, 1)
     # production near-dup thresholds prune geometrically
-    assert cp_config(0.6, 1.0) == (16, 2)
-    assert cp_config(0.8, 1.0) == (8, 2)
-    assert cp_config(0.999, 1.0) == (4, 1)
+    assert cp_config(0.6, 1.0) == (16, 2, 1)
+    assert cp_config(0.8, 1.0) == (8, 2, 1)
+    assert cp_config(0.999, 1.0) == (4, 1, 1)
     # between calibration points: use the harder (lower) threshold
-    assert cp_config(0.7, 1.0) == (16, 2)
+    assert cp_config(0.7, 1.0) == (16, 2, 1)
     # below the lowest calibration: fall back to its row
-    assert cp_config(0.3, 1.0) == (32, 2)
+    assert cp_config(0.3, 1.0) == (32, 2, 1)
+    # rank-1 configs grow key arity with the corpus (round-6 rule)
+    assert cp_config(0.999, 1.0, n=1000) == (4, 1, 1)
+    assert cp_config(0.999, 1.0, n=100_000) == (4, 1, 2)
+    # rank-2 multiprobe never takes arity (opposite-regime knobs)
+    assert cp_config(0.45, 1.0, n=10**9) == (32, 2, 1)
+
+
+def test_cp_arity_integer_rule():
+    """cp_arity = smallest m >= 1 with n*bands <= 64*(2d)^m, cap 5 —
+    EXACT integer arithmetic so the SQL oracle replays it without
+    float-log boundary cases. Boundary rows pinned explicitly."""
+    from spark_query_engine.operators.similarity import cp_arity
+
+    d = 64  # 2d = 128; occupancy 64
+    assert cp_arity(1, 4, d) == 1
+    assert cp_arity(2048, 4, d) == 1      # n*bands = 8192 = 64*128
+    assert cp_arity(2049, 4, d) == 2      # one past the boundary
+    assert cp_arity(4000, 4, d) == 2      # the sf0.1 scaled corpus
+    assert cp_arity(262_144, 4, d) == 2   # = 64*128^2 exactly
+    assert cp_arity(262_145, 4, d) == 3
+    assert cp_arity(10**9, 4, d) == 4
+    assert cp_arity(10**18, 4, d) == 5    # cap
 
 
 def test_integer_moment_queries_are_run_deterministic(spark, sf_dir):
