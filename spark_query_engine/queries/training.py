@@ -7054,7 +7054,13 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = x.crossJoin(F.broadcast(st)).select(
         "idx", (F.col("n") * F.col("x") - F.col("s")).alias("a"), "n"
     )
-    den = a.agg(F.sum(F.col("a") * F.col("a")).alias("d0"))
+    # a = n*x - s reaches ~1e13 at plausible daily volumes, so a²
+    # overflows int64 — widen to decimal(38,0) (exact; the relation
+    # is O(days), so the decimal tax the bootstrap A/B measured is
+    # irrelevant here). Caught by the digit-aware r7 moment gate.
+    den = a.agg(
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).alias("d0")
+    )
     lags = spark.range(1, _ACF_MAX_LAG + 1).select(
         F.col("id").cast("long").alias("lag")
     )
@@ -7066,7 +7072,11 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idx2",
         )
         .groupBy("lag")
-        .agg(F.sum(F.col("a") * F.col("a2")).alias("num"))
+        .agg(
+            F.sum(F.col("a").cast("decimal(38,0)") * F.col("a2")).alias(
+                "num"
+            )
+        )
     )
     return (
         nk.crossJoin(F.broadcast(st.select("n")))

@@ -1,0 +1,56 @@
+"""The close-gate checks that used to run ONLY via
+``tools/close_gates.py``, promoted into the suite (round-6 verdict,
+task 7) so every ``pytest tests/`` run enforces them — a future
+regression in moment widening, registry/docs consistency, or the
+signbit-strict comparator goes red here, not at round close.
+
+(The remaining close_gates stages — the full sf0.01 oracle sweep and
+the suite itself — stay in the tool: they ARE pytest + the sweep.)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT / "tools"))
+
+
+def test_gate_moment_widening_is_clean():
+    """Every `F.sum(F.col(a) * F.col(b))` product sum in the package
+    either widens an operand to decimal(38,0) or carries an explicit
+    range-bound MOMENT_ALLOWLIST entry (and no allowlist entry is
+    stale) — the r5g exact-integer-moment contract, statically."""
+    import close_gates
+
+    assert close_gates.gate_moment_widening() == []
+
+
+def test_gate_registry_docs_consistency():
+    """COVERAGE.md's query count equals the live registry, every
+    bench.HEADLINE name is registered, and every query carries an
+    oracle or is on the documented rows-only list."""
+    import close_gates
+
+    assert close_gates.gate_registry_docs() == []
+
+
+def test_checker_is_signbit_strict():
+    """The local comparator must mirror the driver's bit-pattern
+    hashing: IEEE -0.0 vs +0.0 on a float column is a FAILURE even
+    though == calls them equal (the two-round vec_covariance_matrix
+    red). Feed it a signbit skew and a clean frame; it must flag
+    exactly the skew."""
+    import pandas as pd
+
+    import check_correctness as cc
+
+    a = pd.DataFrame({"x": [1.5, 0.0], "k": [1, 2]})
+    b_skew = pd.DataFrame({"x": [1.5, -0.0], "k": [1, 2]})
+    ok, msg = cc.compare(a.copy(), b_skew)
+    assert not ok and "signbit" in msg
+
+    b_same = pd.DataFrame({"x": [1.5, 0.0], "k": [1, 2]})
+    ok, msg = cc.compare(a.copy(), b_same)
+    assert ok, msg

@@ -88,10 +88,6 @@ MOMENT_ALLOWLIST: dict[tuple[str, str], str] = {
         "Mann-Whitney wins <= n0*n1 <= (1e9)^2/4 ~ 2.5e17 < 2^63",
     ("queries/training.py", 'F.sum(F.col("cl") * F.col("ce"))'):
         "Mann-Whitney ties — bounded by the wins bound above",
-    ("queries/training.py", 'F.sum(F.col("a") * F.col("a"))'):
-        "ACF denominator over an O(days) daily series (n <= ~1e4 "
-        "rows of n*x-s residuals, |a| <= 1e4*1e9): bounded by the "
-        "series length, not the corpus",
     ("queries/training.py", 'F.sum(F.col("r_x") * F.col("r_x"))'):
         "Spearman over DAILY aggregates: ranks <= ~3650",
     ("queries/training.py", 'F.sum(F.col("r_y") * F.col("r_y"))'):
