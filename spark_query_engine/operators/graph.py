@@ -36,13 +36,24 @@ def pagerank(
 
     Per round: edges ⋈ ranks (equi-join on the node id both relations
     are already hash-partitioned by) + one sum-aggregation on the
-    destination id. Edge+degree relation persists once; each round's
-    ranks persist and the previous round unpersists; symmetric edges
-    mean every node receives a contribution, so no dangling-mass
-    term is needed.
+    destination id; symmetric edges mean every node receives a
+    contribution, so no dangling-mass term is needed.
+
+    Round-7 cost model: the round count is FIXED and each round's
+    state is consumed exactly once (by the next round), so the rounds
+    chain LAZILY into ONE job — no per-round persist + count + job
+    barrier, which the round-6 bench measured as the dominant cost
+    of the iterative family (round-latency-bound, exponent ~0.2).
+    Only the edge+degree relation persists (it appears in every
+    round); convergence semantics are untouched — same joins, same
+    per-round 9dp rounding, bit-identical output. Unlike the CC loop
+    the driver makes no per-round decision here, so nothing forces
+    materialization. Caches release when the caller drops the result.
 
     Returns (id, pr) for every node in ``pairs``.
     """
+    from spark_query_engine.operators import release_on_drop
+
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # persist the symmetric edges FIRST: pairs is usually a lazy
     # candidate-generation DAG (shingles → signatures → band join), and
@@ -59,9 +70,9 @@ def pagerank(
     # above the oracle's 0.15/n — a divergence feeding the per-round
     # rounded state (the repo's pinned-state float discipline)
     base = round(1000.0 - damping * 1000.0) / 1000.0 / n
-    ranks = deg.select("u", F.lit(1.0 / n).alias("pr")).persist()
-    for i in range(iterations):
-        new = (
+    ranks = deg.select("u", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iterations):
+        ranks = (
             ed.join(ranks, "u")
             .groupBy(F.col("v").alias("u"))
             .agg(
@@ -72,20 +83,9 @@ def pagerank(
                 ).alias("pr")
             )
         )
-        if i % 5 == 4 or i == iterations - 1:
-            # eager localCheckpoint stores the round's blocks AND
-            # truncates lineage — no extra persist() handle to leak
-            # (the final round always checkpoints, so every cache
-            # below can be dropped before returning)
-            new = new.localCheckpoint()
-        else:
-            new = new.persist()
-            new.count()
-        ranks.unpersist()
-        ranks = new
-    sym.unpersist()
-    ed.unpersist()
-    return ranks.select(F.col("u").alias("id"), "pr")
+    return release_on_drop(
+        ranks.select(F.col("u").alias("id"), "pr"), sym, ed
+    )
 
 
 def personalized_pagerank(
@@ -110,14 +110,21 @@ def personalized_pagerank(
     (docs tightly linked to trusted seeds score high; isolated spam
     clusters decay geometrically).
 
-    Same distributed shape and float discipline as ``pagerank``: the
-    symmetric edge+degree relation persists once, each round is one
-    equi-join + one destination-keyed sum with the running state
-    rounded to ``round_decimals``, lineage truncated per round. Only
-    the seed COUNT crosses to the driver.
+    Same distributed shape and float discipline as ``pagerank``, and
+    the same round-7 cost model: a FIXED round count whose state is
+    consumed once per round chains LAZILY into one job — no per-round
+    persist/count/localCheckpoint barriers (the measured dominant
+    cost of the iterative family at sf0.1). Two per-round fusions on
+    top: the seed flag is derived from the id EXPRESSION instead of
+    re-joining the nodes relation every round (one join fewer per
+    round), and the teleport+damping projection folds into the
+    destination aggregation (values unchanged — same 9dp rounding of
+    the same mass sums). Only the seed COUNT crosses to the driver.
 
     Returns (id, is_seed, pr) for every node in ``pairs``.
     """
+    from spark_query_engine.operators import release_on_drop
+
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -126,43 +133,32 @@ def personalized_pagerank(
     ed = sym.join(deg, "u").select("u", "v", "deg").persist()
 
     seed = (F.col("u") % seed_mod == 0).cast("int")
-    nodes = deg.select("u", seed.alias("is_seed")).persist()
+    nodes = deg.select("u", seed.alias("is_seed"))
     ns = nodes.where(F.col("is_seed") == 1).count()
     base = round(1000.0 - damping * 1000.0) / 1000.0 / ns
     ranks = nodes.select(
         "u", (F.col("is_seed") / F.lit(float(ns))).alias("pr")
-    ).persist()
-    for i in range(iterations):
-        new = (
+    )
+    for _ in range(iterations):
+        ranks = (
             ed.join(ranks, "u")
             .groupBy(F.col("v").alias("u"))
-            .agg(
-                F.sum(F.col("pr") / F.col("deg")).alias("mass")
-            )
-            .join(nodes, "u")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
             .select(
                 "u",
                 F.round(
-                    F.col("is_seed") * F.lit(base)
+                    seed * F.lit(base)
                     + F.lit(damping) * F.col("mass"),
                     round_decimals,
                 ).alias("pr"),
             )
         )
-        if i == iterations - 1:
-            new = new.localCheckpoint()
-        else:
-            new = new.persist()
-            new.count()
-        ranks.unpersist()
-        ranks = new
-    sym.unpersist()
-    ed.unpersist()
-    nodes.unpersist()
-    # derive the seed flag from the id itself — joining the (now
-    # unpersisted) nodes relation back would re-run the whole pairs DAG
-    return ranks.select(
-        F.col("u").alias("id"),
-        (F.col("u") % seed_mod == 0).cast("int").alias("is_seed"),
-        "pr",
+    return release_on_drop(
+        ranks.select(
+            F.col("u").alias("id"),
+            seed.alias("is_seed"),
+            "pr",
+        ),
+        sym,
+        ed,
     )

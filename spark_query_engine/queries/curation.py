@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_query_engine.operators import carry_caches, release_on_drop
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.operators import textanalysis as T
 from spark_query_engine.queries import EVENTS_ORACLE, load, query
@@ -1153,8 +1154,18 @@ def corpus_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_query_engine.operators.graph import pagerank
 
     pr = pagerank(cand, "id_a", "id_b", iterations=5)
-    return pr.select(
-        F.col("id").alias("doc_id"), F.round("pr", 6).alias("pagerank")
+    # the rounds are lazy since r7: the shingle cache must survive
+    # until the caller's action, and the operator's edge caches must
+    # outlive this derived projection
+    return carry_caches(
+        release_on_drop(
+            pr.select(
+                F.col("id").alias("doc_id"),
+                F.round("pr", 6).alias("pagerank"),
+            ),
+            sh,
+        ),
+        pr,
     )
 
 
@@ -2601,9 +2612,17 @@ def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(sh, 16)
     cand = D.lsh_candidate_pairs(sig, 16, 4)
     ppr = personalized_pagerank(cand, "id_a", "id_b", seed_mod=5)
-    sh.unpersist()
-    return ppr.select(
-        F.col("id").alias("doc_id"),
-        "is_seed",
-        F.round("pr", 6).alias("ppr"),
+    # lazy rounds since r7: release the shingle cache with the result
+    # (an eager unpersist here would recompute shingles in-job), and
+    # carry the operator's edge caches past this derived projection
+    return carry_caches(
+        release_on_drop(
+            ppr.select(
+                F.col("id").alias("doc_id"),
+                "is_seed",
+                F.round("pr", 6).alias("ppr"),
+            ),
+            sh,
+        ),
+        ppr,
     )
