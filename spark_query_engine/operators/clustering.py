@@ -35,13 +35,31 @@ def _vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def assign_to_centroids(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """One assignment pass: nearest centroid by 6dp-rounded cosine
-    (ties → lowest centroid id). Centroids ship as ONE 2-D literal —
-    all k similarities compile into a single codegen loop per row, no
-    join, no shuffle. Returns (id, vec, centroid, cent_sim)."""
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
-    sims = F.transform(cents_lit, lambda c: F.round(cosine(F.col("vec"), c), 6))
+    (ties → lowest centroid id). Returns (id, vec, centroid, cent_sim).
+
+    The codebook ships as a BROADCAST 1-row relation (the ``cp_keys``
+    rotation-matrix pattern), not an ``F.lit`` nested-list literal:
+    pyspark's lit builds the Catalyst value element-by-element over
+    py4j — measured ~9 s PER CALL at k·d = 313·64, i.e. a
+    driver-side cost ∝ k that dominated the k ∝ n queries at sf1
+    (corpus_semdedup 52.6 s, ~27 s of it literal construction) —
+    while createDataFrame batch-pickles the same payload in
+    milliseconds. Plan: one BroadcastNestedLoopJoin(BuildRight, Cross)
+    of a single codebook row — bounded model state, the
+    ``ann_ivf_topk`` shape — then the same single-projection argmax;
+    still zero data-plane shuffle."""
+    spark = v.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [([list(map(float, c)) for c in centroids],)],
+            "cents array<array<double>>",
+        )
+    )
+    sims = F.transform(
+        F.col("cents"), lambda c: F.round(cosine(F.col("vec"), c), 6)
+    )
     best = F.array_position(sims, F.array_max(sims)).cast("int") - 1
-    return v.select(
+    return v.crossJoin(cdf).select(
         "id",
         "vec",
         best.alias("centroid"),

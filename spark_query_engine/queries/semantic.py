@@ -148,12 +148,22 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-r7 fixed k=8 left the join O(n²/8), the round-6 verdict's
     named 100×-scale defect. Fit state is k·dim floats of MODEL state
     on the driver, growing ∝ n/64 — the accepted cascade trade."""
+    from spark_query_engine.operators import release_on_drop
+
     emb = load(spark, sf_dir, "embeddings")
     k = _sem_k(footer_rows(spark, sf_dir, "embeddings"))
     assigned = C.kmeans_assign(
         spark, emb, "vec_id", "embedding", k=k, iters=_ITERS
     )
-    return carry_caches(C.semantic_dedup(assigned, _THRESHOLD), assigned)
+    # persist the final assignment: semantic_dedup self-joins it (a/b
+    # sides of the pair join plus the kept/pruned decision join), and
+    # each unpersisted side re-runs the O(n·k·d) assignment scan —
+    # measured 20.5 s → 1.6 s for the pair stage at sf1, k=313
+    assigned = assigned.persist()
+    return carry_caches(
+        release_on_drop(C.semantic_dedup(assigned, _THRESHOLD), assigned),
+        assigned,
+    )
 
 
 @query(

@@ -220,14 +220,25 @@ def test_semdedup_pairs_join_is_cluster_blocked(spark):
 
     df = queries()["corpus_semdedup"](spark, "/root/testdata/sf0.001")
     plan = format_plan(df, "physical")
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the only nested-loop lines allowed: the broadcast 1-row codebook
+    # (model state — the assignment shape since round 7)
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight, Cross" in ln, ln.strip()
+    # the pair comparison itself stays a hash equi-join on centroid
+    assert any(
+        op in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
 
 
-def test_kmeans_assignment_has_no_join(spark):
-    """Centroids ship as a broadcast literal inside one projection —
-    the assignment scan must contain NO join and NO exchange (the
-    codebook is model state, not a relation)."""
+def test_kmeans_assignment_has_no_shuffle(spark):
+    """Centroids ship as a BROADCAST 1-row codebook relation (the
+    round-7 fix for the ∝k F.lit construction cost): the assignment
+    scan is that single bounded BuildRight-Cross broadcast plus one
+    projection — NO data-plane shuffle, no hash-partitioned
+    exchange, no cartesian."""
     from spark_query_engine.operators import clustering as C
     from spark_query_engine.plans import format_plan
 
@@ -235,7 +246,10 @@ def test_kmeans_assignment_has_no_join(spark):
     v = C._vectors(emb, "vec_id", "embedding")
     cents = [[0.1] * 64, [0.2] * 64]
     plan = format_plan(C.assign_to_centroids(v, cents), "physical")
-    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight, Cross" in ln, ln.strip()
     # widen()'s RoundRobin repartition is parallelism, not data
     # movement keyed by the codebook — no hash-partitioned shuffle
     assert "HashPartitioning" not in plan
@@ -557,6 +571,16 @@ def test_headline_plans_have_no_scale_killers(spark):
         # every-vector-vs-broadcast-k-centroids fan-out (the
         # assignment shape; build side = k rows of model state)
         "ann_centroid_margin_audit",
+        # the broadcast 1-row k-means codebook (model state) crosses
+        # the vector scan — the round-7 assignment shape, replacing
+        # the ∝k F.lit literal (measured ~9 s/call at k=313); every
+        # data-plane join in these stays a hash equi-join
+        "corpus_kmeans",
+        "corpus_semdedup",
+        "corpus_ivf_learned",
+        "corpus_cluster_cohesion",
+        "ann_ivf_pq_topk",
+        "corpus_ivf_occupancy",
         # precision/recall census: three 1-row aggregates crossJoin
         "corpus_dedup_eval",
         # the per-doc gate crosses the 1-row corpus-percentile row
