@@ -343,11 +343,29 @@ def kmeans_parallel_init(
     of the algorithm (>1 means better-spread centers)."""
     v = v.select("id", "vec").persist()
 
-    def d2_to(centers: list[tuple[int, list[float]]]):
-        cl = F.lit([[float(x) for x in c] for _cid, c in centers])
+    # centers ship as a broadcast 1-row relation per pass (the
+    # assign_to_centroids round-7 pattern): F.lit's element-by-element
+    # py4j construction costs ~0.7 ms/element, paid once per ROUND on
+    # a growing center list — createDataFrame batch-pickles the same
+    # payload in milliseconds
+    def with_centers(df: DataFrame, center_vecs, center_ids=None):
+        if center_ids is None:
+            row, schema = ([
+                [float(x) for x in c] for c in center_vecs
+            ],), "cents array<array<double>>"
+        else:
+            row, schema = (
+                [[float(x) for x in c] for c in center_vecs],
+                [int(i) for i in center_ids],
+            ), "cents array<array<double>>, cids array<bigint>"
+        return df.crossJoin(
+            F.broadcast(spark.createDataFrame([row], schema))
+        )
+
+    def d2_expr():
         return F.array_min(
             F.transform(
-                cl,
+                F.col("cents"),
                 lambda c: F.round(
                     F.aggregate(
                         F.zip_with(
@@ -380,8 +398,10 @@ def kmeans_parallel_init(
     ]
     added_round = {centers[0][0]: 0}
     for r in range(1, rounds + 1):
-        d2q = F.round(d2_to(centers) * 1000000, 0).cast("bigint")
-        scored = v.select("id", "vec", d2q.alias("d2q"))
+        d2q = F.round(d2_expr() * 1000000, 0).cast("bigint")
+        scored = with_centers(v, [c for _cid, c in centers]).select(
+            "id", "vec", d2q.alias("d2q")
+        )
         phi = scored.agg(F.sum("d2q").alias("phi")).collect()[0]["phi"]
         sel = scored.where(
             frac(r)
@@ -397,10 +417,8 @@ def kmeans_parallel_init(
     # weight candidates: points served (argmin via array_position, so
     # ties break to the FIRST candidate in (round_added, id) insertion
     # order — the oracle replays the same order)
-    cl = F.lit([[float(x) for x in c] for _cid, c in centers])
-    ids = F.lit([int(cid) for cid, _c in centers])
     dists = F.transform(
-        cl,
+        F.col("cents"),
         lambda c: F.round(
             F.aggregate(
                 F.zip_with(F.col("vec"), c, lambda x, y: (x - y) * (x - y)),
@@ -410,10 +428,13 @@ def kmeans_parallel_init(
             6,
         ),
     )
-    nearest = v.select(
-        F.element_at(ids, F.array_position(dists, F.array_min(dists)).cast("int")).alias(
-            "center_id"
-        )
+    nearest = with_centers(
+        v, [c for _cid, c in centers], [cid for cid, _c in centers]
+    ).select(
+        F.element_at(
+            F.col("cids"),
+            F.array_position(dists, F.array_min(dists)).cast("int"),
+        ).alias("center_id")
     )
     weights = nearest.groupBy("center_id").agg(
         F.count(F.lit(1)).alias("weight")
@@ -440,24 +461,8 @@ def kmeans_parallel_init(
     chosen = {int(r["center_id"]) for r in ranked.select("center_id").collect()}
 
     def phi_of(center_list: list[list[float]]) -> int:
-        cl2 = F.lit([[float(x) for x in c] for c in center_list])
-        d2 = F.array_min(
-            F.transform(
-                cl2,
-                lambda c: F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("vec"), c, lambda x, y: (x - y) * (x - y)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, e: acc + e,
-                    ),
-                    6,
-                ),
-            )
-        )
-        q = F.round(d2 * 1000000, 0).cast("bigint")
-        return int(v.agg(F.sum(q)).collect()[0][0])
+        q = F.round(d2_expr() * 1000000, 0).cast("bigint")
+        return int(with_centers(v, center_list).agg(F.sum(q)).collect()[0][0])
 
     phi_kpp = phi_of([c for cid, c in centers if cid in chosen])
     naive = v.where(F.col("id") < k).orderBy("id").collect()
