@@ -46,9 +46,17 @@ def char_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Texts shorter than 2 chars yield no rows — guarded explicitly,
     because ``sequence(1, len-1)`` on len<2 builds a DESCENDING range
     (the Spark trap the word-trigram query documents) and would emit
-    junk pseudo-bigrams."""
+    junk pseudo-bigrams.
+
+    ``widen`` first (round 7): a single-file documents table arrives
+    as ONE input split, and the ~chars-per-doc explode fan-out then
+    runs on one core — measured 27 s for 16.5 M bigrams at the 10×
+    replica scale, the whole superlinearity of ``corpus_dsir_select``
+    (exponent 1.11 → the explode was serial while the data grew).
+    The pre-explode repartition shuffles only the raw doc rows."""
     return (
-        df.where(F.length(text_col) >= 2)
+        widen(df)
+        .where(F.length(text_col) >= 2)
         .select(
             id_col,
             text_col,

@@ -7,7 +7,11 @@ replica-internal — each replica is a disjoint copy of the purchase
 graph and truth scales exactly linearly.
 
 Only the columns the scaling queries read are written:
-``orders(o_orderkey, o_custkey)``, ``customer(c_custkey, c_mktsegment)``.
+``orders(o_orderkey, o_custkey, o_totalprice)``,
+``customer(c_custkey, c_mktsegment)``. (o_totalprice added round 7 so
+``stats_poisson_bootstrap`` gets an exponent row — replicas repeat the
+same price values under shifted keys, so replicate sums scale exactly
+linearly while the md5 Poisson weights stay key-dependent.)
 
 Usage: python tools/gen_scaling_tpch.py [out_root]
 """
@@ -30,17 +34,22 @@ def gen(out_root: Path, replicas: int, name: str) -> None:
     con = duckdb.connect()
 
     o = con.execute(
-        f"SELECT o_orderkey, o_custkey FROM read_parquet('{SRC}/orders.parquet')"
+        f"SELECT o_orderkey, o_custkey, o_totalprice"
+        f" FROM read_parquet('{SRC}/orders.parquet')"
     ).fetchall()
     max_o = max(r[0] for r in o) + 1
     max_c = max(r[1] for r in o) + 1
-    okeys, ckeys = [], []
+    okeys, ckeys, prices = [], [], []
     for r in range(replicas):
-        okeys.extend(x + r * max_o for x, _ in o)
-        ckeys.extend(c + r * max_c for _, c in o)
+        okeys.extend(x + r * max_o for x, _, _ in o)
+        ckeys.extend(c + r * max_c for _, c, _ in o)
+        prices.extend(p for _, _, p in o)
     pq.write_table(
         pa.table({"o_orderkey": pa.array(okeys, pa.int64()),
-                  "o_custkey": pa.array(ckeys, pa.int64())}),
+                  "o_custkey": pa.array(ckeys, pa.int64()),
+                  "o_totalprice": pa.array(
+                      [float(p) for p in prices], pa.float64()
+                  )}),
         out / "orders.parquet",
     )
 
