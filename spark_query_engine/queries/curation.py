@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import carry_caches, release_on_drop
+from spark_query_engine.operators import carry_caches, release_on_drop, widen
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.operators import textanalysis as T
 from spark_query_engine.queries import EVENTS_ORACLE, load, query
@@ -530,7 +530,7 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = counts.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
         F.sum("c").alias("tot")
     )
-    vocab = docs.select(
+    vocab = widen(docs).select(
         F.explode(F.split("text", "")).alias("ch")
     ).agg(F.countDistinct("ch").alias("vocab"))
     model = (
@@ -2179,7 +2179,9 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = counts.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
         F.sum("c").alias("tot")
     )
-    vocab = docs.select(F.explode(F.split("text", "")).alias("ch")).agg(
+    vocab = widen(docs).select(
+        F.explode(F.split("text", "")).alias("ch")
+    ).agg(
         F.countDistinct("ch").alias("vocab")
     )
     model = (

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import carry_caches, release_on_drop
+from spark_query_engine.operators import carry_caches, release_on_drop, widen
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.queries import footer_rows, load, query
 
@@ -932,7 +932,9 @@ def dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = mh.select("id_a", "id_b")
     toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        widen(docs).select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
         .where(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))

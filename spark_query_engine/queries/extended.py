@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_query_engine.operators import similarity as S
+from spark_query_engine.operators import widen
 from spark_query_engine.queries import load, query
 
 
@@ -205,7 +206,7 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream before the shuffle."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        widen(d).select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))

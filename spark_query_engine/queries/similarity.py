@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import carry_caches
+from spark_query_engine.operators import carry_caches, widen
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.queries import load, query
 
@@ -301,7 +301,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed aggregation/equi-join — at 100 TB you'd persist tf/df/dl as
     the inverted index and this query becomes its probe."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = widen(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))

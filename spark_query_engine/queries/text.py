@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, Window as W
 from pyspark.sql import functions as F
 
 from spark_query_engine.operators import textanalysis as TA
+from spark_query_engine.operators import widen
 from spark_query_engine.queries import load, query
 
 _EN = ",".join(f"'{w}'" for w in TA.STOPWORDS["en"])
@@ -266,7 +267,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = widen(docs).select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
@@ -477,7 +478,7 @@ def corpus_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, so the 6dp rounding is engine-stable."""
     docs = load(spark, sf_dir, "documents")
     toks = (
-        docs.select(
+        widen(docs).select(
             "source", F.explode(F.split("text", " ")).alias("tok")
         )
         .where(F.col("tok") != "")
@@ -626,7 +627,9 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized sums (sim_mass, norm_mass, dsir log_weight,
     covariance) converted to exact integer moments."""
     d = load(spark, sf_dir, "documents")
-    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    chars = widen(d).select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
     dist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     tot = dist.groupBy("doc_id").agg(F.sum("c").alias("n"))
     p = F.col("c") / F.col("n")
@@ -684,7 +687,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus would show slope ≈ −1, R² > 0.95."""
     d = load(spark, sf_dir, "documents")
     toks = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        widen(d).select(F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
         .select(F.lower("tok").alias("tok"))
     )
@@ -735,7 +738,7 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, token) count, one per-doc rollup, exact-integer ratios."""
     d = load(spark, sf_dir, "documents")
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        widen(d).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("doc_id", F.lower("tok").alias("tok"))
         .agg(F.count(F.lit(1)).alias("c"))
@@ -793,7 +796,7 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension; exact integers to the final share."""
     d = load(spark, sf_dir, "documents")
     freq = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        widen(d).select(F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy(F.lower("tok").alias("tok"))
         .agg(F.count(F.lit(1)).alias("c"))
@@ -851,7 +854,7 @@ def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row total; read alongside the entropy gate and the Zipf audit
     as the third distribution-level forensic."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = widen(d).select(
         F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     wl = toks.select(F.length("tok").alias("wl"))
@@ -1086,7 +1089,7 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cp_doc"),
         )
     )
-    toks = docs.select(
+    toks = widen(docs).select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).where(F.col("tok") != "")
     first_occ = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_query_engine.operators import carry_caches, release_on_drop
+from spark_query_engine.operators import carry_caches, release_on_drop, widen
 from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators import dedup as D
@@ -1168,7 +1168,7 @@ def corpus_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     side exists only to audit the bound; production reads the sketch
     alone."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
+    words = widen(docs).select(
         F.explode(F.split("text", " ")).alias("word")
     )
     ds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
@@ -4038,7 +4038,7 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("nt")
     )
-    pos = t.select(
+    pos = widen(t).select(
         "doc_id", "nt", F.explode(F.sequence(F.lit(1), F.col("nt"))).alias("p")
     )
     coin = F.conv(
@@ -4129,7 +4129,7 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the v-row global relation broadcastable."""
     docs = load(spark, sf_dir, "documents")
     toks = (
-        docs.select(
+        widen(docs).select(
             "source",
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
         )
@@ -5350,7 +5350,7 @@ def text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term."""
     docs = load(spark, sf_dir, "documents")
     toks = (
-        docs.select(
+        widen(docs).select(
             "source",
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
         )
@@ -10051,7 +10051,7 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. One corpus-plane aggregate total."""
     docs = load(spark, sf_dir, "documents")
     words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        widen(docs).select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
