@@ -3923,7 +3923,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     restrictions, all shuffled on node id — the CC/peeling shuffle
     shape; Spark-side lineage truncates per round (localCheckpoint),
     and the round count is the knob (synchronized peeling removes
-    whole frontiers at once)."""
+    whole frontiers at once). Per-round materialization is
+    DELIBERATE here even though the round count is fixed: each round
+    reads its edge relation THREE times (two union legs + the
+    restriction base), so lazy chaining branches the DAG 3^R ways —
+    measured 84.7 s vs 5.0 s at sf0.1 when round 7 tried the
+    ``pagerank`` lazy-round trick, and reverted. Lazy rounds need
+    single-consumer state; PageRank/PPR qualify, peeling does not."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     ed = (
@@ -3938,6 +3944,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+
     edges = ed
     prev_cnt = edges.count()
     cur_cnt = prev_cnt
