@@ -478,6 +478,31 @@ def main() -> None:
     (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
         json.dumps(record, indent=1) + "\n"
     )
+    # LAST line = a compact self-contained summary (r7 verdict task 9):
+    # the driver's tail window starts mid-way into the ~20 KB full
+    # record, leaving BENCH_r{N}.json with parsed=null. The final
+    # stdout line always survives a tail capture intact, so emit the
+    # headline numbers + top-10 there; the full per-query artifact is
+    # the committed BENCH_FULL.json.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "r1_subset_total": record["r1_subset_total"],
+                "run_spread_total": spread,
+                "queries": top10,
+                "queries_are": "top10 by time; all in BENCH_FULL.json",
+                "sf": record["sf"],
+                "full_record": "BENCH_FULL.json",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -16,6 +16,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate_deep_lineage(
+    df: DataFrame, i: int, iterations: int, every: int = 8
+) -> DataFrame:
+    """Bound the lazy round-chain's PLAN depth for large iteration
+    counts (r7 advice row): the lazy chaining that wins at the
+    registered 5 rounds builds an O(iterations)-deep join+aggregate
+    plan whose Catalyst analysis/codegen cost grows sharply past
+    ~15 rounds. Above that, cut lineage every ``every`` rounds with a
+    LAZY localCheckpoint — no job is forced at the cut (materializes
+    on first downstream use), so fixed-small-round callers are
+    untouched and deep library calls stay plannable. Values are
+    unchanged either way (checkpointing replays the same 9dp-rounded
+    state)."""
+    if iterations > 15 and (i + 1) % every == 0 and (i + 1) < iterations:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 def pagerank(
     pairs: DataFrame,
     src: str = "id_a",
@@ -71,7 +89,7 @@ def pagerank(
     # rounded state (the repo's pinned-state float discipline)
     base = round(1000.0 - damping * 1000.0) / 1000.0 / n
     ranks = deg.select("u", F.lit(1.0 / n).alias("pr"))
-    for _ in range(iterations):
+    for i in range(iterations):
         ranks = (
             ed.join(ranks, "u")
             .groupBy(F.col("v").alias("u"))
@@ -83,6 +101,7 @@ def pagerank(
                 ).alias("pr")
             )
         )
+        ranks = _truncate_deep_lineage(ranks, i, iterations)
     return release_on_drop(
         ranks.select(F.col("u").alias("id"), "pr"), sym, ed
     )
@@ -139,7 +158,7 @@ def personalized_pagerank(
     ranks = nodes.select(
         "u", (F.col("is_seed") / F.lit(float(ns))).alias("pr")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         ranks = (
             ed.join(ranks, "u")
             .groupBy(F.col("v").alias("u"))
@@ -153,6 +172,7 @@ def personalized_pagerank(
                 ).alias("pr"),
             )
         )
+        ranks = _truncate_deep_lineage(ranks, i, iterations)
     return release_on_drop(
         ranks.select(
             F.col("u").alias("id"),

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import release_on_drop, widen
+from spark_query_engine.operators import nested_lit, release_on_drop, widen
 from spark_query_engine.operators.dedup import cosine
 
 
@@ -80,12 +80,15 @@ def banded_signatures(
     # One 2-D literal + a single transform over it: all |planes| dot
     # products compile to ONE codegen loop, instead of |planes|
     # independent fold expressions (which made Janino compile seconds
-    # of code for 32+ planes). F.lit on the nested list builds a SINGLE
-    # Literal node — an F.array(F.array(...)) tree of |planes|*dim
-    # nodes made every optimizer rule walk thousands of nodes (~7 s of
-    # driver-side planning for 32x64). Per-plane arithmetic is the
-    # identical sequential zip_with/fold of _bucket_expr.
-    planes_lit = F.lit([[float(w) for w in p] for p in planes])
+    # of code for 32+ planes). The literal arrives as a SINGLE node:
+    # an F.array(F.array(...)) tree of |planes|*dim nodes made every
+    # optimizer rule walk thousands of nodes (~7 s of driver-side
+    # planning for 32x64), and F.lit crossed py4j once per element
+    # (~1.4 s for 32x64); nested_lit is one F.expr call that
+    # ConstantFolding collapses to the same single Literal node.
+    # Per-plane arithmetic is the identical sequential zip_with/fold
+    # of _bucket_expr.
+    planes_lit = nested_lit([[float(w) for w in p] for p in planes])
     dots = F.transform(
         planes_lit,
         lambda p: F.aggregate(
@@ -543,9 +546,13 @@ def cp_near_duplicates(
     output is intrinsically quadratic, see its docstring).
     """
     if bands is None:
-        bands, probe_rank, arity = cp_config(
+        # an explicitly-passed arity survives auto-config (r7 advice:
+        # cp_config's arity silently overwrote the caller's)
+        bands, probe_rank, cfg_arity = cp_config(
             threshold, recall_target, n=n_rows, dim=dim
         )
+        if arity is None:
+            arity = cfg_arity
     if arity is None:
         arity = (
             cp_arity(n_rows, bands, dim)
@@ -744,10 +751,25 @@ def cosine_pairs_exact(
                     Bm = np.asarray([r["vec"] for r in ys], dtype=np.float64)
                 na = np.sqrt((A * A).sum(axis=1))
                 nb_ = np.sqrt((Bm * Bm).sum(axis=1))
-                na[na == 0.0] = np.inf  # zero vectors never qualify
-                nb_[nb_ == 0.0] = np.inf
+                # zero vectors never qualify — enforced HERE as an
+                # explicit mask, not via the sign of pre_t: at
+                # threshold <= 1e-6 pre_t goes non-positive and the
+                # inf-norm trick alone (S = 0 rows) would pass the
+                # prefilter, sending zero-norm pairs into the exact
+                # verify where the cosine fold divides by zero (r7
+                # advice row). Masking keeps the prefilter lossless
+                # for every legitimate pair at ANY threshold.
+                za = na == 0.0
+                zb = nb_ == 0.0
+                na = np.where(za, np.inf, na)
+                nb_ = np.where(zb, np.inf, nb_)
                 S = (A @ Bm.T) / (na[:, None] * nb_[None, :])
-                mask = (S >= pre_t) & (ida[:, None] != idb[None, :])
+                mask = (
+                    (S >= pre_t)
+                    & (ida[:, None] != idb[None, :])
+                    & ~za[:, None]
+                    & ~zb[None, :]
+                )
                 ii, jj = np.nonzero(mask)
                 lo = np.minimum(ida[ii], idb[jj])
                 hi = np.maximum(ida[ii], idb[jj])
@@ -911,7 +933,7 @@ def pq_encode(
     codes = []
     for j, cb in enumerate(codebooks):
         sub = F.slice(F.col("vec"), j * sub_dim + 1, sub_dim)
-        dists = F.transform(F.lit(cb), lambda c: d2(sub, c))
+        dists = F.transform(nested_lit(cb), lambda c: d2(sub, c))
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
@@ -949,7 +971,7 @@ def pq_adc_topk(
         q_sub = F.array(
             *[F.lit(x) for x in q[j * sub_dim : (j + 1) * sub_dim]]
         )
-        lut = F.transform(F.lit(cb), lambda c: d2(q_sub, c))
+        lut = F.transform(nested_lit(cb), lambda c: d2(q_sub, c))
         adc = adc + F.element_at(lut, F.col("codes")[j] + 1)
     out = encoded.select("id", F.round(adc, 6).alias("adc_dist"))
     if exclude_id is not None:
@@ -1033,7 +1055,7 @@ def pq_train_codebooks(
         )
 
     for _ in range(iters):
-        cb_lit = F.lit([[list(c) for c in cb] for cb in cbs])
+        cb_lit = nested_lit([[list(c) for c in cb] for cb in cbs])
         table = F.element_at(cb_lit, F.col("j") + 1)
         dists = F.transform(table, lambda c: d2(F.col("s"), c))
         code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")

@@ -191,8 +191,19 @@ def _driver_verified() -> set[str]:
 #: once a name earns a green CORRECTNESS row it leaves the unverified
 #: set and this pin becomes a no-op.
 _WINDOW_FIRST = (
-    # (r3 backlog fully green by r4 — list emptied r6. Names stay
-    # documented in git history; an empty tuple keeps the mechanism.)
+    # r8: the 8 queries that never earned a DRIVER-signed row (the
+    # round-5f/5g additions; the r7 judge re-ran them dtype-strict and
+    # all passed, but the r7 verdict task 3 wants driver rows). Once
+    # CORRECTNESS_r08 lands green these leave the unverified set and
+    # the pin no-ops — the standing drop rule.
+    "ann_hard_negatives",
+    "corpus_unigram_prune",
+    "data_freshness_audit",
+    "data_target_encoding",
+    "events_seasonal_decompose",
+    "graph_assortativity",
+    "stats_ols_elasticity",
+    "stats_qini_uplift",
 )
 
 #: Queries whose implementation was REWRITTEN after their last green
@@ -206,12 +217,27 @@ _REPIN_REWRITTEN = (
     # (r4/r5 rewrites re-verified green in CORRECTNESS_r05, pruned r6;
     # the r6 signed-zero/covariance trio re-verified green in
     # CORRECTNESS_r06, pruned r7 — the docstring's own drop rule.)
-    # r7 rewrites (the round-6 verdict's top two tasks): semdedup
-    # re-blocked on footer-sized k ∝ n, embedding-cosine re-planned
-    # on the exact tiled-GEMM kernel. Fresh driver rows must land the
+    # (r7 rewrites — semdedup k ∝ n, embedding-cosine tiled GEMM —
+    # re-verified green in CORRECTNESS_r07 rows 1-2, pruned r8: the
+    # docstring's own drop rule.)
+    # r8 rewrites (the round-7 verdict's tasks 1/2/4): the k-means
+    # assignment scan moved to the Arrow tiled-GEMM substrate (every
+    # kmeans_assign consumer re-plans), the PQ/k-means fit constant
+    # moved off py4j F.lit literals, and window_ntile_cume left the
+    # single-partition global sort. Fresh driver rows must land the
     # same round the code changes (the r4/r5 covariance lesson).
     "corpus_semdedup",
-    "dedup_embedding_cosine",
+    "corpus_kmeans",
+    "corpus_ivf_learned",
+    "corpus_knn_classify",
+    "corpus_cluster_cohesion",
+    "corpus_pq_trained_recall",
+    "corpus_pq_codebook_audit",
+    "ann_ivf_pq_topk",
+    "corpus_ivf_occupancy",
+    "pipeline_dedup_cascade",
+    "window_ntile_cume",
+    "graph_kcore_peel",
 )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators import widen
-from spark_query_engine.queries import load, query
+from spark_query_engine.queries import footer_rows, load, query
 
 
 @query(
@@ -158,7 +158,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_ntile_cume",
     oracle="""
-        SELECT quartile, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+        SELECT quartile, COUNT(*) AS n,
+               ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 2) AS total,
                ROUND(MAX(cd), 6) AS max_cume_dist
         FROM (
             SELECT o_totalprice,
@@ -170,21 +172,100 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE + CUME_DIST ranking (deterministic: the ORDER BY includes
-    the unique o_orderkey so bucket boundaries are engine-stable).
-    Global single-partition sort — exact quantiles; at 100 TB use
-    agg_percentiles' approx path instead."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    ranked = o.select(
-        "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
-        F.cume_dist().over(w).alias("cd"),
+    """NTILE + CUME_DIST ranking, as a DISTRIBUTED two-pass rank
+    (round-8 re-plan — the r7 verdict's task 4; the registered plan
+    was a single-partition global sort, the classic row-scale
+    WindowExec scale-killer).
+
+    Plan: (1) ``repartitionByRange`` on the sort key — the standard
+    distributed sort shuffle; partition i holds strictly-lower keys
+    than partition i+1, so partition ids order globally. (2) LOCAL
+    rank: ``row_number`` over a window PARTITIONED by
+    ``spark_partition_id()`` — each sort partition ranks
+    independently, n/P rows per task. (3) global rank = local rank +
+    the preceding partitions' row counts: a P-row aggregate, a P-row
+    running-sum window (bounded support — P = parallelism, never
+    row-scale), one broadcast join back. (4) NTILE/CUME_DIST derive
+    from the global rank in closed form — the ordering includes the
+    unique ``o_orderkey``, so every rank is distinct: cume_dist =
+    rank/N exactly, and ntile(4)'s first (N mod 4) buckets take
+    ⌈N/4⌉ rows (the SQL-standard sizing both engines implement). N
+    comes from the parquet footer — no count job.
+
+    Float discipline: the per-quartile revenue total follows the
+    exact-integer-moment rule (2dp prices quantize ×100 to BIGINT and
+    SUM exactly in decimal(38,0)) — the re-plan changes partition
+    order, and a float SUM's rounding boundary must not depend on it;
+    the oracle quantizes identically."""
+    n_rows = footer_rows(spark, sf_dir, "orders")
+    par = spark.sparkContext.defaultParallelism
+    q4, r4 = divmod(n_rows, 4)
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = (
+        o.repartitionByRange(
+            par, F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            ),
+        )
     )
-    return ranked.groupBy("quartile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    # P-row relation: per-partition counts -> exclusive running sum.
+    # The unpartitioned window here is over ≤ parallelism rows —
+    # bounded support, the allowlisted shape, never row-scale.
+    offsets = (
+        ranked.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    rank = (F.col("off") + F.col("lrank")).alias("rank")
+    g = ranked.join(F.broadcast(offsets), "pid").select(
+        "o_totalprice", rank
+    )
+    head = r4 * (q4 + 1)  # rows in the ⌈N/4⌉-sized leading buckets
+    quartile = (
+        F.when(
+            F.col("rank") <= head,
+            F.floor((F.col("rank") - 1) / (q4 + 1)) + 1,
+        )
+        .otherwise(
+            r4 + F.floor((F.col("rank") - 1 - head) / max(q4, 1)) + 1
+        )
+        .cast("int")
+    )
+    cd = F.col("rank").cast("double") / F.lit(float(n_rows))
+    return (
+        g.select(
+            "o_totalprice", quartile.alias("quartile"), cd.alias("cd")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("total"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
     )
 
 

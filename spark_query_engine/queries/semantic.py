@@ -151,9 +151,10 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_query_engine.operators import release_on_drop
 
     emb = load(spark, sf_dir, "embeddings")
-    k = _sem_k(footer_rows(spark, sf_dir, "embeddings"))
+    n = footer_rows(spark, sf_dir, "embeddings")
     assigned = C.kmeans_assign(
-        spark, emb, "vec_id", "embedding", k=k, iters=_ITERS
+        spark, emb, "vec_id", "embedding", k=_sem_k(n), iters=_ITERS,
+        n_hint=n,
     )
     # persist the final assignment: semantic_dedup self-joins it (a/b
     # sides of the pair join plus the kept/pruned decision join), and

@@ -54,3 +54,15 @@ def test_checker_is_signbit_strict():
     b_same = pd.DataFrame({"x": [1.5, 0.0], "k": [1, 2]})
     ok, msg = cc.compare(a.copy(), b_same)
     assert ok, msg
+
+
+def test_gate_no_rowscale_global_windows():
+    """No registered query's optimized plan may contain an
+    unpartitioned Window/WindowGroupLimit node unless the query is on
+    GLOBAL_WINDOW_ALLOWLIST with a bounded-support justification —
+    and no allowlist entry may be stale (r7 verdict task 5: the
+    window_ntile_cume single-partition global-sort class). Walks all
+    ~344 optimized plans at sf0.001 (~3 min)."""
+    import close_gates
+
+    assert close_gates.gate_global_windows() == []

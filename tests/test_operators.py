@@ -895,3 +895,79 @@ def test_cp_bucket_key_arity_shrinks_collisions(spark):
     assert dup2 == 1 and dup3 == 1  # exact dup always collides
     assert n3 < n2, f"arity 3 must shrink collisions ({n3} !< {n2})"
     assert n3 >= 1  # the planted dup at minimum
+
+
+def test_assign_substrates_bit_identical(spark):
+    """The r8 GEMM assignment substrate must equal the expression
+    substrate bit-for-bit — the exact-verify contract of
+    ``assign_to_centroids`` (candidates from a 2e-6-margin BLAS
+    prefilter, emitted values from the same 6dp-rounded sequential
+    folds). Forces the GEMM path with n_hint regardless of actual
+    size, on a corpus engineered with duplicate centroids (forced
+    exact ties) and a duplicated seed row."""
+    from spark_query_engine.operators import clustering as C
+
+    dim, n, k = 8, 300, 40
+
+    def hval(*parts) -> int:
+        import hashlib
+
+        return int(
+            hashlib.md5(":".join(map(str, parts)).encode()).hexdigest()[:8],
+            16,
+        )
+
+    rows = [
+        (
+            i,
+            [
+                round((hval("av", i, j) % 2001 - 1000) / 1000.0, 6)
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    # (a zero vector raises DIVIDE_BY_ZERO under ANSI in BOTH
+    # substrates — the GEMM path's all-candidates fallback re-runs the
+    # same exact fold — so equality is only assertable on finite rows)
+    rows.append((n, list(rows[3][1])))  # exact dup of a centroid seed
+    v = spark.createDataFrame(rows, "id bigint, vec array<double>")
+    cents = [r["vec"] for r in v.where(f"id < {k}").orderBy("id").collect()]
+    cents.append(list(cents[0]))  # duplicate centroid: forced exact tie
+
+    expr = C._assign_expr(v, cents).orderBy("id").collect()
+    gemm = (
+        C.assign_to_centroids(v, cents, n_hint=10**9)
+        .orderBy("id")
+        .collect()
+    )
+    assert len(expr) == len(gemm) == n + 1
+    for a, b in zip(expr, gemm):
+        assert a["id"] == b["id"]
+        assert a["centroid"] == b["centroid"], (a, b)
+        sa, sb = a["cent_sim"], b["cent_sim"]
+        assert (sa != sa and sb != sb) or sa == sb, (a, b)
+
+
+def test_nested_lit_equals_f_lit(spark):
+    """nested_lit (one F.expr call) must produce the exact value F.lit
+    produces element-by-element — including exponent-notation reprs
+    (1e-06) and negatives — at any nesting depth."""
+    from pyspark.sql import functions as F
+
+    from spark_query_engine.operators import nested_lit
+
+    flat = [1e-06, -1e-06, 0.0, -0.5, 123456.654321, 1e300]
+    nested = [[[0.1, -0.25], [1e-06, 2.5e-07]], [[-1e20, 3.0], [7.0, -0.0]]]
+    r = (
+        spark.range(1)
+        .select(
+            F.lit(flat).alias("f1"),
+            nested_lit(flat).alias("n1"),
+            F.lit(nested).alias("f2"),
+            nested_lit(nested).alias("n2"),
+        )
+        .collect()[0]
+    )
+    assert r["f1"] == r["n1"]
+    assert r["f2"] == r["n2"]

@@ -201,7 +201,10 @@ def test_embedding_cosine_exact_is_tiled_gemm(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("MapInPandas") == 1
-    assert plan.count("InMemoryTableScan") == 2, (
+    # >= 2, not == 2 (r7 advice row): the property under test is that
+    # the cached block relation serves BOTH grid roles; an exact count
+    # is brittle against Spark formatting/AQE cache-node variations
+    assert plan.count("InMemoryTableScan") >= 2, (
         "block cache must serve both grid roles"
     )
     assert any(

@@ -15,6 +15,9 @@ Gates, in order (fail-fast):
      equals ``len(queries())``; every bench.HEADLINE name is
      registered; every query has an oracle or is on the documented
      rows-only list.
+  4. global-window plan audit: no registered query's optimized plan
+     carries an unpartitioned Window node unless its support is
+     bounded and allowlisted (GLOBAL_WINDOW_ALLOWLIST).
 
 Usage:  python tools/close_gates.py [sf_dir]
 Exit status 0 only if every gate passes.
@@ -142,10 +145,104 @@ def gate_moment_widening() -> list[str]:
     return errs
 
 
+#: Queries whose optimized plan carries an unpartitioned Window node
+#: ON PURPOSE — each window runs over a BOUNDED relation (audited r7,
+#: re-audited r8 with the mechanical plan walk), never row-scale.
+#: Everything else in the registry must have zero unpartitioned
+#: Window/WindowGroupLimit nodes (r7 verdict task 5: the
+#: window_ntile_cume single-partition global sort class).
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    "window_ntile_cume": "offsets running-sum over the P-row "
+        "per-sort-partition count relation (P = parallelism)",
+    "events_seasonal_decompose": "moving-average/cum windows on the "
+        "bounded O(days) daily aggregate",
+    "stats_qini_uplift": "cumulative gain over the bounded O(|score "
+        "buckets|) ranked relation",
+    "ann_hybrid_search": "RRF ranks over two top-K candidate lists "
+        "(K fixed)",
+    "text_zipf_fit": "log-log rank regression over the top-200 vocab "
+        "prefix",
+    "corpus_vocab_coverage": "ranked prefix over the top-k vocab "
+        "(k <= 25)",
+    "events_path_topk": "top-5 rank over the |event types|^3 path "
+        "relation",
+    "corpus_source_mix": "cum-share windows over the (source, lang) "
+        "cell aggregate",
+    "corpus_curate_full": "rank over per-bucket quality aggregates "
+        "(bounded cells)",
+    "corpus_temperature_sample": "share windows over the per-source "
+        "aggregate",
+    "data_skew_report": "top-5 heavy-hitter rank over the key-count "
+        "aggregate",
+    "corpus_kmeanspp_init": "weighted top-k over 1 + rounds*l "
+        "candidate centers",
+    "stats_poisson_bootstrap": "quantile rank over the B-row "
+        "replicate relation (B = 32)",
+    "stats_ks_drift": "ECDF cumsums over the DISTINCT-value support "
+        "of discretized scores",
+    "stats_auc_mannwhitney": "rank-sum over the bounded distinct-"
+        "value support (KS pattern)",
+    "stats_spearman_daily": "midranks over DAILY aggregates "
+        "(O(days) rows)",
+    "data_compaction_plan": "bin-packing prefix sums over the "
+        "catalog relation",
+    "events_survival_km": "KM product chain over the O(days) risk "
+        "table",
+}
+
+
+def gate_global_windows(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    """Walk every registered query's OPTIMIZED logical plan (toJSON —
+    no execution beyond the model-state fits query construction
+    already runs) and flag any unpartitioned Window/WindowGroupLimit
+    node on a query without a bounded-support allowlist entry; stale
+    allowlist entries (query gone, or no unpartitioned window left)
+    are flagged too, so the list cannot rot."""
+    import json as _json
+
+    from spark_query_engine.queries import queries
+    from spark_query_engine.session import get_session
+
+    spark = get_session("plan-gate")
+    errs: list[str] = []
+    seen_unpart: set[str] = set()
+    for name, fn in queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            nodes = _json.loads(
+                df._jdf.queryExecution().optimizedPlan().toJSON()
+            )
+        except Exception as e:  # construction failure is its own error
+            errs.append(f"{name}: plan walk failed: {e!r:.120}")
+            continue
+        finally:
+            spark.catalog.clearCache()
+        n_unpart = sum(
+            1
+            for nd in nodes
+            if nd.get("class", "").endswith((".Window", ".WindowGroupLimit"))
+            and not nd.get("partitionSpec")
+        )
+        if n_unpart:
+            seen_unpart.add(name)
+            if name not in GLOBAL_WINDOW_ALLOWLIST:
+                errs.append(
+                    f"{name}: {n_unpart} unpartitioned Window node(s) and "
+                    "no bounded-support GLOBAL_WINDOW_ALLOWLIST entry"
+                )
+    for name in GLOBAL_WINDOW_ALLOWLIST:
+        if name not in seen_unpart:
+            errs.append(
+                f"stale GLOBAL_WINDOW_ALLOWLIST entry: {name} has no "
+                "unpartitioned window (or left the registry)"
+            )
+    return errs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-    print("== gate 0/4: DECIMAL(38,0) moment-widening static check ==",
+    print("== gate 0/5: DECIMAL(38,0) moment-widening static check ==",
           flush=True)
     errs = gate_moment_widening()
     if errs:
@@ -154,13 +251,13 @@ def main() -> int:
         print("CLOSE GATE RED: unwidened moment products")
         return 1
 
-    print("== gate 1/4: pytest ==", flush=True)
+    print("== gate 1/5: pytest ==", flush=True)
     r = subprocess.run([sys.executable, "-m", "pytest", "tests/", "-q"], cwd=ROOT)
     if r.returncode != 0:
         print("CLOSE GATE RED: pytest failed")
         return 1
 
-    print("== gate 2/4: sf0.01 oracle sweep ==", flush=True)
+    print("== gate 2/5: sf0.01 oracle sweep ==", flush=True)
     r = subprocess.run(
         [sys.executable, "tools/check_correctness.py", sf_dir], cwd=ROOT
     )
@@ -168,12 +265,20 @@ def main() -> int:
         print("CLOSE GATE RED: correctness sweep failed")
         return 1
 
-    print("== gate 3/4: registry/docs consistency ==", flush=True)
+    print("== gate 3/5: registry/docs consistency ==", flush=True)
     errs = gate_registry_docs()
     if errs:
         for e in errs:
             print(" -", e)
         print("CLOSE GATE RED: registry/docs inconsistent")
+        return 1
+
+    print("== gate 4/5: global-window plan audit ==", flush=True)
+    errs = gate_global_windows()
+    if errs:
+        for e in errs:
+            print(" -", e)
+        print("CLOSE GATE RED: unpartitioned row-scale window plans")
         return 1
 
     print("ALL GATES GREEN")
