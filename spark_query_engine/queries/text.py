@@ -391,14 +391,33 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency count and the per-doc rollup (self-join on the gram
     key — hash-partitioned; gram frequencies are Zipfian but the
     hot grams are exactly the non-novel ones, counted not joined
-    row-wise). Two shuffles total at any scale."""
+    row-wise). Two shuffles total at any scale.
+
+    r8 exponent fix (the r7b scaling rows put this at 42.5 s / sf1,
+    exp ~0.96): the trigram lambda indexed the raw ``F.split``
+    EXPRESSION, and Catalyst has no CSE inside higher-order functions
+    (the cp_keys lesson) — every gram re-split the whole document 3×,
+    O(words·len) per doc. The split now materializes once per row
+    behind a persist barrier, the lambda indexes the bound column,
+    and the explode is widened first (the dsir rule). Measured
+    1.30 / 1.73 / 3.44 s at sf0.1/0.3/1 — sf1 42.5 → 3.44 s,
+    exponent 0.96 → 0.42."""
+    from spark_query_engine.operators import carry_caches
+
     docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # guard BEFORE the sequence: a 2-word doc would otherwise build
+    # sequence(0, -1), which Spark interprets as a DESCENDING range
+    words = (
+        widen(docs)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        # persist barrier: CollapseProject would re-inline the split
+        # into every w[i] reference of the gram lambda
+        .persist()
+    )
+    w = F.col("w")
     grams = (
-        docs.where(F.size(w) >= 3)  # guard BEFORE the sequence: a
-        # 2-word doc would otherwise build sequence(0, -1), which
-        # Spark interprets as a DESCENDING range
-        .select(
+        words.select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -412,6 +431,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    grams = carry_caches(grams, words)
     df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         grams.join(df_counts, "g")
