@@ -577,13 +577,45 @@ def kmeans_parallel_init(
     )
     chosen = {int(r["center_id"]) for r in ranked.select("center_id").collect()}
 
-    def phi_of(center_list: list[list[float]]) -> int:
-        q = F.round(d2_expr() * 1000000, 0).cast("bigint")
-        return int(with_centers(v, center_list).agg(F.sum(q)).collect()[0][0])
-
-    phi_kpp = phi_of([c for cid, c in centers if cid in chosen])
+    # Both audit potentials (naive id<k init vs k-means|| init) in ONE
+    # scan (r8 fit-constant shave): the two center lists ride as two
+    # columns of the same broadcast 1-row relation and the exact
+    # integer sums come out of a single aggregate — this audit was two
+    # full d²-fold passes, the query's largest remaining constant.
     naive = v.where(F.col("id") < k).orderBy("id").collect()
-    phi_naive = phi_of([[float(x) for x in r["vec"]] for r in naive])
+
+    def d2_min(cents_col: str):
+        return F.array_min(
+            F.transform(
+                F.col(cents_col),
+                lambda c: F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("vec"), c, lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    ),
+                    6,
+                ),
+            )
+        )
+
+    both = spark.createDataFrame(
+        [(
+            [[float(x) for x in c] for cid, c in centers if cid in chosen],
+            [[float(x) for x in r["vec"]] for r in naive],
+        )],
+        "cents_kpp array<array<double>>, cents_naive array<array<double>>",
+    )
+    qk = F.round(d2_min("cents_kpp") * 1000000, 0).cast("bigint")
+    qn = F.round(d2_min("cents_naive") * 1000000, 0).cast("bigint")
+    phis = (
+        v.crossJoin(F.broadcast(both))
+        .agg(F.sum(qk).alias("pk"), F.sum(qn).alias("pn"))
+        .collect()[0]
+    )
+    phi_kpp, phi_naive = int(phis["pk"]), int(phis["pn"])
     audit = spark.createDataFrame(
         [(len(centers), phi_naive, phi_kpp)],
         "n_candidates bigint, phi_naive_q bigint, phi_kpp_q bigint",

@@ -245,6 +245,8 @@ _REPIN_REWRITTEN = (
     "dedup_minhash",
     "corpus_dedup_keep_best",
     "dedup_cluster_components",
+    # r8c: kmeans|| phi audit merged into one scan
+    "corpus_kmeanspp_init",
 )
 
 
