@@ -186,21 +186,65 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 2,
     n_hint: int | None = None,
+    seeds: list | None = None,
+    fit_frac: float | None = None,
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the learned centroids (k·dim floats
     of model state). Init = vectors with id < k. Each iteration:
     assignment (map-side, broadcast literal centroids) → per-(cluster,
     dim) mean via posexplode + hash aggregation (map-side combine;
     k·dim output rows) → 6dp round → driver fetch for the next literal.
-    Empty clusters keep their previous centroid."""
+    Empty clusters keep their previous centroid.
+
+    ``seeds``: pre-collected (id, vec) rows covering at least
+    id < k — callers that already fetched a model-state head slice
+    (query vector, PQ codebook seeds) pass it through so the init
+    does not pay a second collect job (r8 fit-constant shave).
+
+    ``fit_frac``: sample-capped fit — the FAISS
+    ``max_points_per_centroid`` discipline for true corpus scale.
+    When set (0 < fit_frac < 1), the Lloyd ITERATIONS train on the
+    deterministic md5-fraction sample ``frac("kmfit:" || id) <
+    fit_frac`` (seeds id < k always included, so the init contract
+    holds); any final full-corpus assignment is the CALLER's pass and
+    is unaffected in shape. Replayable exactly in SQL with the same
+    md5 expression. Deliberately NOT wired into the registered
+    queries: at the bench scales the fit is driver-round-trip bound,
+    not scan bound — a 50% cap measured 2.11 → 1.91 s on the sf0.1 PQ
+    trainer while merging the driver jobs (the shave actually
+    registered) took 6.0 → 4.8 s — so the knob exists for the 100 TB
+    deployment where the iteration scans DO dominate (cap ≈ 256·k
+    rows), documented in SCALING.md round 8."""
     v = v.persist()
+    if fit_frac is not None and not (0.0 < fit_frac <= 1.0):
+        raise ValueError(f"fit_frac must be in (0, 1], got {fit_frac}")
+    fit_v = v
+    if fit_frac is not None and fit_frac < 1.0:
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("kmfit"), F.col("id"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+        fit_v = v.where((F.col("id") < k) | (coin < F.lit(float(fit_frac))))
+    seed_rows = (
+        [r for r in seeds if int(r["id"]) < k]
+        if seeds is not None
+        else v.where(F.col("id") < k).collect()
+    )
     cents = {
         int(r["id"]): [round(float(x), 6) for x in r["vec"]]
-        for r in v.where(F.col("id") < k).collect()
+        for r in seed_rows
     }
     for _ in range(iters):
         assigned = assign_to_centroids(
-            v, [cents[i] for i in sorted(cents)], n_hint=n_hint
+            fit_v, [cents[i] for i in sorted(cents)], n_hint=n_hint
         )
         means = (
             assigned.select("centroid", F.posexplode("vec").alias("pos", "val"))
@@ -447,12 +491,17 @@ def kmeans_parallel_init(
     integer sum (the selection threshold l·d²/φ is then one fixed
     IEEE expression over identical integers on both engines).
 
-    Scale: per round — one broadcast-literal distance scan (centers
-    are driver model state, like ``assign_to_centroids``), one exact
-    integer aggregate for φ, one filtered collect of ~l rows. Nothing
-    all-pairs, nothing shuffled but the aggregates; candidate count
-    is 1 + rounds·l regardless of corpus size. Driver round-trips are
-    bounded scalars/center rows (the kmeans_fit contract).
+    Scale: per round — ONE job: a broadcast-center distance scan
+    (centers are driver model state, like ``assign_to_centroids``)
+    whose exact-integer φ aggregate rides back in as a broadcast
+    1-row relation feeding the coin-flip filter, collecting ~l rows.
+    Nothing all-pairs, nothing shuffled but the aggregates; candidate
+    count is 1 + rounds·l regardless of corpus size. Driver round-
+    trips are bounded scalars/center rows (the kmeans_fit contract):
+    one head collect (seed + naive-audit centers), one merged job per
+    round, one candidate-weights collect — the final φ audit is a
+    LAZY branch of the returned plan, paid once by the consumer's
+    action (r8: this was 10 driver-synchronized jobs, now 5).
 
     Output: (center_id, round_added, weight, rk) for the k chosen
     centers plus audit columns — n_candidates and phi_ratio_naive =
@@ -503,7 +552,11 @@ def kmeans_parallel_init(
             10,
         ).cast("double") / F.lit(4294967296.0)
 
-    seed = v.where(F.col("id") == 0).collect()
+    # ONE head collect serves both the seed (id 0) and the naive-init
+    # audit list (id < k) — these were two separate jobs (r8 fit-
+    # constant shave; k head rows are model state, not data plane)
+    head = v.where(F.col("id") < k).orderBy("id").collect()
+    seed = [r for r in head if int(r["id"]) == 0]
     if not seed:
         raise ValueError(
             "kmeans_parallel_init seeds from the row with id 0 "
@@ -519,12 +572,24 @@ def kmeans_parallel_init(
         scored = with_centers(v, [c for _cid, c in centers]).select(
             "id", "vec", d2q.alias("d2q")
         )
-        phi = scored.agg(F.sum("d2q").alias("phi")).collect()[0]["phi"]
-        sel = scored.where(
-            frac(r)
-            < (F.lit(float(l)) * F.col("d2q").cast("double"))
-            / F.lit(float(phi))
-        ).collect()
+        # φ and the coin-flip selection in ONE job (r8 fit-constant
+        # shave — was a φ collect plus a selection collect per round):
+        # the exact-integer potential rides as a broadcast 1-row
+        # aggregate and the threshold expression is UNCHANGED —
+        # (l·d2q)/φ with φ cast bigint→double, the same IEEE ops the
+        # two-job form evaluated against the collected literal — so
+        # selections (and the oracle) are bit-identical.
+        sel = (
+            scored.crossJoin(
+                F.broadcast(scored.agg(F.sum("d2q").alias("phi")))
+            )
+            .where(
+                frac(r)
+                < (F.lit(float(l)) * F.col("d2q").cast("double"))
+                / F.col("phi").cast("double")
+            )
+            .collect()
+        )
         for row in sorted(sel, key=lambda x: int(x["id"])):
             cid = int(row["id"])
             if cid not in added_round:
@@ -553,36 +618,38 @@ def kmeans_parallel_init(
             F.array_position(dists, F.array_min(dists)).cast("int"),
         ).alias("center_id")
     )
-    weights = nearest.groupBy("center_id").agg(
-        F.count(F.lit(1)).alias("weight")
+    # ONE weights collect (≤ 1 + rounds·l rows of model state), then
+    # the weighted top-k ranks in PYTHON — the previous plan ran the
+    # nearest/weights scan TWICE (once for the chosen-set collect,
+    # once again inside the consumer's action on the lazy ranked
+    # relation) and paid a window job besides (r8 fit-constant shave).
+    wrows = {
+        int(r["center_id"]): int(r["weight"])
+        for r in nearest.groupBy("center_id")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .collect()
+    }
+    order = sorted(
+        ((cid, added_round[cid]) for cid, _c in centers),
+        key=lambda t: (-wrows.get(t[0], 0), t[0]),
     )
-    from pyspark.sql import Window as W
-
-    cand = spark.createDataFrame(
-        [(cid, added_round[cid]) for cid, _c in centers],
-        "center_id bigint, round_added int",
+    ranked_rows = [
+        (cid, rnd, wrows.get(cid, 0), rk)
+        for rk, (cid, rnd) in enumerate(order, start=1)
+        if rk <= k
+    ]
+    ranked = spark.createDataFrame(
+        ranked_rows,
+        "center_id bigint, round_added int, weight bigint, rk int",
     )
-    ranked = (
-        cand.join(weights, "center_id", "left")
-        .na.fill({"weight": 0})
-        .select(
-            "center_id",
-            "round_added",
-            F.col("weight").cast("bigint").alias("weight"),
-            F.row_number()
-            .over(W.orderBy(F.col("weight").desc(), F.col("center_id")))
-            .alias("rk"),
-        )
-        .where(F.col("rk") <= k)
-    )
-    chosen = {int(r["center_id"]) for r in ranked.select("center_id").collect()}
+    chosen = {cid for cid, _rnd, _w, _rk in ranked_rows}
 
     # Both audit potentials (naive id<k init vs k-means|| init) in ONE
     # scan (r8 fit-constant shave): the two center lists ride as two
     # columns of the same broadcast 1-row relation and the exact
     # integer sums come out of a single aggregate — this audit was two
     # full d²-fold passes, the query's largest remaining constant.
-    naive = v.where(F.col("id") < k).orderBy("id").collect()
+    naive = head
 
     def d2_min(cents_col: str):
         return F.array_min(
@@ -610,23 +677,25 @@ def kmeans_parallel_init(
     )
     qk = F.round(d2_min("cents_kpp") * 1000000, 0).cast("bigint")
     qn = F.round(d2_min("cents_naive") * 1000000, 0).cast("bigint")
-    phis = (
+    # DEFERRED: the audit scan stays a lazy branch of the returned
+    # plan (no collect — the ratio derives from the same bigint→double
+    # casts and ROUND the collected form used), so the consumer's one
+    # action pays it exactly once instead of the operator paying a
+    # collect AND the action re-running the lazy ranked relation.
+    audit = (
         v.crossJoin(F.broadcast(both))
         .agg(F.sum(qk).alias("pk"), F.sum(qn).alias("pn"))
-        .collect()[0]
-    )
-    phi_kpp, phi_naive = int(phis["pk"]), int(phis["pn"])
-    audit = spark.createDataFrame(
-        [(len(centers), phi_naive, phi_kpp)],
-        "n_candidates bigint, phi_naive_q bigint, phi_kpp_q bigint",
-    ).select(
-        "n_candidates",
-        F.round(
-            F.col("phi_naive_q").cast("double")
-            / F.col("phi_kpp_q").cast("double"),
-            6,
-        ).alias("phi_ratio_naive"),
+        .select(
+            F.lit(len(centers)).cast("bigint").alias("n_candidates"),
+            F.round(
+                F.col("pn").cast("double") / F.col("pk").cast("double"),
+                6,
+            ).alias("phi_ratio_naive"),
+        )
     )
     out = ranked.crossJoin(F.broadcast(audit))
-    v.unpersist()
-    return out
+    from spark_query_engine.operators import release_on_drop
+
+    # v must stay cached until the consumer's action runs the deferred
+    # audit branch; release_on_drop unpersists it when OUT is dropped.
+    return release_on_drop(out, v)

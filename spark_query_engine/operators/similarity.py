@@ -985,6 +985,7 @@ def pq_train_codebooks(
     sub_dim: int,
     k: int = 16,
     iters: int = 2,
+    seed_rows: list | None = None,
 ) -> list[list[list[float]]]:
     """Train ALL ``m`` PQ sub-codebooks at once: per-subspace Lloyd's
     k-means under squared L2 (the PQ objective — subvectors are not
@@ -1006,9 +1007,18 @@ def pq_train_codebooks(
     before the argmin with ties → lowest code; means 6dp-rounded;
     empty cells keep their previous centroid. A DuckDB oracle
     replaying the same CTE chain reproduces the codebooks
-    bit-for-bit. Returns codebooks[j][code] = sub-centroid."""
+    bit-for-bit. Returns codebooks[j][code] = sub-centroid.
+
+    ``seed_rows``: pre-collected (id, vec) rows covering at least
+    id < k — callers that already fetched a head slice (query vector)
+    pass it through so the init skips a second collect job (the
+    ``kmeans_fit`` r8 contract)."""
     v = v.persist()
-    init = v.where(F.col("id") < k).select("id", "vec").collect()
+    init = (
+        [r for r in seed_rows if int(r["id"]) < k]
+        if seed_rows is not None
+        else v.where(F.col("id") < k).select("id", "vec").collect()
+    )
     # The oracle's init CTE keys codes BY ID (`id AS code`), while the
     # list below keys them by POSITION in the id-sorted collect — the
     # two agree only when the ids are exactly {0..k-1}. Guard it: on a

@@ -588,12 +588,17 @@ def corpus_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUT, ADC shortlist, exact rerank, and the recall intersection."""
     emb = load(spark, sf_dir, "embeddings")
     v = C._vectors(emb, "vec_id", "embedding")
+    # ONE head collect serves the trainer seeds AND the query vector
+    # (id 0 < _PQT_K) — was two jobs (r8 fit-constant shave)
+    head = v.where(F.col("id") < _PQT_K).collect()
     cbs = S.pq_train_codebooks(
-        v, _PQT_M, _PQT_SD, k=_PQT_K, iters=_PQT_ITERS
+        v, _PQT_M, _PQT_SD, k=_PQT_K, iters=_PQT_ITERS, seed_rows=head
     )
     qvec = [
         float(x)
-        for x in v.where(F.col("id") == 0).collect()[0]["vec"]
+        for r in head
+        if int(r["id"]) == 0
+        for x in r["vec"]
     ]
     encoded = S.pq_encode(v, cbs, _PQT_SD)
     short = S.pq_adc_topk(

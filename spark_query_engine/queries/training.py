@@ -578,9 +578,10 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`partitionBy(centroid)` on write), so list probes become
     partition pruning at the parquet scan; model state on the driver
     is k·dim centroids + m·k·subdim codebooks — kilobytes. The
-    nearest-list selection runs as a k-row Spark job with the same
-    rounded-cosine discipline as the oracle (never NumPy, whose SIMD
-    summation order could flip a 6dp boundary)."""
+    nearest-list selection is a k-row lazy branch of the probe plan
+    (broadcast semi-join) with the same rounded-cosine discipline as
+    the oracle (never NumPy, whose SIMD summation order could flip a
+    6dp boundary)."""
     from spark_query_engine.queries.semantic import (
         _ITERS,
         _K,
@@ -590,14 +591,14 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     v = C._vectors(emb, "vec_id", "embedding")
-    cents = C.kmeans_fit(spark, v, k=_K, iters=_ITERS)
-    assigned = C.assign_to_centroids(v, cents)
 
-    # model-state fetches (k-row / 1-row jobs, like corpus_pq_topk)
-    rows = {
-        int(r["id"]): list(r["vec"])
-        for r in v.where(F.col("id") < _PQ_K).collect()
-    }
+    # ONE model-state head fetch serves the PQ codebook seeds, the
+    # query vector, AND the k-means init (id < _K ⊆ id < _PQ_K) — this
+    # was two collect jobs (r8 fit-constant shave)
+    head = v.where(F.col("id") < _PQ_K).collect()
+    rows = {int(r["id"]): list(r["vec"]) for r in head}
+    cents = C.kmeans_fit(spark, v, k=_K, iters=_ITERS, seeds=head)
+    assigned = C.assign_to_centroids(v, cents)
     codebooks = [
         [rows[code][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM]
          for code in sorted(rows)]
@@ -608,19 +609,22 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "centroid int, cvec array<double>",
     )
-    probes = [
-        int(r["centroid"])
-        for r in cdf.select(
+    # nprobe=2 nearest-list selection stays a LAZY k-row branch of the
+    # plan (broadcast semi-join) instead of a collect — same rounded-
+    # cosine discipline as the oracle (never NumPy, whose SIMD
+    # summation order could flip a 6dp boundary), one less driver-
+    # synchronized job (r8 fit-constant shave)
+    probes = (
+        cdf.select(
             "centroid",
             F.round(cosine(F.col("cvec"), F.lit(qvec)), 6).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col("centroid"))
         .limit(2)
-        .collect()
-    ]
-
-    cand = assigned.where(
-        F.col("centroid").isin(probes) & (F.col("id") != 0)
+        .select("centroid")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid", "semi").where(
+        F.col("id") != 0
     ).select("id", "vec")
     encoded = S.pq_encode(cand, codebooks, _PQ_SUBDIM)
     return S.pq_adc_topk(encoded, codebooks, qvec, _PQ_SUBDIM, k=10)

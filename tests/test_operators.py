@@ -949,6 +949,59 @@ def test_assign_substrates_bit_identical(spark):
         assert (sa != sa and sb != sb) or sa == sb, (a, b)
 
 
+def test_kmeans_fit_sample_cap(spark):
+    """``fit_frac`` (the FAISS max_points_per_centroid discipline for
+    100 TB fits) must (a) be a no-op at 1.0, and (b) at 0.5 equal a
+    fit over the manually md5-filtered relation — i.e. the cap is
+    EXACTLY the documented deterministic coin, seeds always included,
+    and only the training scans see it."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from spark_query_engine.operators import clustering as C
+
+    dim, n, k = 4, 120, 4
+    rows = [
+        (
+            i,
+            [
+                round(
+                    (
+                        int(
+                            hashlib.md5(f"fv:{i}:{j}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                        % 2001
+                        - 1000
+                    )
+                    / 1000.0,
+                    6,
+                )
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    v = spark.createDataFrame(rows, "id bigint, vec array<double>")
+    full = C.kmeans_fit(spark, v, k=k, iters=2)
+    assert C.kmeans_fit(spark, v, k=k, iters=2, fit_frac=1.0) == full
+
+    def coin(i: int) -> float:
+        return (
+            int(hashlib.md5(f"kmfit:{i}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+
+    manual = v.where(
+        (F.col("id") < k)
+        | F.col("id").isin([i for i in range(n) if coin(i) < 0.5])
+    )
+    capped = C.kmeans_fit(spark, v, k=k, iters=2, fit_frac=0.5)
+    assert capped == C.kmeans_fit(spark, manual, k=k, iters=2)
+    assert capped != full  # the cap actually bit on this corpus
+
+
 def test_nested_lit_equals_f_lit(spark):
     """nested_lit (one F.expr call) must produce the exact value F.lit
     produces element-by-element — including exponent-notation reprs
