@@ -247,6 +247,9 @@ _REPIN_REWRITTEN = (
     "dedup_cluster_components",
     # r8c: kmeans|| phi audit merged into one scan
     "corpus_kmeanspp_init",
+    # r8d: knn blocking k fixed→footer-sized ⌈n/64⌉ (values change at
+    # sf0.1+; at sf0.01 the dynamic k resolves to the historical 8)
+    "corpus_knn_classify",
 )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from spark_query_engine.operators import carry_caches, release_on_drop, widen
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.operators import textanalysis as T
-from spark_query_engine.queries import EVENTS_ORACLE, load, query
+from spark_query_engine.queries import EVENTS_ORACLE, footer_rows, load, query
 from spark_query_engine.queries.dedup import _WORD_SHINGLES
 
 
@@ -832,7 +832,9 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_token_packing",
     oracle="""
         WITH t AS (
-            SELECT doc_id, doc_id % 16 AS shard,
+            SELECT doc_id,
+                   doc_id % (SELECT GREATEST(16, (COUNT(*) + 4095) // 4096)
+                             FROM documents) AS shard,
                    CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tokens
             FROM documents
         )
@@ -848,18 +850,23 @@ def corpus_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for a 2048-token context budget:
     running token cumsum per shard, chunk = the budget bucket the
     document STARTS in — the sequential packer every pretraining data
-    loader runs, as one window over shards. Sharding (doc_id % 16) is
-    what makes it scale: packing is order-dependent, so a global
-    cumsum would serialize; per-shard windows pack 16 (or 16k)
-    streams independently, each a partition-local sort. Token counts
+    loader runs, as one window over shards. Sharding is what makes it
+    scale: packing is order-dependent, so a global cumsum would
+    serialize; per-shard windows pack the streams independently, each
+    a partition-local sort. The shard count is FOOTER-SIZED to
+    ⌈n/4096⌉ (min 16 — identical to the historical fixed 16 at every
+    test scale, n ≤ 65k) so a shard stays a bounded single-task sort
+    as the corpus grows: a fixed shard count makes shard size ∝ n,
+    the r8 fixed-denominator blocking defect class. Token counts
     use the integer-exact ceil(chars/4) estimate, so cumsum, boundary,
     and chunk ids are engine-identical."""
     docs = load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
+    nshards = max(16, -(-footer_rows(spark, sf_dir, "documents") // 4096))
     t = docs.select(
         "doc_id",
-        (F.col("doc_id") % 16).alias("shard"),
+        (F.col("doc_id") % nshards).alias("shard"),
         F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_tokens"),
     )
     w = (

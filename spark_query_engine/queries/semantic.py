@@ -278,7 +278,7 @@ def corpus_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_knn_classify",
     oracle=f"""
-        {_kmeans_ctes()},
+        {_kmeans_ctes(k=_SEM_K_EXPR)},
         lbl AS (SELECT vec_id AS id, label FROM embeddings),
         nn AS (
             SELECT a.id, b.id AS nb,
@@ -318,16 +318,24 @@ def corpus_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification", and the relational skeleton of kNN serving.
 
     Blocking by the learned k-means partition is what makes exact
-    kNN scale: the neighbor join is an equi-join on ``centroid``
-    (O(n²/k) pairs, k the parallelism knob — the same contract as
-    ``corpus_semdedup``), never an all-pairs theta join. Vote
-    counting and the argmax are WindowGroupLimit rank-1 selections
-    over ≤3-row groups. The oracle replays the full iterative fit
-    (the unrolled Lloyd CTEs) plus the neighbor, vote, and tiebreak
-    chain."""
+    kNN scale — and the block count must GROW with the corpus: k is
+    footer-sized to ⌈n/64⌉ (the ``corpus_semdedup`` discipline,
+    r8: fixed k=8 left the within-cluster pair join Θ(n²·d/8) —
+    measured sf-exponent ~1.2, sf1 38 s — where target-64 clusters
+    hold the pair work at ~64·n·d, exponent ~0.3, and the k ∝ n fit
+    rides the GEMM assignment substrate via ``n_hint``). The neighbor
+    join is an equi-join on ``centroid``, never an all-pairs theta
+    join; vote counting and the argmax are WindowGroupLimit rank-1
+    selections over ≤3-row groups. The oracle replays the full
+    iterative fit (the unrolled Lloyd CTEs, k as the same scalar
+    subquery) plus the neighbor, vote, and tiebreak chain. At sf0.01
+    (n=500) the dynamic k resolves to 8 — the historical constant —
+    so prior driver rows stay comparable."""
     emb = load(spark, sf_dir, "embeddings")
+    n = footer_rows(spark, sf_dir, "embeddings")
     assigned = C.kmeans_assign(
-        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+        spark, emb, "vec_id", "embedding", k=_sem_k(n), iters=_ITERS,
+        n_hint=n,
     ).persist()
     lbl = emb.select(F.col("vec_id").alias("id"), "label")
     a = assigned.select("centroid", F.col("id").alias("qid"), F.col("vec").alias("qvec"))

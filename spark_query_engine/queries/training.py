@@ -33,7 +33,7 @@ from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.operators.dedup import cosine
-from spark_query_engine.queries import EVENTS_ORACLE, load, query
+from spark_query_engine.queries import EVENTS_ORACLE, footer_rows, load, query
 from spark_query_engine.queries.semantic import _kmeans_ctes
 
 #: Sliding-window chunking geometry: 32-token windows, stride 24
@@ -1397,10 +1397,14 @@ def corpus_ivf_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + ANY_VALUE((SELECT n_sh FROM sizes s WHERE s.doc_id = b.doc_id))
                     - COUNT(*)) >= 0.6
         ),
+        nb AS (
+            SELECT GREATEST(16, (COUNT(*) + 31) // 32) AS n_buckets
+            FROM documents
+        ),
         bk AS (
             SELECT doc_id,
-                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
-                       AS bucket
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % (SELECT n_buckets FROM nb) AS bucket
             FROM documents
         ),
         neg AS (
@@ -1428,12 +1432,15 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample of non-duplicate pairs, anti-joined against the positives
     so label noise is structurally impossible.
 
-    Negative sampling is scale-safe: docs land in 16 md5 buckets and
-    only same-bucket pairs are candidates (an equi-join — per-bucket
-    pair count is (n/16)² per bucket, bounded by bucket count), then
-    a pair-level md5 gate keeps ~1/37 of them. At 100 TB the bucket
-    count scales with n so per-bucket volume stays constant; the
-    anti-join runs on the (tiny) positive relation.
+    Negative sampling is scale-safe because the bucket count GROWS
+    with the corpus: docs land in ⌈n/32⌉ md5 buckets (footer-sized,
+    min 16 — at sf0.01 that resolves to the historical 16) and only
+    same-bucket pairs are candidates, so the equi-join emits
+    ~⌈n/32⌉·C(32,2) ≈ 15.5·n candidate rows at ANY scale (r8: the
+    bucket count was a fixed 16, leaving the candidate join n²/16 —
+    the fixed-k blocking defect class of the r6 semdedup verdict);
+    a pair-level md5 gate then keeps ~1/37 of them. The anti-join
+    runs on the (tiny) positive relation.
 
     The oracle brute-forces the positives (correlated scalar
     subqueries over shingle sizes) and replays the hash sampling
@@ -1449,6 +1456,9 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
     )
     pos = mh.select("id_a", "id_b").persist()
+    # footer-sized bucket count (target ~32 docs/bucket, min 16) — the
+    # candidate equi-join stays ~15.5·n rows at any corpus size
+    nb = max(16, -(-footer_rows(spark, sf_dir, "documents") // 32))
     bk = docs.select(
         "doc_id",
         (
@@ -1457,7 +1467,7 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("long")
-            % 16
+            % nb
         ).alias("bucket"),
     )
     a, b = bk.alias("a"), bk.alias("b")
@@ -2396,16 +2406,30 @@ def vec_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Sequence-packing geometry: context window of 64 tokens, 8 packing
-#: shards (each shard packs independently — the parallel unit).
+#: Sequence-packing geometry: context window of 64 tokens; the shard
+#: count (each shard packs independently — the parallel unit) is
+#: FOOTER-SIZED to ⌈n/4096⌉ with a floor of 8, so a shard stays a
+#: bounded single-task cumsum as the corpus grows (a fixed shard
+#: count makes shard size ∝ n — the r8 fixed-denominator blocking
+#: defect class). At every test scale up to sf0.3 this resolves to
+#: the historical 8; the whole pack family (sequences, utilization,
+#: export manifest) shares the same layout.
 _PACK_C, _PACK_SHARDS = 64, 8
+
+#: Oracle-side shard count: the same ⌈n/4096⌉ (floor 8) as a scalar
+#: subquery, so both engines derive it from the corpus itself.
+_PACK_SHARDS_EXPR = "(SELECT GREATEST(8, (COUNT(*) + 4095) // 4096) FROM documents)"
+
+
+def _pack_shards(spark: SparkSession, sf_dir: str) -> int:
+    return max(8, -(-footer_rows(spark, sf_dir, "documents") // 4096))
 
 
 @query(
     "corpus_pack_sequences",
     oracle=f"""
         WITH t AS (
-            SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+            SELECT doc_id, doc_id % {_PACK_SHARDS_EXPR} AS shard,
                    len(string_split(text, ' ')) AS n_toks
             FROM documents
         ),
@@ -2445,7 +2469,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment ids.
 
     Scale: packing is sequential BY DEFINITION within a stream, so the
-    parallel unit is the shard (doc_id mod {_PACK_SHARDS}; production:
+    parallel unit is the shard (doc_id mod ⌈n/4096⌉, floor {_PACK_SHARDS} — footer-sized; production:
     md5-bucket to thousands of shards — each shard is an independent
     stream, embarrassingly parallel). The cumulative offset is a
     window-partitioned running sum (one shuffle on shard), the
@@ -2459,7 +2483,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _PACK_C
     t = docs.select(
         "doc_id",
-        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        (F.col("doc_id") % _pack_shards(spark, sf_dir)).alias("shard"),
         F.size(F.split("text", " ")).alias("n_toks"),
     )
     o = t.select(
@@ -3344,7 +3368,7 @@ def data_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_pack_utilization",
     oracle=f"""
         WITH t AS (
-            SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+            SELECT doc_id, doc_id % {_PACK_SHARDS_EXPR} AS shard,
                    len(string_split(text, ' ')) AS n_toks
             FROM documents
         ),
@@ -3375,12 +3399,12 @@ def corpus_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     here approaches 1 as shards grow, while padded loading wastes
     (1 − avg_len/context) of every batch.
 
-    Scale: one aggregate, {_PACK_SHARDS} output rows; pure
+    Scale: one aggregate, ⌈n/4096⌉ (floor {_PACK_SHARDS}) output rows; pure
     integer arithmetic."""
     docs = load(spark, sf_dir, "documents")
     c = _PACK_C
     s = docs.groupBy(
-        (F.col("doc_id") % _PACK_SHARDS).alias("shard")
+        (F.col("doc_id") % _pack_shards(spark, sf_dir)).alias("shard")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
@@ -3636,7 +3660,9 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid-keyed equi-join whose work stays ~64·n at any scale,
     # where the pre-r6 fixed-10-label blocking was O(n²/10).
     e = load(spark, sf_dir, "embeddings")
-    n3 = e.count()
+    # footer metadata, not a count job (the shared footer_rows
+    # pattern — at corpus scale this count was a full scan)
+    n3 = footer_rows(spark, sf_dir, "embeddings")
     assigned = C.kmeans_assign(
         spark, e, "vec_id", "embedding", k=_casc_k(n3),
         iters=_CASC_KM_ITERS, n_hint=n3,
@@ -4205,7 +4231,7 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH a AS (
             SELECT doc_id,
-                   CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard,
+                   CAST(doc_id % {_PACK_SHARDS_EXPR} AS BIGINT) AS shard,
                    len(string_split(text, ' ')) AS n_toks,
                    ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
             FROM documents
@@ -4235,7 +4261,7 @@ def data_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     a = docs.select(
         "doc_id",
-        (F.col("doc_id") % _PACK_SHARDS).cast("bigint").alias("shard"),
+        (F.col("doc_id") % _pack_shards(spark, sf_dir)).cast("bigint").alias("shard"),
         F.size(F.split("text", " ")).alias("n_toks"),
         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
         .cast("bigint")
