@@ -40,6 +40,29 @@ _SEM_K_EXPR = "(SELECT GREATEST(8, (COUNT(*) + 63) // 64) FROM embeddings)"
 def _sem_k(n: int) -> int:
     return max(8, (n + 63) // 64)
 
+
+#: IVF list count (r8): target-64 lists while small, capped by the
+#: FAISS serving rule nlist ≈ 4·√n once the corpus outgrows it
+#: (n > 65,536 — beyond every test scale, unit-tested directly).
+#: A FIXED nlist makes every probe read n/nlist ∝ n rows (12.5 TB
+#: per probe at 100 TB with the old k=8); ⌈n/64⌉ keeps lists bounded
+#: while the index is small, and the 4√n cap keeps the BUILD
+#: (assignment scan n·nlist·d, on the GEMM substrate) subquadratic
+#: at corpus scale — probe cost then grows only as √n. Both engines
+#: derive it from the corpus: the oracle as this scalar subquery,
+#: the engine from the parquet footer via ``_ivf_nlist``; CEIL(SQRT)
+#: is the same IEEE double sqrt on both.
+_IVF_NLIST_EXPR = (
+    "(SELECT GREATEST(8, LEAST((COUNT(*) + 63) // 64,"
+    " CAST(4 * CEIL(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings)"
+)
+
+
+def _ivf_nlist(n: int) -> int:
+    import math
+
+    return max(8, min((n + 63) // 64, 4 * math.ceil(math.sqrt(n))))
+
 #: Product quantization geometry: 64 dims → 4 subspaces × 16 dims,
 #: 16 codes per subspace (4 bytes per vector).
 _PQ_M, _PQ_K, _PQ_SUBDIM = 4, 16, 16
@@ -237,7 +260,7 @@ def corpus_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_ivf_learned",
     oracle=f"""
-        {_kmeans_ctes()},
+        {_kmeans_ctes(k=_IVF_NLIST_EXPR)},
         q AS (SELECT centroid AS qcent, vec AS qvec FROM a_final WHERE id = 0)
         SELECT f.id, f.centroid,
                ROUND(list_cosine_similarity(f.vec, q.qvec), 6) AS cos_sim
@@ -251,12 +274,17 @@ def corpus_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with the LEARNED codebook: assign the corpus with the
     k-means centroids, probe only the query's inverted list, rank by
     exact cosine. Same probe plan as ``ann_ivf_topk`` (broadcast query
-    row, ~1/k of the data touched, TakeOrderedAndProject) but the
-    coarse quantizer is now trained, so list occupancy is balanced by
-    the data instead of by id order."""
+    row, TakeOrderedAndProject) but the coarse quantizer is trained,
+    so list occupancy is balanced by the data instead of by id order —
+    and the list count is FOOTER-SIZED (``_ivf_nlist``: ⌈n/64⌉ capped
+    at 4√n), so a probe reads ~64 rows at bench scales and only √n at
+    corpus scale where the old fixed k=8 read n/8 (r8; resolves to
+    the historical 8 at sf0.01)."""
     emb = load(spark, sf_dir, "embeddings")
+    n = footer_rows(spark, sf_dir, "embeddings")
     assigned = C.kmeans_assign(
-        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+        spark, emb, "vec_id", "embedding", k=_ivf_nlist(n), iters=_ITERS,
+        n_hint=n,
     )
     qrow = assigned.where(F.col("id") == 0).select(
         F.col("centroid").alias("qcent"), F.col("vec").alias("qvec")

@@ -507,7 +507,7 @@ def _ivf_pq_oracle() -> str:
     inverted lists."""
     from spark_query_engine.queries.semantic import (
         _ITERS,
-        _K,
+        _IVF_NLIST_EXPR,
         _PQ_K,
         _PQ_M,
         _PQ_SUBDIM,
@@ -515,7 +515,7 @@ def _ivf_pq_oracle() -> str:
     )
 
     return f"""
-        {_kmeans_ctes(_K, _ITERS)},
+        {_kmeans_ctes(_IVF_NLIST_EXPR, _ITERS)},
         qv AS (SELECT vec AS qvec FROM v WHERE id = 0),
         qc AS (
             SELECT c.centroid
@@ -573,32 +573,39 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``corpus_pq_topk``'s ADC) over 4-byte codes instead of 256-byte
     floats.
 
-    Scale: probe cost = (nprobe/k) of the corpus × ADC's constant-
-    folded lookup adds. The inverted lists ARE a partitioning
-    (`partitionBy(centroid)` on write), so list probes become
-    partition pruning at the parquet scan; model state on the driver
-    is k·dim centroids + m·k·subdim codebooks — kilobytes. The
-    nearest-list selection is a k-row lazy branch of the probe plan
-    (broadcast semi-join) with the same rounded-cosine discipline as
-    the oracle (never NumPy, whose SIMD summation order could flip a
-    6dp boundary)."""
+    Scale: probe cost = nprobe bounded lists (the list count is
+    footer-sized via ``_ivf_nlist`` — ⌈n/64⌉ capped at the FAISS 4√n
+    serving rule, r8; the old fixed k=8 made every probe read n/8).
+    The inverted lists ARE a partitioning (`partitionBy(centroid)` on
+    write), so list probes become partition pruning at the parquet
+    scan; model state on the driver is nlist·dim centroids +
+    m·k·subdim codebooks — kilobytes. The nearest-list selection is
+    an nlist-row lazy branch of the probe plan (broadcast semi-join)
+    with the same rounded-cosine discipline as the oracle (never
+    NumPy, whose SIMD summation order could flip a 6dp boundary)."""
     from spark_query_engine.queries.semantic import (
         _ITERS,
-        _K,
         _PQ_K,
         _PQ_SUBDIM,
+        _ivf_nlist,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     v = C._vectors(emb, "vec_id", "embedding")
+    n = footer_rows(spark, sf_dir, "embeddings")
+    nlist = _ivf_nlist(n)
 
     # ONE model-state head fetch serves the PQ codebook seeds, the
-    # query vector, AND the k-means init (id < _K ⊆ id < _PQ_K) — this
-    # was two collect jobs (r8 fit-constant shave)
-    head = v.where(F.col("id") < _PQ_K).collect()
-    rows = {int(r["id"]): list(r["vec"]) for r in head}
-    cents = C.kmeans_fit(spark, v, k=_K, iters=_ITERS, seeds=head)
-    assigned = C.assign_to_centroids(v, cents)
+    # query vector, AND the k-means init (id < max(nlist, _PQ_K)
+    # covers both) — this was two collect jobs (r8 fit-constant shave)
+    head = v.where(F.col("id") < max(nlist, _PQ_K)).collect()
+    rows = {
+        int(r["id"]): list(r["vec"]) for r in head if int(r["id"]) < _PQ_K
+    }
+    cents = C.kmeans_fit(
+        spark, v, k=nlist, iters=_ITERS, seeds=head, n_hint=n
+    )
+    assigned = C.assign_to_centroids(v, cents, n_hint=n)
     codebooks = [
         [rows[code][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM]
          for code in sorted(rows)]
@@ -1319,10 +1326,14 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_occupancy_oracle() -> str:
-    from spark_query_engine.queries.semantic import _ITERS, _K, _kmeans_ctes
+    from spark_query_engine.queries.semantic import (
+        _ITERS,
+        _IVF_NLIST_EXPR,
+        _kmeans_ctes,
+    )
 
     return f"""
-        {_kmeans_ctes(_K, _ITERS)},
+        {_kmeans_ctes(_IVF_NLIST_EXPR, _ITERS)},
         occ AS (
             SELECT centroid, COUNT(*) AS n_vectors
             FROM a_final GROUP BY 1
@@ -1346,14 +1357,17 @@ def corpus_ivf_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of ``data_skew_report``'s pre-join diagnosis.
 
     Scale: the audit itself is one (centroid)-keyed count over the
-    assignment relation (map-side combine; k output rows) crossed
+    assignment relation (map-side combine; nlist output rows) crossed
     with a 1-row total — negligible next to the assignment scan it
-    reuses."""
-    from spark_query_engine.queries.semantic import _ITERS, _K
+    reuses. The list count is footer-sized (``_ivf_nlist``, r8 — the
+    serving-side rationale is in ``corpus_ivf_learned``)."""
+    from spark_query_engine.queries.semantic import _ITERS, _ivf_nlist
 
     emb = load(spark, sf_dir, "embeddings")
+    n = footer_rows(spark, sf_dir, "embeddings")
     assigned = C.kmeans_assign(
-        spark, emb, "vec_id", "embedding", k=_K, iters=_ITERS
+        spark, emb, "vec_id", "embedding", k=_ivf_nlist(n), iters=_ITERS,
+        n_hint=n,
     )
     occ = assigned.groupBy("centroid").agg(
         F.count(F.lit(1)).alias("n_vectors")

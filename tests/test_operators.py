@@ -949,6 +949,30 @@ def test_assign_substrates_bit_identical(spark):
         assert (sa != sa and sb != sb) or sa == sb, (a, b)
 
 
+def test_ivf_nlist_regimes():
+    """The IVF list-count rule must hold the target-64 regime while
+    small, switch to the FAISS 4·√n cap past the crossover (n=65,536
+    — beyond the parquet test scales, so the asymptotic branch is
+    pinned here as a pure function), and agree with the oracle's
+    scalar-subquery formula shape at the boundary."""
+    import math
+
+    from spark_query_engine.queries.semantic import _ivf_nlist
+
+    assert _ivf_nlist(500) == 8          # floor (sf0.01 historical k)
+    assert _ivf_nlist(2000) == 32        # target-64 regime (sf0.1)
+    assert _ivf_nlist(20000) == 313      # target-64 regime (sf1)
+    assert _ivf_nlist(65536) == 1024     # exact crossover: n/64 == 4*sqrt(n)
+    assert _ivf_nlist(10**6) == 4000     # sqrt regime: 4*ceil(sqrt(1e6))
+    assert _ivf_nlist(10**9) == 126492   # 4*ceil(sqrt(1e9)) << n/64
+    for n in (500, 2000, 20000, 65536, 10**6):
+        assert _ivf_nlist(n) == max(
+            8, min((n + 63) // 64, 4 * math.ceil(math.sqrt(n)))
+        )
+    # probe size n/nlist stays sublinear: 64 flat, then ~sqrt(n)/4
+    assert 10**9 / _ivf_nlist(10**9) < 8000
+
+
 def test_kmeans_fit_sample_cap(spark):
     """``fit_frac`` (the FAISS max_points_per_centroid discipline for
     100 TB fits) must (a) be a no-op at 1.0, and (b) at 0.5 equal a
