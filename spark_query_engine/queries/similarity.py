@@ -9,7 +9,31 @@ from spark_query_engine.operators import carry_caches, widen
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.queries import load, query
 
-_PLANES = S.random_hyperplanes(n_planes=8, dim=64, seed=7)
+#: LSH geometry (r8): the PLANE COUNT is footer-sized —
+#: max(8, ⌈log₂(⌈n/64⌉)⌉) — so the probed bucket holds ~64 vectors at
+#: any corpus size; a FIXED plane count leaves bucket size ∝ n/2^p
+#: (the r8 fixed-denominator blocking defect class — n/256 is 390 GB
+#: per probe at 100 TB). The 24-plane SUPERSET below covers corpora
+#: to ~2^24·64 ≈ 1e9 rows; numpy's RandomState fills row-major, so
+#: its first 8 rows are bit-identical to the historical 8-plane set
+#: (pytest-asserted) and results at sf0.01/sf0.1 are unchanged. Both
+#: engines derive the active count from the corpus: the oracle as the
+#: scalar subquery below (CEIL∘LOG2 of an exact integer — same libm
+#: on both engines; a ceil flip would need log₂ within 1 ulp of an
+#: integer, i.e. an exact power of two, where log₂ is exact), the
+#: engine from the parquet footer via ``_n_planes``.
+_MAX_PLANES = 24
+_PLANES = S.random_hyperplanes(n_planes=_MAX_PLANES, dim=64, seed=7)
+_NPLANES_EXPR = (
+    "(SELECT GREATEST(8, CAST(CEIL(LOG2((COUNT(*) + 63) // 64)) AS BIGINT))"
+    " FROM embeddings)"
+)
+
+
+def _n_planes(n: int) -> int:
+    import math
+
+    return max(8, math.ceil(math.log2(max(1, (n + 63) // 64))))
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -64,6 +88,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT e.vec_id, pl.p,
                    SUM(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dot
             FROM embeddings e, planes pl
+            WHERE pl.p < {_NPLANES_EXPR}
             GROUP BY e.vec_id, pl.p
         ),
         buckets AS (
@@ -88,10 +113,13 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: 8 random hyperplanes (fixed seed, literal
-    weights — identical in the oracle) → probe only the query's
-    bucket → exact cosine rank within it. The scale path: bucket is a
-    cluster/partition key, so a probe touches ~1/256 of the table.
+    """LSH-bucketed ANN: footer-sized random hyperplanes (fixed seed,
+    literal weights — identical in the oracle; count ⌈log₂⌈n/64⌉⌉
+    with the historical floor of 8, see ``_n_planes``) → probe only
+    the query's bucket → exact cosine rank within it. The scale path:
+    bucket is a cluster/partition key and holds ~64 vectors at ANY
+    corpus size, so a probe reads a bounded slice instead of the
+    fixed-plane n/256.
 
     Cross-engine sign stability: the oracle computes plane·vec with an
     unordered SUM while Spark uses a sequential fold, so order-dependent
@@ -102,8 +130,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket assignment is deterministic on this corpus."""
     qv = _query_vec(spark, sf_dir, 0)
     emb = load(spark, sf_dir, "embeddings")
+    from spark_query_engine.queries import footer_rows
+
+    planes = _PLANES[: _n_planes(footer_rows(spark, sf_dir, "embeddings"))]
     return S.ann_topk_lsh(
-        emb, "vec_id", "embedding", qv, _PLANES, k=5, exclude_id=0
+        emb, "vec_id", "embedding", qv, planes, k=5, exclude_id=0
     )
 
 
@@ -358,6 +389,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT e.vec_id, pl.p,
                    SUM(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dot
             FROM embeddings e, planes pl
+            WHERE pl.p < {_NPLANES_EXPR}
             GROUP BY e.vec_id, pl.p
         ),
         buckets AS (
@@ -383,16 +415,20 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: probe the query bucket plus all 1-bit-flip
-    neighbors (9 of 256 buckets at 8 planes) — the standard recall
-    repair for vectors that fall just past a hyperplane, at ~9/256 of
-    the table instead of 1/256, with the probe set still a plan-time
-    constant (partition pruning intact). Exact cosine ranks the union;
-    same fixed-seed planes as ``ann_lsh_topk``, replayed literally in
-    the oracle down to the bucket bits."""
+    neighbors (p+1 of 2^p buckets at p footer-sized planes — the
+    standard recall repair for vectors that fall just past a
+    hyperplane), with the probe set still a plan-time constant
+    (partition pruning intact) and each probed bucket holding ~64
+    vectors at any corpus size (``_n_planes``). Exact cosine ranks
+    the union; same fixed-seed planes as ``ann_lsh_topk``, replayed
+    literally in the oracle down to the bucket bits."""
     qv = _query_vec(spark, sf_dir, 0)
     emb = load(spark, sf_dir, "embeddings")
+    from spark_query_engine.queries import footer_rows
+
+    planes = _PLANES[: _n_planes(footer_rows(spark, sf_dir, "embeddings"))]
     return S.ann_topk_lsh_multiprobe(
-        emb, "vec_id", "embedding", qv, _PLANES, k=5, max_flips=1,
+        emb, "vec_id", "embedding", qv, planes, k=5, max_flips=1,
         exclude_id=0,
     )
 

@@ -949,6 +949,25 @@ def test_assign_substrates_bit_identical(spark):
         assert (sa != sa and sb != sb) or sa == sb, (a, b)
 
 
+def test_lsh_plane_superset_prefix_stable():
+    """The r8 24-plane LSH superset must be PREFIX-STABLE: its first
+    8 rows bit-equal the historical 8-plane set (numpy RandomState
+    fills row-major), so sf0.01/sf0.1 bucket assignments — and the
+    committed driver rows — are unchanged. Also pins the footer-sized
+    plane-count rule at the test scales and in the log regime."""
+    from spark_query_engine.operators import similarity as S
+    from spark_query_engine.queries.similarity import _MAX_PLANES, _n_planes
+
+    assert S.random_hyperplanes(n_planes=_MAX_PLANES, dim=64, seed=7)[:8] == (
+        S.random_hyperplanes(n_planes=8, dim=64, seed=7)
+    )
+    assert _n_planes(500) == 8      # sf0.01 historical
+    assert _n_planes(2000) == 8     # sf0.1 historical
+    assert _n_planes(20000) == 9    # sf1: 313 target-64 buckets -> 2^9
+    assert _n_planes(10**9) == 24   # superset bound: 2^24*64 ≈ 1e9
+    assert 10**9 / 2 ** _n_planes(10**9) < 64  # bucket stays bounded
+
+
 def test_ivf_nlist_regimes():
     """The IVF list-count rule must hold the target-64 regime while
     small, switch to the FAISS 4·√n cap past the crossover (n=65,536
