@@ -290,6 +290,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 5,
     w: int = 4,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash
     every char ``k``-gram, slide a window of ``w`` consecutive
@@ -303,61 +304,144 @@ def winnow_fingerprints(
     expected density 2/(w+1) — the property mod-p sampling lacks
     (a match can fall between samples there).
 
-    Distributed shape — run-length selection, ONE shuffle, no
-    fan-out: p is the rightmost-minimum of some window iff
-    ``r_run(p) + l_run(p) ≥ w - 1``, where r_run counts how many
-    IMMEDIATELY following hashes are strictly greater (capped at
-    w-1; strict, because an equal hash to the right would win the
-    tie) and l_run counts how many immediately preceding hashes are
-    ≥ (weak: rightmost-preference lets p beat equal hashes on its
-    left). Both runs come from w-1 ``lead``/``lag`` columns over one
-    (doc)-partitioned ordered window — a single hash-partitioned
-    shuffle on doc id, nested-CASE run arithmetic in codegen, and a
-    filter; no (doc, window-id) blow-up, no rank, no distinct.
+    Distributed shape (r8) — run-length selection over a PER-ROW hash
+    array, ZERO shuffle, no fan-out: p is the rightmost-minimum of
+    some window iff ``r_run(p) + l_run(p) ≥ w - 1``, where r_run
+    counts how many IMMEDIATELY following hashes are strictly greater
+    (capped at w-1; strict, because an equal hash to the right would
+    win the tie) and l_run counts how many immediately preceding
+    hashes are ≥ (weak: rightmost-preference lets p beat equal hashes
+    on its left). The k-gram hashes materialize once per document as
+    an array column (an owned projection — CollapseProject keeps
+    multiply-referenced non-cheap aliases, the r8b CSE rule); the
+    runs are nested-CASE arithmetic over ``F.get`` neighbor lookups
+    (NULL past either boundary stops the run, exactly like the
+    lead/lag NULLs of the window formulation this replaces); only
+    the SELECTED positions (expected density 2/(w+1)) ever explode.
+    The previous plan exploded every char position and shuffled the
+    n_chars-row relation into a (doc)-partitioned window.
     Equivalence with the paper's per-window algorithm is
     property-tested against a sequential implementation
     (tests/test_training_ops.py::test_winnow_matches_sequential);
     boundary windows fall out automatically because a run cannot
-    extend past the document's last k-gram."""
-    g = (
-        df.where(F.length(text_col) >= k + w - 1)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - (k - 1))
-            ).alias("pos"),
-            F.col(text_col).alias("__t"),
-        )
-        .select(
-            "id",
-            "pos",
-            F.md5(F.expr(f"substr(__t, pos, {k})")).alias("h"),
-        )
-    )
-    ordw = Window.partitionBy("id").orderBy("pos")
+    extend past the document's last k-gram.
 
-    def run_len(cols: list[Column], strict: bool) -> Column:
+    Substrate dispatch (the ``assign_to_centroids`` r8 pattern): both
+    the old windowed plan and the array formulation evaluate the
+    per-position run logic at INTERPRETED rates (window lead/lag paid
+    a full n_chars-row shuffle besides; higher-order lambdas never
+    enter codegen) — measured a wash at sf1, ~30-36 s for 16.6M
+    k-grams. Above ``n_hint ≥ 2,000`` docs the scan runs as one
+    Arrow-batched mapInPandas: hashlib md5 produces the SAME hex
+    string Spark's md5 does (UTF-8 bytes; Python slicing = substr
+    character semantics), numpy vectorizes the run counts per
+    document, and hex comparison is byte-lexicographic in both
+    engines — bit-identical output, asserted by the same sequential
+    property test across both substrates. Zero shuffle either way;
+    only selected positions leave the scan. Measured (count of the
+    fingerprint relation, min-of-2): sf0.1 3.46 → 0.66 s, sf0.3
+    10.15 → 0.88 s, sf1 ~36 → ~1.9 s — and a wash at 500 docs, so
+    the JVM array path remains the no-hint default for ad-hoc
+    library calls."""
+    if n_hint is not None and n_hint >= 2000:
+        return _winnow_arrow(df, id_col, text_col, k, w)
+    base = df.where(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    )
+    h = base.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("__t") - (k - 1)),
+            lambda p: F.md5(F.substr(F.col("__t"), p, F.lit(k))),
+        ).alias("harr"),
+    )
+
+    def run_len(i: Column, sign: int, strict: bool) -> Column:
         # consecutive-run length via nested CASE: level j counts only
-        # if every earlier level matched; NULL (past the boundary)
-        # takes the otherwise-branch and stops the run
+        # if every earlier level matched; NULL (past the boundary —
+        # F.get is out-of-range-safe) takes the otherwise-branch and
+        # stops the run
+        h_i = F.get(F.col("harr"), i - 1)
         e: Column | None = None
-        for depth in range(len(cols), 0, -1):
-            c = (
-                cols[depth - 1] > F.col("h")
-                if strict
-                else cols[depth - 1] >= F.col("h")
-            )
+        for depth in range(w - 1, 0, -1):
+            nb = F.get(F.col("harr"), i + sign * depth - 1)
+            c = (nb > h_i) if strict else (nb >= h_i)
             inner = F.lit(depth) if e is None else e
             e = F.when(c, inner).otherwise(F.lit(depth - 1))
         return e if e is not None else F.lit(0)
 
-    r_run = run_len([F.lead("h", j).over(ordw) for j in range(1, w)], True)
-    l_run = run_len([F.lag("h", j).over(ordw) for j in range(1, w)], False)
-    return (
-        g.withColumn("__sel", r_run + l_run >= w - 1)
-        .where(F.col("__sel"))
-        .select("id", "pos", "h")
+    selected = F.filter(
+        F.sequence(F.lit(1), F.size("harr")),
+        lambda i: run_len(i, 1, True) + run_len(i, -1, False) >= w - 1,
     )
+    return h.select("id", "harr", F.explode(selected).alias("pos")).select(
+        "id", "pos", F.get(F.col("harr"), F.col("pos") - 1).alias("h")
+    )
+
+
+def _winnow_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Arrow-batched winnowing scan — see ``winnow_fingerprints``."""
+    from spark_query_engine.operators import widen
+
+    base = widen(df.where(F.length(text_col) >= k + w - 1)).select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t")
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, hss = [], [], []
+            for did, t in zip(pdf["id"], pdf["__t"]):
+                nh = len(t) - (k - 1)
+                hs = np.array(
+                    [
+                        hashlib.md5(t[i:i + k].encode("utf-8")).hexdigest()
+                        for i in range(nh)
+                    ],
+                    dtype="<U32",
+                )
+                run = np.zeros(nh, dtype=np.int64)
+                for sign, strict in ((1, True), (-1, False)):
+                    cont = np.ones(nh, dtype=bool)
+                    for j in range(1, w):
+                        ok = np.zeros(nh, dtype=bool)
+                        if sign > 0:
+                            if nh > j:
+                                ok[: nh - j] = (
+                                    hs[j:] > hs[: nh - j]
+                                    if strict
+                                    else hs[j:] >= hs[: nh - j]
+                                )
+                        else:
+                            if nh > j:
+                                ok[j:] = (
+                                    hs[: nh - j] > hs[j:]
+                                    if strict
+                                    else hs[: nh - j] >= hs[j:]
+                                )
+                        cont &= ok
+                        run += cont
+                sel = np.nonzero(run >= w - 1)[0]
+                if len(sel):
+                    ids.append(np.full(len(sel), did, dtype=np.int64))
+                    poss.append((sel + 1).astype(np.int32))
+                    hss.append(hs[sel])
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "h": np.concatenate(hss),
+                    }
+                )
+
+    return base.mapInPandas(gen, "id long, pos int, h string")
 
 
 def bpe_train(

@@ -250,6 +250,12 @@ _REPIN_REWRITTEN = (
     # r8d: knn blocking k fixed→footer-sized ⌈n/64⌉ (values change at
     # sf0.1+; at sf0.01 the dynamic k resolves to the historical 8)
     "corpus_knn_classify",
+    # r8d: contrastive negative buckets fixed 16→footer-sized ⌈n/32⌉
+    # (values change at sf0.1+; resolves to 16 at sf0.01)
+    "corpus_contrastive_pairs",
+    # r8e: winnowing moved to the Arrow scan substrate (values
+    # bit-identical, substrate changed — the r8b shingle precedent)
+    "corpus_winnow_fingerprint",
 )
 
 

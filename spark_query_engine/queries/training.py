@@ -467,14 +467,20 @@ def corpus_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (doc, win) picks the winner — Spark rewrites it to
     WindowGroupLimit, keeping one row per window before the distinct.
 
-    Scale: rows ≈ chars × {_WW}; everything keys on (doc_id, win) so
-    the shuffle is uniform; no state, no Python, no driver data.
-    Output verifies the per-doc fingerprint count and density against
-    the oracle's identical construction."""
+    Scale: zero shuffle — the selection happens inside the scan (the
+    ``winnow_fingerprints`` substrate dispatch: per-row array runs
+    while small, one Arrow-batched mapInPandas past 20k docs — both
+    bit-identical, property-tested); only the selected positions
+    (density 2/(w+1)) leave it, into one per-doc count. Output
+    verifies the per-doc fingerprint count and density against the
+    oracle's identical construction."""
     from spark_query_engine.operators import textanalysis as T
 
     docs = load(spark, sf_dir, "documents")
-    sel = T.winnow_fingerprints(docs, "doc_id", "text", k=_WK, w=_WW)
+    sel = T.winnow_fingerprints(
+        docs, "doc_id", "text", k=_WK, w=_WW,
+        n_hint=footer_rows(spark, sf_dir, "documents"),
+    )
     cnt = (
         sel.groupBy(F.col("id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_fp"))
