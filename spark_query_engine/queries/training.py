@@ -929,14 +929,19 @@ def corpus_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_oracle() -> str:
-    from spark_query_engine.queries.similarity import _planes_values_sql
+    from spark_query_engine.queries.similarity import (
+        _NPLANES_EXPR,
+        _planes_values_sql,
+    )
 
     return f"""
         WITH planes(p, d, w) AS (VALUES {_planes_values_sql()}),
         v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
               FROM embeddings),
         dots AS (SELECT e.id, pl.p, SUM(pl.w * e.vec[pl.d + 1]) AS dot
-                 FROM v e, planes pl GROUP BY 1, 2),
+                 FROM v e, planes pl
+                 WHERE pl.p < {_NPLANES_EXPR}
+                 GROUP BY 1, 2),
         buckets AS (SELECT id,
                            SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p)
                                ELSE 0 END) AS bucket
@@ -990,10 +995,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     justifies ``ann_lsh_multiprobe_topk``'s Hamming-ball probes or
     fewer planes; the audit exists to surface that before an index
     ships, and the driver hash-verifies the measurement itself."""
-    from spark_query_engine.queries.similarity import _PLANES
+    from spark_query_engine.queries.similarity import _PLANES, _n_planes
 
     emb = load(spark, sf_dir, "embeddings")
-    bucketed = S.lsh_bucket(emb, "vec_id", "embedding", _PLANES)
+    planes = _PLANES[: _n_planes(footer_rows(spark, sf_dir, "embeddings"))]
+    bucketed = S.lsh_bucket(emb, "vec_id", "embedding", planes)
     qbatch = bucketed.where(F.col("id") < _NQ).select(
         F.col("id").alias("qid"),
         F.col("vec").alias("qvec"),
@@ -3441,14 +3447,19 @@ def corpus_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ndcg_oracle() -> str:
-    from spark_query_engine.queries.similarity import _planes_values_sql
+    from spark_query_engine.queries.similarity import (
+        _NPLANES_EXPR,
+        _planes_values_sql,
+    )
 
     return f"""
         WITH planes(p, d, w) AS (VALUES {_planes_values_sql()}),
         v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
               FROM embeddings),
         dots AS (SELECT e.id, pl.p, SUM(pl.w * e.vec[pl.d + 1]) AS dot
-                 FROM v e, planes pl GROUP BY 1, 2),
+                 FROM v e, planes pl
+                 WHERE pl.p < {_NPLANES_EXPR}
+                 GROUP BY 1, 2),
         buckets AS (SELECT id,
                            SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p)
                                ELSE 0 END) AS bucket
@@ -3504,10 +3515,11 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums justification) — and the rank integers themselves are exact.
     Plan shape identical to ann_recall_eval: broadcast query batch,
     bucket equi-join probe, per-query rank windows."""
-    from spark_query_engine.queries.similarity import _PLANES
+    from spark_query_engine.queries.similarity import _PLANES, _n_planes
 
     emb = load(spark, sf_dir, "embeddings")
-    bucketed = S.lsh_bucket(emb, "vec_id", "embedding", _PLANES)
+    planes = _PLANES[: _n_planes(footer_rows(spark, sf_dir, "embeddings"))]
+    bucketed = S.lsh_bucket(emb, "vec_id", "embedding", planes)
     qbatch = bucketed.where(F.col("id") < _NQ).select(
         F.col("id").alias("qid"),
         F.col("vec").alias("qvec"),

@@ -174,8 +174,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
         "aggregate",
     "data_skew_report": "top-5 heavy-hitter rank over the key-count "
         "aggregate",
-    "corpus_kmeanspp_init": "weighted top-k over 1 + rounds*l "
-        "candidate centers",
+    # (corpus_kmeanspp_init left this list in r8: its weighted top-k
+    # over the 1 + rounds*l candidates now ranks driver-side — the
+    # fit-constant job merge — so the plan has no Window at all.)
     "stats_poisson_bootstrap": "quantile rank over the B-row "
         "replicate relation (B = 32)",
     "stats_ks_drift": "ECDF cumsums over the DISTINCT-value support "
