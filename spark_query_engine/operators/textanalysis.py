@@ -284,6 +284,13 @@ def span_dup_stats(
     )
 
 
+#: Doc count above which ``winnow_fingerprints`` dispatches to the
+#: Arrow-batched scan substrate (measured a wash at 500 docs, 5×+ by
+#: sf0.1 — see the operator docstring). Referenced by the query-layer
+#: and test docstrings so the prose cannot drift from the dispatch.
+WINNOW_ARROW_MIN_DOCS = 2000
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -331,7 +338,8 @@ def winnow_fingerprints(
     per-position run logic at INTERPRETED rates (window lead/lag paid
     a full n_chars-row shuffle besides; higher-order lambdas never
     enter codegen) — measured a wash at sf1, ~30-36 s for 16.6M
-    k-grams. Above ``n_hint ≥ 2,000`` docs the scan runs as one
+    k-grams. Above ``n_hint ≥ WINNOW_ARROW_MIN_DOCS`` (2,000) docs
+    the scan runs as one
     Arrow-batched mapInPandas: hashlib md5 produces the SAME hex
     string Spark's md5 does (UTF-8 bytes; Python slicing = substr
     character semantics), numpy vectorizes the run counts per
@@ -343,7 +351,7 @@ def winnow_fingerprints(
     10.15 → 0.88 s, sf1 ~36 → ~1.9 s — and a wash at 500 docs, so
     the JVM array path remains the no-hint default for ad-hoc
     library calls."""
-    if n_hint is not None and n_hint >= 2000:
+    if n_hint is not None and n_hint >= WINNOW_ARROW_MIN_DOCS:
         return _winnow_arrow(df, id_col, text_col, k, w)
     base = df.where(F.length(text_col) >= k + w - 1).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t")

@@ -161,15 +161,23 @@ def _family_rank(name: str) -> int:
         return len(_MODULE_PRIORITY)  # new module: after known families
 
 
-def _driver_verified() -> set[str]:
-    """Names with a green row (hash_match, or rows-only for no-oracle
-    queries) in any committed CORRECTNESS_r*.json at the repo root."""
+def _driver_green_rounds() -> dict[str, int]:
+    """For each name with a green row (hash_match, or rows-only for
+    no-oracle queries) in any committed CORRECTNESS_r*.json at the
+    repo root: the NEWEST round number that signed it. The round
+    number drives the r9 stale-row rotation — verified names sort
+    oldest-signature-first so the driver's ~50-entry window re-signs
+    the stalest third of the registry every round without a
+    hand-maintained pin list."""
     import json
+    import re
     from pathlib import Path
 
-    verified: set[str] = set()
+    latest: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(p.read_text())
         except Exception:
@@ -177,11 +185,16 @@ def _driver_verified() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                verified.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                verified.add(name)  # rows-only is the strongest check it gets
-    return verified
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )  # rows-only is the strongest check a no-oracle query gets
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_verified() -> set[str]:
+    return set(_driver_green_rounds())
 
 
 #: Names the round-3 verdict called out by name as must-verify this
@@ -190,20 +203,12 @@ def _driver_verified() -> set[str]:
 #: (in this order) so the driver window cannot round-robin them out;
 #: once a name earns a green CORRECTNESS row it leaves the unverified
 #: set and this pin becomes a no-op.
-_WINDOW_FIRST = (
-    # r8: the 8 queries that never earned a DRIVER-signed row (the
-    # round-5f/5g additions; the r7 judge re-ran them dtype-strict and
-    # all passed, but the r7 verdict task 3 wants driver rows). Once
-    # CORRECTNESS_r08 lands green these leave the unverified set and
-    # the pin no-ops — the standing drop rule.
-    "ann_hard_negatives",
-    "corpus_unigram_prune",
-    "data_freshness_audit",
-    "data_target_encoding",
-    "events_seasonal_decompose",
-    "graph_assortativity",
-    "stats_ols_elasticity",
-    "stats_qini_uplift",
+_WINDOW_FIRST: tuple[str, ...] = (
+    # (r8's 8 never-driver-signed names all landed green in
+    # CORRECTNESS_r08 — pruned r9 per the standing drop rule. With
+    # every registry entry driver-signed, new entries here should be
+    # rare; the r9 stale-row rotation below keeps old signatures
+    # fresh automatically.)
 )
 
 #: Queries whose implementation was REWRITTEN after their last green
@@ -220,47 +225,21 @@ _REPIN_REWRITTEN = (
     # (r7 rewrites — semdedup k ∝ n, embedding-cosine tiled GEMM —
     # re-verified green in CORRECTNESS_r07 rows 1-2, pruned r8: the
     # docstring's own drop rule.)
-    # r8 rewrites (the round-7 verdict's tasks 1/2/4): the k-means
-    # assignment scan moved to the Arrow tiled-GEMM substrate (every
-    # kmeans_assign consumer re-plans), the PQ/k-means fit constant
-    # moved off py4j F.lit literals, and window_ntile_cume left the
-    # single-partition global sort. Fresh driver rows must land the
-    # same round the code changes (the r4/r5 covariance lesson).
-    "corpus_semdedup",
-    "corpus_kmeans",
-    "corpus_ivf_learned",
-    "corpus_knn_classify",
-    "corpus_cluster_cohesion",
-    "corpus_pq_trained_recall",
-    "corpus_pq_codebook_audit",
-    "ann_ivf_pq_topk",
-    "corpus_ivf_occupancy",
-    "pipeline_dedup_cascade",
-    "window_ntile_cume",
-    "graph_kcore_peel",
-    # r8b: the word_shingles / text_ngram_novelty CSE fix re-plans the
-    # whole shingle family (values bit-identical, substrate changed) —
-    # representatives re-pinned for fresh driver rows
-    "text_ngram_novelty",
-    "dedup_minhash",
-    "corpus_dedup_keep_best",
-    "dedup_cluster_components",
-    # r8c: kmeans|| phi audit merged into one scan
-    "corpus_kmeanspp_init",
-    # r8d: knn blocking k fixed→footer-sized ⌈n/64⌉ (values change at
-    # sf0.1+; at sf0.01 the dynamic k resolves to the historical 8)
-    "corpus_knn_classify",
-    # r8d: contrastive negative buckets fixed 16→footer-sized ⌈n/32⌉
-    # (values change at sf0.1+; resolves to 16 at sf0.01)
-    "corpus_contrastive_pairs",
-    # r8e: winnowing moved to the Arrow scan substrate (values
-    # bit-identical, substrate changed — the r8b shingle precedent)
-    "corpus_winnow_fingerprint",
+    # (r8 rewrites — GEMM assignment substrate, two-pass ntile rank,
+    # shingle-family CSE fix, footer-sized knn/contrastive/winnow —
+    # all re-verified green in CORRECTNESS_r08, pruned r9: the
+    # docstring's own drop rule.)
+    # r9: simhash band width fixed 8-bit → footer-sized (the last
+    # documented-but-unwired fixed-denominator quadratic, r8 verdict
+    # task 1; resolves to the historical 32-bit/8-bit-band config at
+    # driver scales, widens past ~131k docs)
+    "dedup_simhash",
 )
 
 
 def _reorder_registry() -> None:
-    verified = _driver_verified()
+    green_rounds = _driver_green_rounds()
+    verified = set(green_rounds)
     order = list(REGISTRY.items())
 
     pinned = [n for n in _REPIN_REWRITTEN if n in REGISTRY]
@@ -294,7 +273,19 @@ def _reorder_registry() -> None:
                 ordered.append(q.pop(0))
             queues = [q for q in queues if q]
 
-    ordered.extend(name for name, _q in order if name in verified)
+    # r9 stale-row rotation (verdict task 5): verified names follow,
+    # OLDEST driver signature first (ties break by registration
+    # order), so whatever window space remains after the pins and the
+    # unverified backlog re-signs the registry's stalest rows; each
+    # round's CORRECTNESS file pushes the re-signed names back, and
+    # the next-stalest rotate in by themselves.
+    reg_pos = {name: i for i, (name, _q) in enumerate(order)}
+    ordered.extend(
+        sorted(
+            (name for name, _q in order if name in verified and name not in pinned),
+            key=lambda n: (green_rounds[n], reg_pos[n]),
+        )
+    )
     by_name = dict(order)
     REGISTRY.clear()
     for name in ordered:

@@ -24,8 +24,14 @@ from spark_query_engine.queries import load, query
 #: engine from the parquet footer via ``_n_planes``.
 _MAX_PLANES = 24
 _PLANES = S.random_hyperplanes(n_planes=_MAX_PLANES, dim=64, seed=7)
+#: Both the Python side and the SQL scalar subquery clamp to the
+#: superset bound (and guard the empty-corpus LOG2(0)) so the
+#: degradation past ~2^24·64 rows — bucket occupancy grows past the
+#: documented ~64 once the superset is exhausted — is explicit and
+#: engine/oracle stay bit-consistent on every corpus size including 0.
 _NPLANES_EXPR = (
-    "(SELECT GREATEST(8, CAST(CEIL(LOG2((COUNT(*) + 63) // 64)) AS BIGINT))"
+    f"(SELECT LEAST({_MAX_PLANES}, GREATEST(8, "
+    "CAST(CEIL(LOG2(GREATEST(1, (COUNT(*) + 63) // 64))) AS BIGINT)))"
     " FROM embeddings)"
 )
 
@@ -33,7 +39,7 @@ _NPLANES_EXPR = (
 def _n_planes(n: int) -> int:
     import math
 
-    return max(8, math.ceil(math.log2(max(1, (n + 63) // 64))))
+    return min(_MAX_PLANES, max(8, math.ceil(math.log2(max(1, (n + 63) // 64)))))
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:

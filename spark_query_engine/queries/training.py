@@ -469,7 +469,8 @@ def corpus_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: zero shuffle — the selection happens inside the scan (the
     ``winnow_fingerprints`` substrate dispatch: per-row array runs
-    while small, one Arrow-batched mapInPandas past 20k docs — both
+    while small, one Arrow-batched mapInPandas past
+    ``WINNOW_ARROW_MIN_DOCS`` (2,000) docs — both
     bit-identical, property-tested); only the selected positions
     (density 2/(w+1)) leave it, into one per-doc count. Output
     verifies the per-doc fingerprint count and density against the
@@ -2814,13 +2815,19 @@ def corpus_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_KPP_ROUNDS,
         l=_KPP_L,
     )
-    return v.select(
-        "center_id",
-        F.col("round_added").cast("bigint").alias("round_added"),
-        "weight",
-        F.col("rk").cast("bigint").alias("rk"),
-        "n_candidates",
-        "phi_ratio_naive",
+    # carry v's cache through to the consumer's collect: the deferred
+    # φ-audit branch (r8c job merge) re-reads the vector cache at
+    # action time, after this function has already returned
+    return carry_caches(
+        v.select(
+            "center_id",
+            F.col("round_added").cast("bigint").alias("round_added"),
+            "weight",
+            F.col("rk").cast("bigint").alias("rk"),
+            "n_candidates",
+            "phi_ratio_naive",
+        ),
+        v,
     )
 
 

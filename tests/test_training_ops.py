@@ -73,8 +73,9 @@ def test_winnow_matches_sequential(spark, docs):
         for (pos, h) in _winnow_sequential(d, k=3, w=3)
     }
     assert got == want
-    # the Arrow substrate (forced via n_hint past the 20k-doc
-    # dispatch) must select the exact same set — bit-identical hex,
+    # the Arrow substrate (forced via n_hint past the
+    # WINNOW_ARROW_MIN_DOCS dispatch) must select the exact same
+    # set — bit-identical hex,
     # same tie semantics on the same tiny-alphabet tie-heavy corpus
     arrow = {
         (r["id"], r["pos"], r["h"])

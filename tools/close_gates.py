@@ -63,6 +63,20 @@ def gate_registry_docs() -> list[str]:
         errs.append(
             f"COVERAGE.md says {m.group(1)} queries but registry has {len(qs)}"
         )
+
+    # r9 (r8 verdict task 7): every "N-entry ... allowlist" mention in
+    # the docs must match len(GLOBAL_WINDOW_ALLOWLIST) — the r8 prose
+    # said 18 while the gate held 17; count drift is now mechanical.
+    for doc in ("SCALING.md", "COVERAGE.md", "SURVEY.md"):
+        p = ROOT / doc
+        if not p.exists():
+            continue
+        for m in re.finditer(r"(\d+)-entry[^.]{0,80}allowlist", p.read_text()):
+            if int(m.group(1)) != len(GLOBAL_WINDOW_ALLOWLIST):
+                errs.append(
+                    f"{doc} says '{m.group(0)}' but GLOBAL_WINDOW_ALLOWLIST "
+                    f"has {len(GLOBAL_WINDOW_ALLOWLIST)} entries"
+                )
     return errs
 
 
