@@ -298,6 +298,55 @@ def verify_jaccard(
     )
 
 
+def minhash_collision_prob(j: float, num_hashes: int, bands: int) -> float:
+    """The banding S-curve: P(some band collides | jaccard = j) =
+    1 − (1 − j^r)^b with r = num_hashes/bands rows per band
+    (Leskovec/Rajaraman/Ullman, MMDS ch. 3 — exact for independent
+    min-wise hashes). The measured sf0.3 grid in SCALING.md
+    ("minhash recall grid", r9) tracks it on the replica corpus."""
+    r = num_hashes // bands
+    return 1.0 - (1.0 - j**r) ** bands
+
+
+def minhash_config(
+    threshold: float,
+    recall_target: float = 0.9,
+    rows_per_band: int = 4,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """Price the banding recall trade: the smallest (num_hashes,
+    bands) at the given curve SHARPNESS (``rows_per_band`` — more
+    rows per band = sharper S-curve = fewer sub-threshold candidates
+    leak into the exact-Jaccard verify; 4 is the historical default)
+    whose collision probability at jaccard = ``threshold`` meets
+    ``recall_target``. Bands buy recall linearly in cost — each band
+    is one more candidate self-join key per doc — so the returned
+    config IS the price of the requested recall.
+
+    The fixed 16/4 config this replaces as a hand-picked constant
+    sits at P(0.6) ≈ 0.43, P(0.8) ≈ 0.88, P(0.95) ≈ 0.9988 on this
+    curve — fine for the ≥0.95-j planted-dup regime, the documented
+    mid-j trade otherwise; ``minhash_config(0.6, 0.9)`` → (68, 17)
+    prices that trade away explicitly instead of re-deriving the
+    curve per pipeline. Raises if the target needs more than
+    ``max_hashes`` (threshold too low for the hash budget)."""
+    if not 0.0 < threshold < 1.0 or not 0.0 < recall_target < 1.0:
+        raise ValueError("threshold and recall_target must be in (0, 1)")
+    import math
+
+    p_band = threshold**rows_per_band  # P(one band collides)
+    # smallest b with 1 - (1 - p_band)^b >= recall_target
+    b = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_band))
+    b = max(1, b)
+    if b * rows_per_band > max_hashes:
+        raise ValueError(
+            f"recall {recall_target} at jaccard {threshold} needs "
+            f"{b} bands × {rows_per_band} rows = {b * rows_per_band} hashes "
+            f"> max_hashes={max_hashes}"
+        )
+    return b * rows_per_band, b
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -342,18 +391,56 @@ def minhash_near_duplicates(
 # --- SimHash ---------------------------------------------------------------
 
 
+#: The simhash token-hash SUPERSET: 15 hex chars of md5 = 60 bits, the
+#: widest prefix that stays inside a signed 64-bit integer in BOTH
+#: engines (DuckDB's ('0x'||…)::BIGINT and Spark's conv(…,16,10)
+#: cast long). A `bits`-wide fingerprint votes on the TOP `bits` of
+#: the 60 — so every narrower fingerprint is a bit-exact function of
+#: the same hashes (bits=32 ≡ the historical first-8-hex-chars hash),
+#: the prefix-stability contract the footer-sized band width needs.
+SIMHASH_SUPERSET_BITS = 60
+
+#: Per-band occupancy target for the footer-sized band width: with
+#: 2^width ≈ n/64 each band's random-collision candidate count stays
+#: ~32·n·blocks — linear — instead of the fixed-8-bit n²·blocks/256
+#: quadratic term (invisible below ~1e6 docs, ruinous at corpus
+#: scale). Same sizing family as the LSH plane count (similarity.py).
+SIMHASH_BAND_TARGET = 64
+
+
+def simhash_band_bits(n: int, blocks: int = 4) -> int:
+    """Footer-sized band width: max(8, ⌈log₂⌈n/64⌉⌉), clamped so
+    blocks·width never exceeds the 60-bit hash superset. Resolves to
+    the historical 8 below ~16k docs (ceil(n/64) <= 2^8); past the clamp (~2.1M docs at
+    blocks=4) per-band occupancy degrades explicitly — the same
+    documented superset-exhaustion contract as the 24-plane LSH cap."""
+    import math
+
+    cap = SIMHASH_SUPERSET_BITS // blocks
+    return min(cap, max(8, math.ceil(math.log2(max(1, (n + 63) // 64)))))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over distinct whitespace tokens. Token hash =
-    first 8 hex chars of md5 (a 32-bit value — portable); simhash bit
-    b is the sign of the ±1 vote sum. One explode + one aggregation
-    with `bits` integer-sum columns (all codegen'd)."""
+    the TOP ``bits`` of the 60-bit md5 15-hex-char prefix (at the
+    default bits=32 this IS the historical first-8-hex-chars 32-bit
+    value — portable across engines); simhash bit b is the sign of
+    the ±1 vote sum. One explode + one aggregation with `bits`
+    integer-sum columns (all codegen'd)."""
+    assert 1 <= bits <= SIMHASH_SUPERSET_BITS
     toks = (
         widen(df).select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
         )
         .where(F.col("tok") != "")
-        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+        .withColumn(
+            "h",
+            F.shiftright(
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+                SIMHASH_SUPERSET_BITS - bits,
+            ),
+        )
     )
     votes = toks.groupBy("id").agg(
         *[
@@ -379,14 +466,34 @@ def simhash_near_duplicates(
     max_distance: int = 3,
     bits: int = 32,
     blocks: int = 4,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Hamming-distance near-dups with pigeonhole blocking: split the
-    simhash into ``blocks`` byte-bands; any pair within
+    simhash into ``blocks`` equal bands; any pair within
     ``max_distance < blocks`` Hamming must agree on ≥1 band, so the
-    band equi-join has exact recall (not probabilistic, unlike
-    MinHash-LSH). Returns (id_a, id_b, hamming)."""
+    band equi-join has exact recall AT EVERY band width (not
+    probabilistic, unlike MinHash-LSH). Returns (id_a, id_b, hamming).
+
+    Footer-sized band width (r9): pass ``n_hint`` (the corpus row
+    count, from parquet footer metadata) and the band width becomes
+    ``simhash_band_bits(n)`` — the fingerprint widens to
+    blocks·width bits so each band's random-collision rate tracks
+    ~SIMHASH_BAND_TARGET·n instead of the fixed-width n²·blocks/2^w
+    quadratic. Below ~16k docs this resolves to width 8 /
+    bits 32 — bit-identical to the historical fixed config (the
+    wider hash's top 32 bits ARE the historical 32-bit hash, so the
+    votes, the fingerprint, and the Hamming distances all coincide).
+    Past the clamp (~2.1M docs) occupancy degrades explicitly, the
+    documented superset-exhaustion contract. The reported ``hamming``
+    is over the ACTIVE fingerprint: at driver scales exactly the
+    historical 32-bit distance; at widened scales the blocks·width-bit
+    distance, with the oracle deriving the same width from COUNT(*)."""
     assert max_distance < blocks, "pigeonhole recall needs max_distance < blocks"
-    width = bits // blocks
+    if n_hint is not None:
+        width = simhash_band_bits(n_hint, blocks)
+        bits = blocks * width
+    else:
+        width = bits // blocks
     mask = (1 << width) - 1
     # both sides of the block self-join read the simhash relation;
     # persist so the token explode + 32-column vote agg runs once

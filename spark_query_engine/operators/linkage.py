@@ -22,10 +22,10 @@ killer (every row through one task), so :func:`global_rank` uses the
 standard two-pass distributed ranking: range-partition by the key,
 rank WITHIN each partition (a partition-parallel window), count rows
 per partition (a #partitions-row aggregate), prefix-sum those counts
-on the driver (bounded, scalar-only driver state — the repo's model
-discipline), and add the partition offset back with a broadcast join.
-The window band-join that follows is rank-arithmetic — an equi/range
-join on integers, never all-pairs.
+into offsets — as a tiny triangular self-join RELATION broadcast back
+(r9: no driver collect, so ranking adds zero jobs beyond the one
+checkpoint materialization). The window band-join that follows is
+rank-arithmetic — an equi/range join on integers, never all-pairs.
 """
 
 from __future__ import annotations
@@ -35,11 +35,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: Target rows per range partition for a footer-sized global rank:
+#: small relations rank in few tasks (per-task overhead, not data,
+#: dominates them), corpus-scale relations fan out data-
+#: proportionally — the pack-family ⌈n/target⌉ pattern.
+RANK_ROWS_PER_PARTITION = 65536
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Dense 1-based global rank by ``order_cols`` without a
     single-partition window.
@@ -47,35 +55,49 @@ def global_rank(
     Two-pass distributed ranking: ``repartitionByRange`` places rows
     in globally ordered partitions, ``row_number`` partitioned by
     ``spark_partition_id()`` ranks locally in parallel, and the
-    per-partition row counts (collected to the driver — one long per
-    partition) prefix-sum into offsets that a broadcast join adds
-    back.  The ranked relation is localCheckpoint-ed first so the
-    count job and the rank job see the SAME physical partitioning
-    (range boundaries are sampled and would otherwise be free to
-    differ between jobs).
+    per-partition row counts prefix-sum into offsets that a broadcast
+    join adds back. The ranked relation is localCheckpoint-ed first
+    so the count branch and the rank branch see the SAME physical
+    partitioning (range boundaries are sampled and would otherwise be
+    free to differ between evaluations).
+
+    r9 (the r8c job-merge discipline): the offsets stay a RELATION —
+    the #partitions-row count aggregate prefix-sums via a tiny
+    triangular self-join (p² pairs of longs, p = partition count)
+    and broadcast-joins back, so the ranking adds ZERO driver jobs
+    beyond the one checkpoint materialization; the old per-call
+    ``collect`` paid a full job per ranked relation. Everything
+    downstream of the checkpoint is deterministic, so consumers may
+    reference the result many times (band joins read it twice)
+    without re-materializing.
+
+    ``rows_hint`` (parquet-footer row count) footer-sizes the range
+    partition count to ⌈rows/65536⌉ — a handful of tasks for the
+    catalog-scale relations the linkage queries rank, data-
+    proportional fan-out at corpus scale; without it the session
+    default parallelism is used.
 
     ``order_cols`` must be a total order (unique key tuples) for the
     rank — and anything downstream that is hash-verified — to be
     deterministic.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is not None:
+        n = num_partitions
+    elif rows_hint is not None:
+        n = max(1, -(-rows_hint // RANK_ROWS_PER_PARTITION))
+    else:
+        n = df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    # one row per partition — bounded driver state, like the CC
-    # fixpoint signature (operators/dedup.py) and k-row centroids.
-    counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    ca, cb = counts.alias("ca"), counts.alias("cb")
     off = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "pid int, _offset long")
+        ca.join(cb, F.col("cb._pid") < F.col("ca._pid"), "left")
+        .groupBy(F.col("ca._pid").alias("pid"))
+        .agg(F.coalesce(F.sum("cb._cnt"), F.lit(0)).alias("_offset"))
     )
     local = F.row_number().over(
         Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])

@@ -80,21 +80,37 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
+    # The band width — and with it the fingerprint width 4·w — is
+    # derived from COUNT(*) by BOTH engines (the engine from the
+    # parquet footer, the oracle via the nw scalar subquery): the
+    # same CEIL∘LOG2-of-an-exact-integer contract as the LSH plane
+    # count. Token hash = top 4·w bits of the 60-bit md5 prefix; at
+    # w=8 that is exactly the historical first-8-hex-chars hash, so
+    # driver-scale results are bit-identical to the fixed config.
     oracle="""
-        WITH toks AS (
+        WITH nw AS (
+            SELECT LEAST(15, GREATEST(8,
+                CAST(CEIL(LOG2(GREATEST(1, (COUNT(*) + 63) // 64))) AS BIGINT)
+            )) AS w
+            FROM documents
+        ),
+        toks AS (
             SELECT DISTINCT doc_id, tok FROM (
                 SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
                 FROM documents
             ) WHERE tok <> ''
         ),
         th AS (
-            SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                       >> (60 - 4 * (SELECT w FROM nw)) AS h
             FROM toks
         ),
         bits AS (
             SELECT doc_id, bb.b AS b,
                    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-            FROM th, (SELECT UNNEST(range(0, 32)) AS b) bb
+            FROM th,
+                 (SELECT UNNEST(range(0, 4 * (SELECT w FROM nw))) AS b) bb
             GROUP BY doc_id, bb.b
         ),
         sim AS (
@@ -109,17 +125,25 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (32-bit, Hamming ≤ 3) with pigeonhole
-    byte-band blocking — recall is EXACT (distance ≤3 over 4 bands ⇒
-    ≥1 band equal), so the banded Spark plan provably equals the
-    oracle's brute force."""
+    """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole band
+    blocking — recall is EXACT at every band width (distance ≤3 over
+    4 bands ⇒ ≥1 band equal), so the banded Spark plan provably
+    equals the oracle's brute force.
+
+    Scale (r9): the band width is FOOTER-SIZED — max(8, ⌈log₂⌈n/64⌉⌉)
+    bits per band, fingerprint 4·w bits — killing the fixed-8-bit
+    config's n²·blocks/256 background-collision term (the last
+    documented-but-unwired fixed-denominator quadratic from the r8
+    audit, SCALING.md). Resolves to the historical 32-bit/byte-band
+    config at sf0.01 (500 docs) and sf0.1 (5k docs); widens to 10-bit
+    bands at the ~50k-doc sf1 replica corpus."""
     return D.simhash_near_duplicates(
         load(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         max_distance=3,
-        bits=32,
         blocks=4,
+        n_hint=footer_rows(spark, sf_dir, "documents"),
     )
 
 

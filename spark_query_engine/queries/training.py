@@ -765,15 +765,18 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping merge fold — as recursive CTEs, so the iterative
     trainer is hash-verified end to end, not just row-counted.
 
-    Scale: see ``operators/textanalysis.bpe_train`` — work is keyed on
-    the word-TYPE relation (|vocab|, not corpus size), pair counting
-    is a map-side-combined hash agg, the winning pair is the only
-    driver state (1 row/round), and merge application is a codegen'd
-    ``aggregate`` fold with zero shuffle."""
-    from spark_query_engine.operators.textanalysis import bpe_train
+    Scale: see ``operators/textanalysis.bpe_train_lazy`` — work is
+    keyed on the word-TYPE relation (|vocab|, not corpus size), pair
+    counting is a map-side-combined hash agg, each round's winning
+    pair is a 1-row BROADCAST RELATION riding back into the merge
+    fold (r9 job merge: zero per-round driver collects — the whole
+    merge cascade evaluates as one multi-stage job at the consumer's
+    action), and merge application is a codegen'd ``aggregate`` fold
+    with zero shuffle."""
+    from spark_query_engine.operators.textanalysis import bpe_train_lazy
 
     docs = load(spark, sf_dir, "documents")
-    toks, _merges = bpe_train(docs, "text", rounds=_BPE_ROUNDS)
+    toks, _merges_df = bpe_train_lazy(docs, "text", rounds=_BPE_ROUNDS)
     return carry_caches(
         toks.select(
             F.col("w").alias("word"),
@@ -7972,10 +7975,20 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = names.select(
         "name", F.col("name").alias("orig"), F.lit("a").alias("src")
     ).unionByName(corrupted)
-    ranked = L.global_rank(u, ["name", "src", "orig"], rank_col="rk")
+    ranked = L.global_rank(
+        u,
+        ["name", "src", "orig"],
+        rank_col="rk",
+        rows_hint=2 * footer_rows(spark, sf_dir, "part"),
+    )
     # duplicate the rank into a payload column: sorted_neighborhood_
-    # pairs keeps every column EXCEPT the rank it bands on
-    ranked = ranked.withColumn("rid", F.col("rk")).localCheckpoint()
+    # pairs keeps every column EXCEPT the rank it bands on. Lazy
+    # persist, not eager localCheckpoint (r9 — the r8 driver-run
+    # regression adjudication): everything past global_rank's internal
+    # checkpoint is deterministic, so the three consumers (both band-
+    # join sides, the label join) share the cache populated by the
+    # final action instead of paying a separate materialization job.
+    ranked = ranked.withColumn("rid", F.col("rk")).persist()
     pairs = L.sorted_neighborhood_pairs(ranked, 8, rank_col="rk")
     matched = pairs.where(
         (F.substring("a_name", 1, 4) == F.substring("b_name", 1, 4))
@@ -8004,13 +8017,16 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("src").alias("n_sources"),
         F.countDistinct("orig").alias("n_origs"),
     )
-    return census.join(canon, "component").select(
-        "component",
-        "n_records",
-        "n_sources",
-        "n_origs",
-        (F.col("n_origs") == 1).alias("is_pure"),
-        "canonical_name",
+    return release_on_drop(
+        census.join(canon, "component").select(
+            "component",
+            "n_records",
+            "n_sources",
+            "n_origs",
+            (F.col("n_origs") == 1).alias("is_pure"),
+            "canonical_name",
+        ),
+        ranked,
     )
 
 

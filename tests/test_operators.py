@@ -65,6 +65,68 @@ def test_simhash_near_duplicates(docs):
     assert (1, 2) in pairs  # one-token difference → tiny hamming
 
 
+def test_minhash_config_prices_recall():
+    """r9: the banding recall knob — pin the S-curve picks so the
+    priced points in SCALING.md's measured grid cannot drift from
+    the selector."""
+    import pytest
+
+    assert D.minhash_config(0.6, 0.9) == (68, 17)
+    assert D.minhash_config(0.6, 0.75) == (40, 10)
+    assert D.minhash_config(0.6, 0.99) == (136, 34)
+    assert D.minhash_config(0.8, 0.9) == (20, 5)
+    assert D.minhash_config(0.95, 0.9) == (8, 2)
+    # the curve itself: the fixed 16/4 config's documented points
+    assert round(D.minhash_collision_prob(0.6, 16, 4), 3) == 0.426
+    assert round(D.minhash_collision_prob(0.95, 16, 4), 4) == 0.9988
+    # every pick actually meets its target on the analytic curve
+    for t, rho in [(0.5, 0.9), (0.6, 0.75), (0.6, 0.99), (0.9, 0.95)]:
+        h, b = D.minhash_config(t, rho)
+        assert D.minhash_collision_prob(t, h, b) >= rho
+    with pytest.raises(ValueError):
+        D.minhash_config(0.2, 0.99, max_hashes=64)  # budget exceeded
+
+
+def test_simhash_band_width_footer_sizing(docs):
+    """r9: the band width is footer-sized (the LSH-plane pattern) —
+    pin the crossovers and the superset clamp, and assert the
+    prefix-stability contract at driver scales."""
+    # historical 8-bit bands hold through ceil(n/64) <= 2^8 docs
+    assert D.simhash_band_bits(1) == 8
+    assert D.simhash_band_bits(500) == 8  # sf0.01
+    assert D.simhash_band_bits(5000) == 8  # sf0.1
+    assert D.simhash_band_bits(16384) == 8
+    assert D.simhash_band_bits(16385) == 9  # exact crossover
+    assert D.simhash_band_bits(50000) == 10  # the sf1 replica corpus
+    assert D.simhash_band_bits(2_097_152) == 15
+    assert D.simhash_band_bits(10**12) == 15  # explicit superset clamp
+    # a footer-sized call below the crossover is BIT-IDENTICAL to the
+    # historical fixed config (top 32 bits of the 60-bit token hash
+    # are the first-8-hex-chars hash; votes and distances coincide)
+    fixed = D.simhash_near_duplicates(docs, "doc_id", "text", max_distance=3)
+    sized = D.simhash_near_duplicates(
+        docs, "doc_id", "text", max_distance=3, n_hint=5
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])  # noqa: E731
+    assert sorted(map(key, fixed.collect())) == sorted(map(key, sized.collect()))
+
+
+def test_simhash_wide_fingerprint_prefix(docs):
+    """The widened fingerprint is a bit-superset of the historical
+    one: simhash(bits=40) >> 8 == simhash(bits=32) (both vote on hash
+    bits 28..60 in those positions), and pigeonhole recall stays
+    exact at widened widths (the identical pair is found at
+    hamming 0)."""
+    s32 = {r["id"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text", bits=32).collect()}
+    s40 = {r["id"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text", bits=40).collect()}
+    assert s32 and {i: v >> 8 for i, v in s40.items()} == s32
+    out = D.simhash_near_duplicates(
+        docs, "doc_id", "text", max_distance=3, n_hint=10**6  # width 14
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 4)] == 0
+
+
 def test_ngram_jaccard(docs):
     out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=4, kind="word", threshold=0.5)
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}

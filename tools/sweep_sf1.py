@@ -1,0 +1,177 @@
+"""Standing sf1 value-equality sweep over the banded/blocked families
+(r8 verdict task 6).
+
+The per-round driver gate runs at sf0.01 and the bench at sf0.1 —
+scales where every banded family resolves to its historical small-n
+config, so a banding/blocking semantics drift that only shows at
+larger n is invisible to both (the r8 ad-hoc sf1 checks caught exactly
+such a miss in `corpus_contrastive_pairs`'s fixed-bucket negatives).
+This tool promotes those checks to a standing sweep: run each family
+representative on Spark AND its DuckDB oracle at a replica-scaled dir
+(default ``.scaling_data/sf1``) and classify:
+
+- ``MATCH``  — exact value equality (the dtype-strict driver mirror).
+- ``SUBSET`` — engine rows are a proper multiset-subset of oracle
+  rows: the documented probabilistic-recall trade of a banded
+  candidate generator (MinHash S-curve misses; acceptable IF the
+  query's docs price it). Reports missed-row counts so the trade
+  stays measured, never silent.
+- ``MISS``   — anything else (engine rows absent from the oracle,
+  value skew, schema drift): a defect, becomes a round task.
+
+Only tables present in the dir are registered; queries touching
+absent tables are reported ``SKIP``. Results are committed per round
+in SCALING.md (grep "sf1 sweep").
+
+Usage:  python tools/sweep_sf1.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from check_correctness import TABLES, compare, normalize  # noqa: E402
+
+#: The banded / blocked / probabilistic-candidate families — every
+#: query whose candidate generation involves banding, bucketing, or
+#: blocking whose geometry is footer-sized from n (so its behavior at
+#: sf1 differs from the driver scales).
+BANDED_FAMILIES = [
+    # MinHash-LSH banding
+    "dedup_minhash",
+    "dedup_threshold_sweep",
+    "corpus_dedup_keep_best",
+    "dedup_cluster_components",
+    "corpus_contrastive_pairs",
+    # SimHash pigeonhole bands (footer-sized width, r9)
+    "dedup_simhash",
+    # CP-LSH planes (footer-sized arity)
+    "ann_cp_topk",
+    "dedup_cp_band_balance",
+    "dedup_embedding_cosine",
+    "dedup_embedding_scaled",
+    # random-hyperplane LSH (footer-sized plane count)
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    # IVF (footer-sized nlist)
+    "corpus_ivf_learned",
+    "corpus_ivf_occupancy",
+    "ann_ivf_topk",
+    "ann_ivf_pq_topk",
+    # k-means blocking (k ∝ n)
+    "corpus_semdedup",
+    "corpus_knn_classify",
+    # prefix-banded containment / shingle joins
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+]
+
+
+def classify(spark_pdf, duck_pdf) -> tuple[str, str]:
+    """MATCH / SUBSET / MISS with a one-line detail."""
+    ok, msg = compare(spark_pdf, duck_pdf)
+    if ok:
+        return "MATCH", f"{len(spark_pdf)} rows"
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return "MISS", msg
+    try:
+        a, b = normalize(spark_pdf), normalize(duck_pdf)
+    except TypeError:
+        return "MISS", msg
+    if a.dtypes.to_dict() != b.dtypes.to_dict():
+        return "MISS", msg
+    # multiset containment on row tuples
+    from collections import Counter
+
+    ca = Counter(map(tuple, a.itertuples(index=False)))
+    cb = Counter(map(tuple, b.itertuples(index=False)))
+    extra = ca - cb
+    missing = cb - ca
+    if not extra and missing:
+        return "SUBSET", (
+            f"engine {len(a)} ⊂ oracle {len(b)} rows "
+            f"(missed {sum(missing.values())} — banding recall trade)"
+        )
+    return "MISS", (
+        f"{sum(extra.values())} engine rows not in oracle, "
+        f"{sum(missing.values())} oracle rows not in engine"
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(
+        Path(__file__).resolve().parent.parent / ".scaling_data" / "sf1"
+    )
+    only = list(sys.argv[2:]) or BANDED_FAMILIES
+
+    from spark_query_engine import queries as registry
+    from spark_query_engine.session import get_session
+
+    spark = get_session("sf1_sweep")
+
+    present = [t for t in TABLES if Path(f"{sf_dir}/{t}.parquet").exists()]
+    con = duckdb.connect()
+    for t in present:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    counts = {"MATCH": 0, "SUBSET": 0, "MISS": 0, "SKIP": 0}
+    for name in only:
+        if name not in qs:
+            print(f"SKIP {name}: not in registry")
+            counts["SKIP"] += 1
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:
+            first = str(e).splitlines()[0] if str(e) else type(e).__name__
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                print(f"SKIP {name}: table absent from {sf_dir}")
+                counts["SKIP"] += 1
+            else:
+                print(f"MISS {name}: spark error\n{traceback.format_exc()}")
+                counts["MISS"] += 1
+            continue
+        finally:
+            spark.catalog.clearCache()
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)})")
+            counts["SKIP"] += 1
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as e:
+            first = str(e).splitlines()[0] if str(e) else type(e).__name__
+            if "No files found" in str(e) or "does not exist" in str(e):
+                print(f"SKIP {name}: oracle table absent from {sf_dir}")
+                counts["SKIP"] += 1
+            else:
+                print(f"MISS {name}: duckdb error: {first}")
+                counts["MISS"] += 1
+            continue
+        status, msg = classify(spark_pdf, duck_pdf)
+        counts[status] += 1
+        print(f"{status} {name}: {msg} ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\nsf1 sweep @ {sf_dir}: "
+        f"{counts['MATCH']} MATCH, {counts['SUBSET']} SUBSET, "
+        f"{counts['MISS']} MISS, {counts['SKIP']} SKIP"
+    )
+    return 1 if counts["MISS"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
