@@ -3000,7 +3000,10 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(corrupted)
     # checkpoint so the band self-join's two branches reuse one ranking
     # pass (and the n_names count below rides the same materialization)
-    ranked = L.global_rank(u, ["name", "src", "orig"], rank_col="rk").localCheckpoint()
+    ranked = L.global_rank(
+        u, ["name", "src", "orig"], rank_col="rk",
+        rows_hint=2 * footer_rows(spark, sf_dir, "part"),
+    ).localCheckpoint()
     n_names = ranked.where(F.col("src") == "b").count()
     pairs = L.sorted_neighborhood_pairs(ranked, max(_SN_WINDOWS), rank_col="rk")
     cross = F.col("a_src") != F.col("b_src")
@@ -5604,7 +5607,8 @@ def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
     )
     g = L.global_rank(d.select("n_chars", "doc_id"), ["n_chars", "doc_id"],
-                      rank_col="pos").select(
+                      rank_col="pos",
+                      rows_hint=footer_rows(spark, sf_dir, "documents")).select(
         F.col("n_chars").alias("val"), "pos"
     )
     n = d.agg(F.count(F.lit(1)).alias("total"))
@@ -5792,7 +5796,10 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = names.select(
         "name", F.col("name").alias("orig"), F.lit("a").alias("src")
     ).unionByName(corrupted)
-    ranked = L.global_rank(u, ["name", "src", "orig"], rank_col="rk")
+    ranked = L.global_rank(
+        u, ["name", "src", "orig"], rank_col="rk",
+        rows_hint=2 * footer_rows(spark, sf_dir, "part"),
+    )
     pairs = L.sorted_neighborhood_pairs(ranked, _FS_W, rank_col="rk")
     fe = pairs.select(
         F.when(
@@ -6726,7 +6733,10 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = ev.where(F.col("is_ref")).select("value", "event_id")
     cur = ev.where(~F.col("is_ref")).select("value")
-    rr = L.global_rank(ref, ["value", "event_id"], rank_col="rk")
+    rr = L.global_rank(
+        ref, ["value", "event_id"], rank_col="rk",
+        rows_hint=footer_rows(spark, sf_dir, "events"),
+    )
     n_ref = rr.agg(F.count(F.lit(1)).alias("n"))
     bounds = (
         rr.crossJoin(F.broadcast(n_ref))
