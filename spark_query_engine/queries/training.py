@@ -765,18 +765,17 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping merge fold — as recursive CTEs, so the iterative
     trainer is hash-verified end to end, not just row-counted.
 
-    Scale: see ``operators/textanalysis.bpe_train_lazy`` — work is
-    keyed on the word-TYPE relation (|vocab|, not corpus size), pair
-    counting is a map-side-combined hash agg, each round's winning
-    pair is a 1-row BROADCAST RELATION riding back into the merge
-    fold (r9 job merge: zero per-round driver collects — the whole
-    merge cascade evaluates as one multi-stage job at the consumer's
-    action), and merge application is a codegen'd ``aggregate`` fold
-    with zero shuffle."""
-    from spark_query_engine.operators.textanalysis import bpe_train_lazy
+    Scale: see ``operators/textanalysis.bpe_train`` — work is keyed on
+    the word-TYPE relation (|vocab|, not corpus size), pair counting
+    is a map-side-combined hash agg, the winning pair is the only
+    driver state (1 row/round — vocab-scale jobs at any corpus size;
+    the r9 job-merge experiment measured the zero-collect cascade
+    SLOWER, see the operator docstring), and merge application is a
+    codegen'd ``aggregate`` fold with zero shuffle."""
+    from spark_query_engine.operators.textanalysis import bpe_train
 
     docs = load(spark, sf_dir, "documents")
-    toks, _merges_df = bpe_train_lazy(docs, "text", rounds=_BPE_ROUNDS)
+    toks, _merges = bpe_train(docs, "text", rounds=_BPE_ROUNDS)
     return carry_caches(
         toks.select(
             F.col("w").alias("word"),
