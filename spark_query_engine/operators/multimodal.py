@@ -544,36 +544,101 @@ def ahash_images(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(hash_batch, out_schema)
 
 
+def ahash_group_size(n: int, max_distance: int = 3) -> int:
+    """Footer-sized group width for the aHash multi-index blocking
+    (r9): unlike SimHash, the 64-bit aHash cannot WIDEN with the
+    corpus (the hash is the perceptual feature), so past the fixed
+    4×16-bit bands' n²·4/2¹⁶ collision term the blocking generalizes
+    to MULTI-INDEX HASHING (Norouzi, Punjani & Fleet, CVPR 2012):
+    split into 8 byte-bands and join on GROUPS of g bands (8·g-bit
+    keys). Pigeonhole: d ≤ max_distance errors dirty ≤ d bands,
+    leaving ≥ 8−d clean, so taking ALL C(8,g) combinations keeps
+    recall EXACT for every g ≤ 8−d. Returns the smallest g whose
+    expected bucket occupancy C(8,g)·n/2^(8g) stays ≤ 64:
+
+      g=2 → n ≤ ~1.0e6 (the historical 4 disjoint 16-bit bands)
+      g=3 → n ≤ ~1.9e7   g=4 → n ≤ ~3.9e9   g=5 → n ≤ ~1.25e12
+
+    Candidate volume at n=1e8 images: fixed bands ≈ 3e11 random
+    collisions; g=4 ≈ 8e7 — the price is a C(8,g)-key fan-out of the
+    ~10-byte hash relation, linear in n."""
+    import math
+
+    for g in range(2, 8 - max_distance + 1):
+        ngroups = 4 if g == 2 else math.comb(8, g)
+        if ngroups * n / float(1 << (8 * g)) <= 64:
+            return g
+    return 8 - max_distance
+
+
 def ahash_near_duplicates(
-    hashes: DataFrame, max_distance: int = 3, blocks: int = 4
+    hashes: DataFrame,
+    max_distance: int = 3,
+    blocks: int = 4,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs by Hamming distance over the 64-bit aHash,
-    with the same pigeonhole band blocking as
-    ``simhash_near_duplicates``: ``blocks`` 16-bit bands, any pair
-    within ``max_distance < blocks`` must agree on ≥1 band → the band
-    equi-join has EXACT recall. Returns (id_a, id_b, hamming)."""
-    assert max_distance < blocks, "pigeonhole recall needs max_distance < blocks"
-    width = 64 // blocks
-    mask = (1 << width) - 1
-    half_bands = blocks // 2
+    with pigeonhole blocking: by default ``blocks`` 16-bit bands, any
+    pair within ``max_distance < blocks`` must agree on ≥1 band → the
+    band equi-join has EXACT recall. Returns (id_a, id_b, hamming).
+
+    With ``n_hint`` (corpus row count from the parquet footer) the
+    blocking is footer-sized via :func:`ahash_group_size` multi-index
+    groups — at driver scales g=2 resolves to the 4 disjoint adjacent
+    byte-band pairs, whose keys are bit-identical to the historical
+    16-bit bands, so the plan and values are unchanged; at corpus
+    scale wider groups keep bucket occupancy ~64 where fixed 16-bit
+    bands collide n²/2¹⁶ random pairs. Recall is exact at EVERY g
+    (≥ 8−d clean bands always contain a clean g-subset), so results
+    are identical across schemes — pytest-asserted."""
     hs = hashes.persist()
-    banded = hs.select(
-        "id",
-        "h_lo",
-        "h_hi",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("h_lo"), i * width).bitwiseAND(mask)
-                    for i in range(half_bands)
-                ],
-                *[
-                    F.shiftright(F.col("h_hi"), i * width).bitwiseAND(mask)
-                    for i in range(half_bands)
-                ],
+    if n_hint is not None:
+        import itertools
+
+        g = ahash_group_size(n_hint, max_distance)
+        bands = [
+            F.shiftright(F.col("h_lo"), i * 8).bitwiseAND(255) for i in range(4)
+        ] + [
+            F.shiftright(F.col("h_hi"), i * 8).bitwiseAND(255) for i in range(4)
+        ]
+        groups = (
+            [(0, 1), (2, 3), (4, 5), (6, 7)]
+            if g == 2
+            else list(itertools.combinations(range(8), g))
+        )
+        keys = [
+            sum(
+                (bands[idx].cast("long") * F.lit(1 << (8 * j)) for j, idx in enumerate(grp)),
+                F.lit(0).cast("long"),
             )
-        ).alias("block_idx", "block_key"),
-    )
+            for grp in groups
+        ]
+        banded = hs.select(
+            "id", "h_lo", "h_hi",
+            F.posexplode(F.array(*keys)).alias("block_idx", "block_key"),
+        )
+    else:
+        assert max_distance < blocks, "pigeonhole recall needs max_distance < blocks"
+        width = 64 // blocks
+        mask = (1 << width) - 1
+        half_bands = blocks // 2
+        banded = hs.select(
+            "id",
+            "h_lo",
+            "h_hi",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("h_lo"), i * width).bitwiseAND(mask)
+                        for i in range(half_bands)
+                    ],
+                    *[
+                        F.shiftright(F.col("h_hi"), i * width).bitwiseAND(mask)
+                        for i in range(half_bands)
+                    ],
+                )
+            ).alias("block_idx", "block_key"),
+        )
     a, b = banded.alias("a"), banded.alias("b")
     hamming = (
         F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))

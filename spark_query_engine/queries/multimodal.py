@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from spark_query_engine.operators import multimodal as MM
-from spark_query_engine.queries import load, query
+from spark_query_engine.queries import footer_rows, load, query
 
 
 @query(
@@ -376,9 +376,11 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash dedup: build real binary PPM images (pixel bytes = the
     text's utf-8 bytes cycled into the 8x8 tile), fingerprint each
     with the integer-exact average-hash (``ahash_images``), and find
-    Hamming-≤3 pairs via pigeonhole band blocking
-    (``ahash_near_duplicates`` — 4x16-bit bands, EXACT recall, never
-    all-pairs).
+    Hamming-≤3 pairs via pigeonhole multi-index blocking
+    (``ahash_near_duplicates`` — footer-sized group width, r9: the 4
+    disjoint 16-bit bands at driver scales, C(8,g) byte-band groups
+    past ~1M images since the 64-bit aHash cannot widen like simhash;
+    EXACT recall at every width, never all-pairs).
 
     The oracle replays the whole pipeline from character codes:
     cycled pixel bytes → gray sums → cross-multiplied mean bits →
@@ -396,7 +398,9 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = MM.attach_ppm_payload(docs, "doc_id", "text")
     return MM.ahash_near_duplicates(
-        MM.ahash_images(payloads), max_distance=3, blocks=4
+        MM.ahash_images(payloads),
+        max_distance=3,
+        n_hint=footer_rows(spark, sf_dir, "documents"),
     )
 
 

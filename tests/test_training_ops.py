@@ -562,6 +562,26 @@ def test_image_ahash_blocking_has_exact_recall(spark):
                 want[(x, y)] = d
     assert got == want
 
+    # r9: the footer-sized multi-index schemes are EXACT at every
+    # group width — g=2 (disjoint pairs ≡ historical 16-bit bands),
+    # g=4 (C(8,4) byte-band groups, the ~1e9-image regime) both
+    # reproduce brute force on the same relation
+    for n_hint in (500, 10**9):
+        sized = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in MM.ahash_near_duplicates(
+                hs, max_distance=3, n_hint=n_hint
+            ).collect()
+        }
+        assert sized == want
+    # crossover pins for the group-size selector
+    assert MM.ahash_group_size(500) == 2
+    assert MM.ahash_group_size(1_048_576) == 2
+    assert MM.ahash_group_size(1_048_577) == 3
+    assert MM.ahash_group_size(10**9) == 4
+    assert MM.ahash_group_size(10**12) == 5
+    assert MM.ahash_group_size(10**14) == 5  # explicit 8-d clamp
+
 
 @given(
     train=st.lists(
