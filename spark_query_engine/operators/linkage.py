@@ -62,42 +62,51 @@ def global_rank(
     free to differ between evaluations).
 
     r9 (the r8c job-merge discipline): the offsets stay a RELATION —
-    the #partitions-row count aggregate prefix-sums via a tiny
-    triangular self-join (p² pairs of longs, p = partition count)
-    and broadcast-joins back, so the ranking adds ZERO driver jobs
-    beyond the one checkpoint materialization; the old per-call
-    ``collect`` paid a full job per ranked relation. Everything
-    downstream of the checkpoint is deterministic, so consumers may
-    reference the result many times (band joins read it twice)
-    without re-materializing.
+    the #partitions-row count aggregate prefix-sums via an
+    unpartitioned running-sum window over p rows and broadcast-joins
+    back, so the ranking adds ZERO driver jobs beyond the one
+    checkpoint materialization; the old per-call ``collect`` paid a
+    full job per ranked relation. The window's support is BOUNDED BY
+    CLUSTER, not data: p ≤ max(default parallelism, 4·parallelism
+    under ``rows_hint``) — every consumer query carries a
+    GLOBAL_WINDOW_ALLOWLIST entry citing this bound. (A triangular
+    p² self-join was tried first; the plan gate flagged its
+    BroadcastNestedLoopJoin, and p² is genuinely unbounded once p is
+    data-proportional.) Everything downstream of the checkpoint is
+    deterministic, so consumers may reference the result many times
+    (band joins read it twice) without re-materializing.
 
     ``rows_hint`` (parquet-footer row count) footer-sizes the range
-    partition count to ⌈rows/65536⌉ — a handful of tasks for the
-    catalog-scale relations the linkage queries rank, data-
-    proportional fan-out at corpus scale; without it the session
-    default parallelism is used.
+    partition count to ⌈rows/65536⌉ CLAMPED to [1, 4·parallelism] —
+    a handful of tasks for the catalog-scale relations the linkage
+    queries rank (per-task overhead dominates them), full cluster
+    fan-out at corpus scale with partitions that grow past 65k rows
+    only once the cluster is saturated (a per-partition SORT streams
+    and spills; it never holds the partition in memory).
 
     ``order_cols`` must be a total order (unique key tuples) for the
     rank — and anything downstream that is hash-verified — to be
     deterministic.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
     if num_partitions is not None:
         n = num_partitions
     elif rows_hint is not None:
-        n = max(1, -(-rows_hint // RANK_ROWS_PER_PARTITION))
+        n = min(max(1, -(-rows_hint // RANK_ROWS_PER_PARTITION)), 4 * par)
     else:
-        n = df.sparkSession.sparkContext.defaultParallelism
+        n = par
     ranged = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    ca, cb = counts.alias("ca"), counts.alias("cb")
+    run = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     off = F.broadcast(
-        ca.join(cb, F.col("cb._pid") < F.col("ca._pid"), "left")
-        .groupBy(F.col("ca._pid").alias("pid"))
-        .agg(F.coalesce(F.sum("cb._cnt"), F.lit(0)).alias("_offset"))
+        counts.select(
+            F.col("_pid").alias("pid"),
+            F.coalesce(F.sum("_cnt").over(run), F.lit(0)).alias("_offset"),
+        )
     )
     local = F.row_number().over(
         Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])

@@ -688,6 +688,16 @@ def test_headline_plans_have_no_scale_killers(spark):
         # semantics; at corpus scale quartiles come from
         # percentile_approx boundaries instead (documented trade)
         "window_ntile_cume",
+        # --- round 9: global_rank offsets became a relation ---
+        # running sum over the p-row partition-count aggregate,
+        # p ≤ 4·parallelism — bounded by CLUSTER, not data (see
+        # operators/linkage.py:global_rank and the matching
+        # GLOBAL_WINDOW_ALLOWLIST entries)
+        "pipeline_entity_resolution",
+        "linkage_sorted_neighborhood",
+        "linkage_fellegi_sunter",
+        "stats_psi_drift",
+        "corpus_quantile_normalize",
     }
 
     def global_windows(plan: str) -> list[str]:

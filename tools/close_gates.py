@@ -168,6 +168,21 @@ def gate_moment_widening() -> list[str]:
 GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "window_ntile_cume": "offsets running-sum over the P-row "
         "per-sort-partition count relation (P = parallelism)",
+    # r9: global_rank's partition-offset prefix sum became a relation
+    # (no per-call driver collect) — a running-sum window over the
+    # p-row count aggregate, p ≤ max(parallelism, 4·parallelism):
+    # bounded by CLUSTER, not data (operators/linkage.py:global_rank).
+    # Only the consumer below exposes that window to THIS walk — the
+    # other global_rank callers (pipeline_entity_resolution,
+    # linkage_sorted_neighborhood, linkage_fellegi_sunter,
+    # stats_psi_drift) persist/checkpoint the ranked relation, so
+    # their OPTIMIZED LOGICAL plan shows an InMemoryRelation/RDD-scan
+    # boundary instead (the physical-plan walk in
+    # tests/test_plans.py::test_headline_plans_have_no_scale_killers
+    # sees through the cache and allowlists them there).
+    "corpus_quantile_normalize": "global_rank offsets running-sum "
+        "over the p-row partition counts (p ≤ 4·parallelism — "
+        "cluster-bounded, never data-bounded)",
     "events_seasonal_decompose": "moving-average/cum windows on the "
         "bounded O(days) daily aggregate",
     "stats_qini_uplift": "cumulative gain over the bounded O(|score "
