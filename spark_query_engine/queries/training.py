@@ -2997,12 +2997,15 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = names.select(
         "name", F.col("name").alias("orig"), F.lit("a").alias("src")
     ).unionByName(corrupted)
-    # checkpoint so the band self-join's two branches reuse one ranking
-    # pass (and the n_names count below rides the same materialization)
+    # lazy persist (r9, the entity_resolution lesson): the n_names
+    # count below populates the cache in the same job, and the band
+    # self-join's two branches + final agg reuse it — everything past
+    # global_rank's internal checkpoint is deterministic, so no eager
+    # materialization job is needed
     ranked = L.global_rank(
         u, ["name", "src", "orig"], rank_col="rk",
         rows_hint=2 * footer_rows(spark, sf_dir, "part"),
-    ).localCheckpoint()
+    ).persist()
     n_names = ranked.where(F.col("src") == "b").count()
     pairs = L.sorted_neighborhood_pairs(ranked, max(_SN_WINDOWS), rank_col="rk")
     cross = F.col("a_src") != F.col("b_src")
@@ -3026,7 +3029,7 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(
         f"{w}L, cand_{w}, cross_{w}, match_{w}" for w in _SN_WINDOWS
     )
-    return wide.select(
+    result = wide.select(
         F.expr(
             f"stack({len(_SN_WINDOWS)}, {stack_args}) AS "
             "(w, n_candidates, n_cross_source, n_matched)"
@@ -3040,6 +3043,7 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_pct"
         ),
     )
+    return release_on_drop(result, ranked)
 
 
 #: k-anonymity threshold for the governance audit.
@@ -5819,7 +5823,7 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.length("a_name") == F.length("b_name"), 1)
         .otherwise(0)
         .alias("f_len"),
-    ).localCheckpoint()
+    ).persist()  # r9: lazy — the wq collect populates it; conf reuses
     feats = {"prefix4": "f_prefix", "suffix4": "f_suffix", "len_eq": "f_len"}
     agg = fe.agg(
         F.sum("lbl").cast("bigint").alias("nm"),
@@ -5862,7 +5866,7 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("wq_disagree"),
-    ).localCheckpoint()
+    ).persist()  # r9: lazy — the collect below populates it
     wrow = {
         r["feature"]: (r["wq_agree"], r["wq_disagree"])
         for r in wq.collect()  # 3-row weight model — bounded driver state
@@ -5887,16 +5891,20 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tn"),
     )
-    return wq.crossJoin(F.broadcast(conf)).select(
-        "feature",
-        F.round("m_prob", 6).alias("m_prob"),
-        F.round("u_prob", 6).alias("u_prob"),
-        F.round(F.col("wq_agree") / 1e6, 6).alias("w_agree"),
-        F.round(F.col("wq_disagree") / 1e6, 6).alias("w_disagree"),
-        "tp",
-        "fp",
-        "fn",
-        "tn",
+    return release_on_drop(
+        wq.crossJoin(F.broadcast(conf)).select(
+            "feature",
+            F.round("m_prob", 6).alias("m_prob"),
+            F.round("u_prob", 6).alias("u_prob"),
+            F.round(F.col("wq_agree") / 1e6, 6).alias("w_agree"),
+            F.round(F.col("wq_disagree") / 1e6, 6).alias("w_disagree"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+        ),
+        fe,
+        wq,
     )
 
 
@@ -6555,6 +6563,10 @@ def graph_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(keep)
         .distinct()
         .withColumn("is_test", is_test)
+        # eager checkpoint KEPT (r9 A/B): a lazy persist measured
+        # consistently ~1 s slower at sf0.1 (5.27-5.29 vs 6.13-6.31,
+        # alternating same-box runs) — the 4-way train reuse reads the
+        # RDD scan cheaper than the columnar cache decode
         .localCheckpoint()  # split reused by train graph, test probe, counts
     )
     train = ed.where(~F.col("is_test")).select("u", "v")
