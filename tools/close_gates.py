@@ -64,6 +64,31 @@ def gate_registry_docs() -> list[str]:
             f"COVERAGE.md says {m.group(1)} queries but registry has {len(qs)}"
         )
 
+    # r9: the exponent-row completeness claim is mechanical too —
+    # every query at or above 1.5 s in the committed bench record must
+    # be mentioned in SCALING.md (its exponent row or a named
+    # adjudication). The r9 completeness grep caught two stragglers at
+    # the boundary; this keeps the table complete as bench times move.
+    import json as _json
+
+    bench_path = ROOT / "BENCH_FULL.json"
+    if bench_path.exists():
+        try:
+            bench = _json.loads(bench_path.read_text())
+        except Exception:
+            bench = {}
+        scaling = (ROOT / "SCALING.md").read_text()
+        heavy_missing = sorted(
+            q
+            for q, sec in bench.get("queries", {}).items()
+            if sec >= 1.5 and q not in scaling
+        )
+        if heavy_missing:
+            errs.append(
+                f"queries >=1.5s in BENCH_FULL.json with no SCALING.md "
+                f"mention (exponent row needed): {heavy_missing}"
+            )
+
     # r9 (r8 verdict task 7): every "N-entry ... allowlist" mention in
     # the docs must match len(GLOBAL_WINDOW_ALLOWLIST) — the r8 prose
     # said 18 while the gate held 17; count drift is now mechanical.
