@@ -303,7 +303,17 @@ def minhash_collision_prob(j: float, num_hashes: int, bands: int) -> float:
     1 − (1 − j^r)^b with r = num_hashes/bands rows per band
     (Leskovec/Rajaraman/Ullman, MMDS ch. 3 — exact for independent
     min-wise hashes). The measured sf0.3 grid in SCALING.md
-    ("minhash recall grid", r9) tracks it on the replica corpus."""
+    ("minhash recall grid", r9) tracks it on the replica corpus.
+
+    ``num_hashes`` must be an exact multiple of ``bands`` — a silent
+    floor would compute the curve for a DIFFERENT banding than the
+    one the caller runs (e.g. (16, 5) would price r=3, b=5 = 15
+    hashes)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} is not a multiple of bands={bands}: "
+            "the S-curve would price a different banding than the one run"
+        )
     r = num_hashes // bands
     return 1.0 - (1.0 - j**r) ** bands
 
@@ -332,6 +342,8 @@ def minhash_config(
     ``max_hashes`` (threshold too low for the hash budget)."""
     if not 0.0 < threshold < 1.0 or not 0.0 < recall_target < 1.0:
         raise ValueError("threshold and recall_target must be in (0, 1)")
+    if rows_per_band < 1:
+        raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
     import math
 
     p_band = threshold**rows_per_band  # P(one band collides)
@@ -717,6 +729,10 @@ def connected_components_star(
         sig = (row["cnt"], row["sig"])
         edges.unpersist()
         edges = small
+        # r10: expose the fixpoint's round count (scaling evidence —
+        # SCALING.md's iterative-graph table records it per scale;
+        # the O(log n) claim is measured, not asserted)
+        connected_components_star.last_rounds = _i + 1
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -22,9 +22,11 @@ killer (every row through one task), so :func:`global_rank` uses the
 standard two-pass distributed ranking: range-partition by the key,
 rank WITHIN each partition (a partition-parallel window), count rows
 per partition (a #partitions-row aggregate), prefix-sum those counts
-into offsets — as a tiny triangular self-join RELATION broadcast back
-(r9: no driver collect, so ranking adds zero jobs beyond the one
-checkpoint materialization). The window band-join that follows is
+into offsets — as a running-sum WINDOW over the p-row count relation,
+broadcast back (r9: no driver collect, so ranking adds zero jobs
+beyond the one checkpoint materialization; the triangular self-join
+variant was tried first and vetoed by the plan gate — see
+``global_rank``'s docstring). The window band-join that follows is
 rank-arithmetic — an equi/range join on integers, never all-pairs.
 """
 
@@ -76,8 +78,14 @@ def global_rank(
     deterministic, so consumers may reference the result many times
     (band joins read it twice) without re-materializing.
 
-    ``rows_hint`` (parquet-footer row count) footer-sizes the range
-    partition count to ⌈rows/65536⌉ CLAMPED to [1, 4·parallelism] —
+    ``rows_hint`` (parquet-footer row count) is an UPPER BOUND on the
+    ranked relation's cardinality, not an exact count — callers that
+    rank a filtered subset (stats_psi_drift ranks only the is_ref
+    rows; the linkage queries pass 2·|part| for a names union) pass
+    the cheap footer number and may overshoot the partition count by
+    that fraction; sizing-only, never correctness. It footer-sizes
+    the range partition count to ⌈rows/65536⌉ CLAMPED to
+    [1, 4·parallelism] —
     a handful of tasks for the catalog-scale relations the linkage
     queries rank (per-task overhead dominates them), full cluster
     fan-out at corpus scale with partitions that grow past 65k rows

@@ -559,13 +559,18 @@ def ahash_group_size(n: int, max_distance: int = 3) -> int:
       g=2 → n ≤ ~1.0e6 (the historical 4 disjoint 16-bit bands)
       g=3 → n ≤ ~1.9e7   g=4 → n ≤ ~3.9e9   g=5 → n ≤ ~1.25e12
 
+    At g=2 the 4 DISJOINT adjacent pairs (not all C(8,2)) suffice —
+    but only for max_distance ≤ 3 (d ≤ 3 errors dirty ≤ 3 of the 4
+    disjoint pairs; 4 errors can dirty all 4), so the shortcut and
+    its ngroups=4 occupancy term apply only there (r9 ADVICE).
+
     Candidate volume at n=1e8 images: fixed bands ≈ 3e11 random
     collisions; g=4 ≈ 8e7 — the price is a C(8,g)-key fan-out of the
     ~10-byte hash relation, linear in n."""
     import math
 
     for g in range(2, 8 - max_distance + 1):
-        ngroups = 4 if g == 2 else math.comb(8, g)
+        ngroups = 4 if g == 2 and max_distance <= 3 else math.comb(8, g)
         if ngroups * n / float(1 << (8 * g)) <= 64:
             return g
     return 8 - max_distance
@@ -601,9 +606,12 @@ def ahash_near_duplicates(
         ] + [
             F.shiftright(F.col("h_hi"), i * 8).bitwiseAND(255) for i in range(4)
         ]
+        # the 4-disjoint-pairs shortcut is pigeonhole-exact only for
+        # max_distance <= 3 (4 errors can dirty all 4 disjoint pairs);
+        # at higher distances g=2 needs all C(8,2) pairs (r9 ADVICE)
         groups = (
             [(0, 1), (2, 3), (4, 5), (6, 7)]
-            if g == 2
+            if g == 2 and max_distance <= 3
             else list(itertools.combinations(range(8), g))
         )
         keys = [

@@ -234,9 +234,10 @@ _REPIN_REWRITTEN = (
     # task 1; resolves to the historical 32-bit/8-bit-band config at
     # driver scales, widens past ~16k docs)
     "dedup_simhash",
-    # r9: global_rank lost its per-call offsets collect (triangular
-    # self-join relation instead) and gained footer-sized range
-    # partitions; every caller re-plans — values identical
+    # r9: global_rank lost its per-call offsets collect (running-sum
+    # window over the p-row count relation instead) and gained
+    # footer-sized range partitions; every caller re-plans — values
+    # identical
     # (rank determinism unchanged), fresh driver rows same round
     "pipeline_entity_resolution",
     "linkage_sorted_neighborhood",

@@ -85,6 +85,12 @@ def test_minhash_config_prices_recall():
         assert D.minhash_collision_prob(t, h, b) >= rho
     with pytest.raises(ValueError):
         D.minhash_config(0.2, 0.99, max_hashes=64)  # budget exceeded
+    # r10 (r9 ADVICE): validation — a silent floor would price a
+    # different banding than the one run
+    with pytest.raises(ValueError):
+        D.minhash_collision_prob(0.6, 16, 5)  # 16 % 5 != 0
+    with pytest.raises(ValueError):
+        D.minhash_config(0.6, 0.9, rows_per_band=0)
 
 
 def test_simhash_band_width_footer_sizing(docs):

@@ -582,6 +582,31 @@ def test_image_ahash_blocking_has_exact_recall(spark):
     assert MM.ahash_group_size(10**12) == 5
     assert MM.ahash_group_size(10**14) == 5  # explicit 8-d clamp
 
+    # r10 (r9 ADVICE): at max_distance=4 the g=2 disjoint-pairs
+    # shortcut is NOT pigeonhole-exact (4 errors can dirty all 4
+    # disjoint pairs) — the n_hint branch must fall back to all
+    # C(8,2) pairs and still reproduce brute force at d<=4
+    want4 = {}
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            x, y = sorted((a["id"], b["id"]))
+            d = bin((a["h_lo"] ^ b["h_lo"])).count("1") + bin(
+                (a["h_hi"] ^ b["h_hi"])
+            ).count("1")
+            if d <= 4:
+                want4[(x, y)] = d
+    got4 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.ahash_near_duplicates(
+            hs, max_distance=4, n_hint=500
+        ).collect()
+    }
+    assert got4 == want4
+    # the occupancy term follows: ngroups=28 at d=4 crosses to g=3
+    # earlier than the disjoint-pair ngroups=4 at d<=3
+    assert MM.ahash_group_size(500, max_distance=4) == 2
+    assert MM.ahash_group_size(1_048_576, max_distance=4) == 3
+
 
 @given(
     train=st.lists(
