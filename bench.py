@@ -384,7 +384,20 @@ HEADLINE = [
     "window_rank_dense",
     "window_running_sum",
     "window_topk_with_ties",
+    # round 10: the priced high-recall MinHash point (r9 verdict
+    # task 8) — benched next to dedup_minhash so the 34-vs-4 band
+    # candidate-volume cost stays a measured number
+    "dedup_minhash_highrecall",
 ]
+
+#: The r1-subset total of the round-8 committed record — the canonical
+#: ambient reference point (the box's fastest same-tree measurement of
+#: the untouched-since-r1 canary set). ``canary_factor`` in every bench
+#: record is r1_subset_total / this, so round-over-round comparisons
+#: and the close-gate's 1.5 s heavyweight threshold scale with the
+#: box's ambient instead of flipping on a slow driver day (r9 verdict
+#: tasks 1-2).
+R1_CANARY_BASE = 14.16
 
 #: The 27 queries benched in round 1 — reported as a separate subtotal
 #: each round so round-over-round deltas aren't confounded by headline
@@ -447,6 +460,12 @@ def main() -> None:
     spread = round(
         sum(max(r) - min(r) for r in all_runs.values()), 3
     )
+    # Canary normalization (r9 verdict task 2): the committed record
+    # carries the ambient factor and per-query canary-adjusted values
+    # so bench_diff and the close gate adjudicate regressions at
+    # ×(canary-adjusted) mechanically, without manual ambient prose.
+    r1_total = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
+    canary_factor = round(r1_total / R1_CANARY_BASE, 4) if r1_total else 1.0
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -454,9 +473,13 @@ def main() -> None:
         "queries": timings,
         "runs": all_runs,
         "run_spread_total": spread,
-        "r1_subset_total": round(
-            sum(timings[n] for n in R1_SUBSET if n in timings), 3
-        ),
+        "r1_subset_total": r1_total,
+        "canary_base": R1_CANARY_BASE,
+        "canary_factor": canary_factor,
+        "adjusted": {
+            n: round(t / canary_factor, 3) for n, t in timings.items()
+        },
+        "adjusted_total": round(total / canary_factor, 3),
         # round-over-round comparables: HEADLINE is append-only, so
         # each round's full set is a prefix of the next round's
         "r2_subset_total": round(
@@ -495,6 +518,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "r1_subset_total": record["r1_subset_total"],
+                "canary_factor": canary_factor,
+                "adjusted_total": record["adjusted_total"],
                 "run_spread_total": spread,
                 "queries": top10,
                 "queries_are": "top10 by time; all in BENCH_FULL.json",

@@ -79,6 +79,49 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_highrecall",
+    oracle=f"""
+        WITH {_WORD_SHINGLES},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+    """,
+)
+def dedup_minhash_highrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at a NON-DEFAULT priced recall point
+    (r9 verdict task 8): ``minhash_config(threshold=0.6,
+    recall_target=0.99)`` → (136 hashes, 34 bands) on the analytic
+    S-curve — P(candidate | j=0.6) ≥ 0.99 per true pair vs the default
+    16/4 config's 0.43, at 34/4 = 8.5× the band-join candidate keys
+    per doc (the bench row prices that cost next to ``dedup_minhash``).
+    Same exact-Jaccard verify at 0.6, same brute-force oracle: the
+    correctness gate checks that the HIGH-recall banding loses nothing
+    at driver scale, and the sf0.3 measured grid (SCALING.md "minhash
+    recall grid") pins the expected-recall envelope at replica scale
+    (136/34 recalls an expected 601.2 of the 602 exact sf1 pairs vs
+    490.7 for 16/4)."""
+    n_hashes, bands = D.minhash_config(0.6, recall_target=0.99)
+    return D.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        num_hashes=n_hashes,
+        bands=bands,
+        threshold=0.6,
+    )
+
+
+@query(
     "dedup_simhash",
     # The band width — and with it the fingerprint width 4·w — is
     # derived from COUNT(*) by BOTH engines (the engine from the

@@ -85,6 +85,17 @@ def main() -> None:
             f"ambient canary factor (median new/old over {len(canary)} "
             f"r1-subset queries): {factor:.3f}"
         )
+    elif rec_new.get("canary_factor") and rec_old.get("canary_factor"):
+        # r10: records committed since round 10 carry their own
+        # canary_factor (r1_subset_total / R1_CANARY_BASE) — usable
+        # even when the old record is a truncated driver tail that
+        # lost the r1-subset per-query rows
+        factor = rec_new["canary_factor"] / rec_old["canary_factor"]
+        print(
+            f"ambient canary factor (committed canary_factor fields "
+            f"{rec_old['canary_factor']:.3f} -> "
+            f"{rec_new['canary_factor']:.3f}): {factor:.3f}"
+        )
     else:
         factor = 1.0
         print("canary unavailable (r1 subset not in both records); factor=1")
@@ -98,12 +109,26 @@ def main() -> None:
         adj = [r / factor for r in a]
         return min(adj) <= max(b) and min(b) <= max(adj)
 
-    print("\nambient-adjusted regressions (adj >1.5x and >0.5s):")
+    # r10 (r9 verdict task 2): the flag bar is canary-adjusted x1.3
+    # (was 1.5) and the straddle adjudication is part of the verdict —
+    # a flagged-and-straddling row is ambient BY THE COMMITTED RUN
+    # PAIRS, no manual prose needed; only non-straddling rows are
+    # CODE-ATTRIBUTABLE candidates.
+    print("\nambient-adjusted regressions (adj >1.3x and >0.5s):")
+    code_attributable: list[str] = []
     for k in common:
         adj = (new[k] / old[k]) / factor if old[k] > 0 else float("inf")
-        if new[k] / factor - old[k] > 0.5 and adj > 1.5:
-            tag = " [runs straddle: likely ambient]" if straddles(k) else ""
+        if new[k] / factor - old[k] > 0.5 and adj > 1.3:
+            if straddles(k):
+                tag = " [runs straddle: ambient by committed run pairs]"
+            else:
+                tag = " [CODE-ATTRIBUTABLE candidate: runs do not straddle]"
+                code_attributable.append(k)
             print(f"  {k}: {old[k]:.2f} -> {new[k]:.2f} (adj x{adj:.2f}){tag}")
+    print(
+        f"code-attributable regression candidates: "
+        f"{code_attributable or 'none'}"
+    )
     print("\nambient-adjusted wins (adj <0.67x and >0.5s):")
     for k in reversed(common):
         adj = (new[k] / old[k]) / factor if old[k] > 0 else 0.0

@@ -65,10 +65,22 @@ def gate_registry_docs() -> list[str]:
         )
 
     # r9: the exponent-row completeness claim is mechanical too —
-    # every query at or above 1.5 s in the committed bench record must
-    # be mentioned in SCALING.md (its exponent row or a named
-    # adjudication). The r9 completeness grep caught two stragglers at
-    # the boundary; this keeps the table complete as bench times move.
+    # every query at or above the heavyweight threshold in the
+    # committed bench record must be mentioned in SCALING.md (its
+    # exponent row or a named adjudication). The r9 completeness grep
+    # caught two stragglers at the boundary; this keeps the table
+    # complete as bench times move.
+    #
+    # r10 (r9 verdict task 1): the threshold is CANARY-RELATIVE —
+    # the driver's bench run overwrites BENCH_FULL.json after every
+    # round, and its slower-ambient box pushed three sub-1.5 s
+    # queries over a fixed threshold with zero code change. The
+    # record's own canary_factor (r1_subset_total / R1_CANARY_BASE,
+    # the untouched-since-r1 subset measuring the box, never the
+    # code) scales the bar: a query is "heavy" only if it would be
+    # >= 1.5 s at canonical ambient. Never scaled DOWN below 1.5 —
+    # a fast box must not demand rows the committed table was never
+    # asked for.
     import json as _json
 
     bench_path = ROOT / "BENCH_FULL.json"
@@ -77,15 +89,24 @@ def gate_registry_docs() -> list[str]:
             bench = _json.loads(bench_path.read_text())
         except Exception:
             bench = {}
+        from bench import R1_CANARY_BASE
+
+        factor = bench.get("canary_factor") or (
+            bench.get("r1_subset_total", 0) / R1_CANARY_BASE
+            if bench.get("r1_subset_total")
+            else 1.0
+        )
+        thresh = 1.5 * max(1.0, factor)
         scaling = (ROOT / "SCALING.md").read_text()
         heavy_missing = sorted(
             q
             for q, sec in bench.get("queries", {}).items()
-            if sec >= 1.5 and q not in scaling
+            if sec >= thresh and q not in scaling
         )
         if heavy_missing:
             errs.append(
-                f"queries >=1.5s in BENCH_FULL.json with no SCALING.md "
+                f"queries >={thresh:.2f}s (1.5s x canary {factor:.3f}) in "
+                f"BENCH_FULL.json with no SCALING.md "
                 f"mention (exponent row needed): {heavy_missing}"
             )
 
