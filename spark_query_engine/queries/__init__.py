@@ -229,30 +229,14 @@ _REPIN_REWRITTEN = (
     # shingle-family CSE fix, footer-sized knn/contrastive/winnow —
     # all re-verified green in CORRECTNESS_r08, pruned r9: the
     # docstring's own drop rule.)
-    # r9: simhash band width fixed 8-bit → footer-sized (the last
-    # documented-but-unwired fixed-denominator quadratic, r8 verdict
-    # task 1; resolves to the historical 32-bit/8-bit-band config at
-    # driver scales, widens past ~16k docs)
-    "dedup_simhash",
-    # r9: global_rank lost its per-call offsets collect (running-sum
-    # window over the p-row count relation instead) and gained
-    # footer-sized range partitions; every caller re-plans — values
-    # identical
-    # (rank determinism unchanged), fresh driver rows same round
-    "pipeline_entity_resolution",
-    "linkage_sorted_neighborhood",
-    "linkage_fellegi_sunter",
-    "stats_psi_drift",
-    "corpus_quantile_normalize",
-    # r9: BPE trainer refactored over _bpe_pair_winner (the job-merge
-    # experiment, adjudicated against and reverted — plan shape has a
-    # trivial extra projection on the winner; merges bit-identical)
-    "corpus_bpe_train",
-    "corpus_bpe_tokenize",
-    # r9: aHash blocking footer-sized via multi-index groups (values
-    # identical — exact recall at every group width; g=2 at driver
-    # scales is bit-identical to the historical 16-bit bands)
-    "multimodal_image_dedup",
+    # (r9 rewrites — footer-sized simhash bands, the global_rank
+    # offsets window + its five callers, the BPE _bpe_pair_winner
+    # factoring, aHash multi-index groups — all re-verified green in
+    # CORRECTNESS_r09, pruned r10: the docstring's own drop rule.
+    # The r10 aHash d>=4 guard and banding validation change no
+    # registered query's plan or values — defaults untouched — so
+    # nothing re-pins this round; dedup_minhash_highrecall is NEW and
+    # enters the window through the unverified prefix instead.)
 )
 
 

@@ -51,6 +51,7 @@ from check_correctness import TABLES, compare, normalize  # noqa: E402
 BANDED_FAMILIES = [
     # MinHash-LSH banding
     "dedup_minhash",
+    "dedup_minhash_highrecall",
     "dedup_threshold_sweep",
     "corpus_dedup_keep_best",
     "dedup_cluster_components",
