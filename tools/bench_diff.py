@@ -16,6 +16,15 @@ Output per comparison:
     straddle the adjusted delta (a pair that straddles is noise by
     the round-5 dispersion rule)
 
+Calibration (r10, measured): diffing the two SAME-TREE round-9
+records (builder close run vs driver re-run, zero code change) flags
+15 of 343 rows as "CODE-ATTRIBUTABLE candidates" — same-box sessions
+differ consistently PER QUERY beyond the median canary (session-level
+episodes: worker warmth, interleaving, cache pressure; the r9h
+finding). The candidate list is therefore a RE-MEASUREMENT QUEUE
+(isolated cold min-of-2 per name), not a verdict; only an isolated
+re-measure that reproduces the delta is code-attributable.
+
 Usage: python tools/bench_diff.py BENCH_FULL.json [BENCH_r03.json]
 
 Accepts either the full record written by bench.py (top-level

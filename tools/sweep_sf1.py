@@ -23,6 +23,12 @@ representative on Spark AND its DuckDB oracle at a replica-scaled dir
 - ``MISS``   — anything else (engine rows absent from the oracle,
   value skew, schema drift): a defect, becomes a round task.
 
+r10: SUBSET/TRADE at the default sf1 dir are additionally checked
+against NUMERIC ENVELOPES (``SUBSET_ENVELOPES`` missed-row ranges,
+``TRADE_ENVELOPES`` two-way diff bounds — both S-curve-derived, see
+their docstrings); a trade outside its envelope reports MISS and
+fails the sweep. The adjudication is asserted, not prose.
+
 Only tables present in the dir are registered; queries touching
 absent tables are reported ``SKIP``. Results are committed per round
 in SCALING.md (grep "sf1 sweep").
@@ -98,20 +104,54 @@ DERIVED_OF_BANDING = {
     "dedup_cluster_components": "connected components over banded pairs",
 }
 
+#: r10 (r9 verdict task 4): the prose adjudications above, promoted to
+#: ASSERTED numeric envelopes at the default sf1 replica corpus — a
+#: growing trade now fails the sweep mechanically instead of passing
+#: as an unchanged-by-eyeball TRADE/SUBSET label.
+#:
+#: SUBSET rows: allowed range of MISSED oracle rows. Derivation: the
+#: sf1 exact j>=0.6 pair set is 602 pairs with measured j-histogram
+#: {0.6:139, 0.7:79, 0.8:66, 0.9:48, 1.0:270} (SCALING.md r9c);
+#: summing the 16/4 S-curve P=1-(1-j^4)^4 gives mean misses 111.3,
+#: binomial std 7.7 -> +-4 sigma = [80, 142]. The (136, 34)
+#: high-recall point has mean 0.8 missed, so [0, 6]. The contrastive
+#: pairs view is driven by the SAME missed pairs -> same band.
+#: (Measured r10: 112 / 1 / 112 — all inside.)
+SUBSET_ENVELOPES: dict[str, tuple[int, int]] = {
+    "dedup_minhash": (80, 142),
+    "dedup_minhash_highrecall": (0, 6),
+    "corpus_contrastive_pairs": (80, 142),
+}
 
-def classify(spark_pdf, duck_pdf) -> tuple[str, str]:
-    """MATCH / SUBSET / MISS with a one-line detail."""
+#: TRADE rows: max TOTAL two-way diff (engine-extra + oracle-missing).
+#: Derivation: every differing derived row traces to a missed
+#: candidate pair, and one missed pair perturbs at most 2 rows of a
+#: component/representative view (the pair's two docs) -> bound =
+#: 2 x the pair envelope's upper end (2 x 142 = 284); the threshold
+#: sweep emits one row per threshold so its whole surface is 12.
+#: (Measured r10: 6 / 115 / 155 — all inside.)
+TRADE_ENVELOPES: dict[str, int] = {
+    "dedup_threshold_sweep": 12,
+    "corpus_dedup_keep_best": 284,
+    "dedup_cluster_components": 284,
+}
+
+
+def classify(spark_pdf, duck_pdf) -> tuple[str, str, int | None, int | None]:
+    """MATCH / SUBSET / MISS with a one-line detail and the two-way
+    diff counts (engine-extra, oracle-missing; None when the shapes
+    don't even align)."""
     ok, msg = compare(spark_pdf, duck_pdf)
     if ok:
-        return "MATCH", f"{len(spark_pdf)} rows"
+        return "MATCH", f"{len(spark_pdf)} rows", 0, 0
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
-        return "MISS", msg
+        return "MISS", msg, None, None
     try:
         a, b = normalize(spark_pdf), normalize(duck_pdf)
     except TypeError:
-        return "MISS", msg
+        return "MISS", msg, None, None
     if a.dtypes.to_dict() != b.dtypes.to_dict():
-        return "MISS", msg
+        return "MISS", msg, None, None
     # multiset containment on row tuples
     from collections import Counter
 
@@ -119,14 +159,25 @@ def classify(spark_pdf, duck_pdf) -> tuple[str, str]:
     cb = Counter(map(tuple, b.itertuples(index=False)))
     extra = ca - cb
     missing = cb - ca
+    n_extra, n_missing = sum(extra.values()), sum(missing.values())
     if not extra and missing:
-        return "SUBSET", (
-            f"engine {len(a)} ⊂ oracle {len(b)} rows "
-            f"(missed {sum(missing.values())} — banding recall trade)"
+        return (
+            "SUBSET",
+            (
+                f"engine {len(a)} ⊂ oracle {len(b)} rows "
+                f"(missed {n_missing} — banding recall trade)"
+            ),
+            n_extra,
+            n_missing,
         )
-    return "MISS", (
-        f"{sum(extra.values())} engine rows not in oracle, "
-        f"{sum(missing.values())} oracle rows not in engine"
+    return (
+        "MISS",
+        (
+            f"{n_extra} engine rows not in oracle, "
+            f"{n_missing} oracle rows not in engine"
+        ),
+        n_extra,
+        n_missing,
     )
 
 
@@ -185,10 +236,39 @@ def main() -> int:
                 print(f"MISS {name}: duckdb error: {first}")
                 counts["MISS"] += 1
             continue
-        status, msg = classify(spark_pdf, duck_pdf)
+        status, msg, n_extra, n_missing = classify(spark_pdf, duck_pdf)
         if status == "MISS" and name in DERIVED_OF_BANDING:
             status = "TRADE"
             msg += f" [derived of banding: {DERIVED_OF_BANDING[name]}]"
+        # r10: envelopes are calibrated to the default sf1 replica
+        # corpus — assert them there; other dirs report raw classes
+        if Path(sf_dir).name == "sf1":
+            if status == "SUBSET" and name in SUBSET_ENVELOPES:
+                lo, hi = SUBSET_ENVELOPES[name]
+                if lo <= (n_missing or 0) <= hi:
+                    msg += f" [within envelope [{lo}, {hi}]]"
+                else:
+                    status = "MISS"
+                    msg += (
+                        f" [ENVELOPE VIOLATION: missed {n_missing} "
+                        f"outside [{lo}, {hi}] — the trade GREW]"
+                    )
+            elif status == "TRADE" and name in TRADE_ENVELOPES:
+                bound = TRADE_ENVELOPES[name]
+                total = (n_extra or 0) + (n_missing or 0)
+                if total <= bound:
+                    msg += f" [two-way diff {total} <= envelope {bound}]"
+                else:
+                    status = "MISS"
+                    msg += (
+                        f" [ENVELOPE VIOLATION: two-way diff {total} "
+                        f"> {bound} — the trade GREW]"
+                    )
+            elif status in ("SUBSET", "TRADE"):
+                # a NEW banded query reaching sf1 without an envelope
+                # entry is itself a finding — flag it loudly (still
+                # non-fatal: the next round must calibrate it)
+                msg += " [NO ENVELOPE CALIBRATED — add one]"
         counts[status] = counts.get(status, 0) + 1
         print(f"{status} {name}: {msg} ({time.time()-t0:.1f}s)")
 
