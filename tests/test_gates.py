@@ -66,3 +66,50 @@ def test_gate_no_rowscale_global_windows():
     import close_gates
 
     assert close_gates.gate_global_windows() == []
+
+
+def test_sf1_sweep_classify_and_envelopes():
+    """r10 (r9 verdict task 4): the sf1 sweep's SUBSET/TRADE
+    classifier returns the two-way diff counts the numeric envelopes
+    assert on, and the envelope tables stay coherent (every
+    DERIVED_OF_BANDING name has a TRADE bound; SUBSET bands are
+    ordered and contain the r10 measured calibration points)."""
+    import pandas as pd
+
+    import sweep_sf1 as sw
+
+    base = pd.DataFrame({"id": [1, 2, 3], "v": [10, 20, 30]})
+    # exact match
+    st, _msg, ex, mi = sw.classify(base.copy(), base.copy())
+    assert (st, ex, mi) == ("MATCH", 0, 0)
+    # proper subset -> SUBSET with the missing count
+    st, _msg, ex, mi = sw.classify(base.iloc[:2].copy(), base.copy())
+    assert (st, ex, mi) == ("SUBSET", 0, 1)
+    # two-way skew -> MISS with both counts
+    skew = base.copy()
+    skew.loc[0, "v"] = 11
+    st, _msg, ex, mi = sw.classify(skew, base.copy())
+    assert (st, ex, mi) == ("MISS", 1, 1)
+    # schema drift -> counts unavailable
+    st, _msg, ex, mi = sw.classify(base.rename(columns={"v": "w"}), base.copy())
+    assert (st, ex, mi) == ("MISS", None, None)
+
+    # envelope-table coherence
+    assert set(sw.TRADE_ENVELOPES) == set(sw.DERIVED_OF_BANDING)
+    for lo, hi in sw.SUBSET_ENVELOPES.values():
+        assert 0 <= lo <= hi
+    # the r10 measured calibration points sit inside their envelopes
+    measured = {
+        "dedup_minhash": 112,
+        "dedup_minhash_highrecall": 1,
+        "corpus_contrastive_pairs": 112,
+    }
+    for name, missed in measured.items():
+        lo, hi = sw.SUBSET_ENVELOPES[name]
+        assert lo <= missed <= hi, name
+    for name, total in {
+        "dedup_threshold_sweep": 6,
+        "corpus_dedup_keep_best": 115,
+        "dedup_cluster_components": 155,
+    }.items():
+        assert total <= sw.TRADE_ENVELOPES[name], name
