@@ -909,3 +909,63 @@ def test_target_encoding_is_out_of_fold(spark):
             1e6 * (sum(others) / (len(others) * 100.0)) + 0.5
         ) / 1e6
         assert r["oof_mean"] == want, (r["event_type"], r["fold"])
+
+
+def test_kcore_delta_peel_cascades(spark, tmp_path, monkeypatch):
+    """r10: the TPC-H co-purchase graph has min degree >= 3 at every
+    driver scale, so the green oracle rows never drive the delta
+    peel's maintenance logic (frontier join -> degree decrement ->
+    new frontier) through an actual round — measured rounds=0
+    everywhere (SCALING.md 10d). This test builds a synthetic
+    co-purchase graph where peeling CASCADES (a 6-path that unravels
+    from both ends plus a 4-clique core) and checks the delta peel
+    against a brute-force python peel, round count included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_query_engine.queries import training
+
+    # orders of exactly 2 parts -> one co-purchase edge each
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]  # the path
+    clique = [10, 11, 12, 13]
+    edges += [
+        (a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]
+    ]
+    okeys, pkeys = [], []
+    for o, (a, b) in enumerate(edges, start=1):
+        okeys += [o, o]
+        pkeys += [a, b]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(okeys, pa.int64()),
+                "l_partkey": pa.array(pkeys, pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    # brute-force synchronized peel at k=2
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        front = {u for u in alive if len(adj[u] & alive) < 2}
+        if not front:
+            break
+        alive -= front
+        rounds += 1
+    assert rounds == 3 and alive == set(clique)  # the cascade is real
+
+    monkeypatch.setattr(training, "_KCORE_K", 2)
+    out = {
+        r["part_id"]: (r["degree"], r["converged"])
+        for r in training.graph_kcore_peel(spark, str(tmp_path)).collect()
+    }
+    assert training.graph_kcore_peel.last_rounds == 3
+    assert out == {u: (3, True) for u in clique}
