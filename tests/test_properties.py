@@ -939,3 +939,35 @@ def test_pack_sequences_matches_sequential_concat_split(spark, toks, context):
     assert got == want
     # coverage law: every token lands in exactly one (doc, bin) row
     assert sum(r[3] for r in want) == sum(toks)
+
+
+def test_pagerank_deep_lineage_truncation_is_value_transparent(spark):
+    """r10: `_truncate_deep_lineage` engages only past 15 iterations
+    (every 8 rounds), and no registered query or test ran that deep —
+    the truncation path had zero green evidence. 17 rounds force two
+    localCheckpoint cuts (after rounds 8 and 16); values must equal
+    the sequential reference exactly as in the 5-round property test,
+    proving the cut is plan-only."""
+    from collections import defaultdict
+
+    from spark_query_engine.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (6, 2)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["pr"] for r in pagerank(df, iterations=17).collect()}
+
+    sym = edges + [(b, a) for a, b in edges]
+    deg: dict[int, int] = defaultdict(int)
+    for u, _ in sym:
+        deg[u] += 1
+    n = len(deg)
+    pr = {u: 1.0 / n for u in deg}
+    for _ in range(17):
+        acc: dict[int, float] = defaultdict(float)
+        for u, v in sym:
+            acc[v] += pr[u] / deg[u]
+        pr = {v: round(0.15 / n + 0.85 * acc[v], 9) for v in deg}
+
+    assert set(got) == set(pr)
+    for u in pr:
+        assert abs(got[u] - pr[u]) < 2e-9, (u, got[u], pr[u])
