@@ -1135,3 +1135,84 @@ def test_nested_lit_equals_f_lit(spark):
     )
     assert r["f1"] == r["n1"]
     assert r["f2"] == r["n2"]
+
+
+def test_hot_shingle_guard_batch_paths(spark):
+    """r10: the batch ``max_shingle_df`` guard (minhash + ngram paths)
+    had no batch-side exercise — only the streaming twin's
+    ``hot_shingles`` ran. Boilerplate-driven pairs must disappear
+    under the guard while content near-dups survive, on BOTH paths,
+    and the guarded Jaccard must equal a python reference computed on
+    the guarded shingle sets."""
+    boiler = " ".join(f"b{i}" for i in range(10))  # 8 boiler 3-shingles
+    rows = [
+        (1, boiler + " u1 u2"),
+        (2, boiler + " u3 u4"),
+        (5, boiler + " u5 u6"),  # boiler df=3 -> dropped at max_df=2
+        (3, "x1 x2 x3 x4 x5 x6 x7"),
+        (4, "x1 x2 x3 x4 x5 x6 x7"),  # true near-dup of 3, no boiler
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def ref_pairs(k, max_df, threshold):
+        sh = {
+            i: {
+                " ".join(t.split()[j : j + k])
+                for j in range(len(t.split()) - k + 1)
+            }
+            for i, t in rows
+        }
+        from collections import Counter
+
+        dfreq = Counter(s for ss in sh.values() for s in ss)
+        if max_df is not None:
+            sh = {
+                i: {s for s in ss if dfreq[s] <= max_df}
+                for i, ss in sh.items()
+            }
+        out = {}
+        ids = sorted(sh)
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1 :]:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                if union and inter / union >= threshold:
+                    out[(a, b)] = round(inter / union, 6)
+        return out
+
+    # unguarded: the boiler triangle (1,2),(1,5),(2,5) qualifies at
+    # 0.6 purely from boilerplate, next to the true pair (3,4)
+    want_raw = ref_pairs(3, None, 0.6)
+    assert set(want_raw) == {(1, 2), (1, 5), (2, 5), (3, 4)}
+    got_raw = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_duplicates(
+            df, "doc_id", "text", shingle_k=3,
+            num_hashes=16, bands=16, threshold=0.6,
+        ).collect()
+    }
+    assert got_raw == want_raw
+
+    # guarded: boilerplate pairs gone, the content pair intact
+    want = ref_pairs(3, 2, 0.6)
+    assert set(want) == {(3, 4)}
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_duplicates(
+            df, "doc_id", "text", shingle_k=3,
+            num_hashes=16, bands=16, threshold=0.6,
+            max_shingle_df=2,
+        ).collect()
+    }
+    assert got == want
+
+    # the exact ngram path applies the same definition (n=3 here so
+    # the same shingle sets are in play)
+    got_ngram = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, kind="word", threshold=0.6,
+            max_shingle_df=2,
+        ).collect()
+    }
+    assert got_ngram == want
