@@ -4042,6 +4042,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     front = deg.where(F.col("degree") < _KCORE_K).select("u")
     front_cnt = front.count()
+    # r10: rounds actually peeled (scaling evidence for SCALING.md's
+    # iterative-graph round-count table)
+    graph_kcore_peel.last_rounds = 0
     for _r in range(_KCORE_R):
         last_removed = front_cnt
         if front_cnt == 0:
@@ -4067,6 +4070,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         front = deg.where(F.col("degree") < _KCORE_K).select("u")
         front_cnt = front.count()
+        graph_kcore_peel.last_rounds = _r + 1
     # converged ⟺ round _KCORE_R removed nothing ⟺ the frontier at
     # the START of the final round was empty — exactly the oracle's
     # |e_{R-1}| = |e_R| edge-count criterion (a frontier that empties
