@@ -147,3 +147,77 @@ def test_bench_diff_record_loading_and_canary_fallback(tmp_path):
     # canary fallback ratio: committed fields divide new/old
     assert bd._median([1.0, 2.0, 4.0]) == 2.0
     assert bd._median([1.0, 3.0]) == 2.0
+
+
+def test_bench_diff_tail_in_new_record_format(tmp_path):
+    """r10 ADVICE (medium+low): a driver tail that preserves the FULL
+    r10-format record — queries AND runs AND the canary/adjusted
+    fields — must recover only the raw timings (bounded at the
+    queries object's own close, not swept into the `adjusted` twin),
+    must not admit the new top-level numeric fields as fake query
+    rows, and must extract canary_factor + run pairs from the tail so
+    the fallback branch and the straddle/spread adjudication work
+    against driver captures."""
+    import json
+
+    import bench_diff as bd
+
+    line = (
+        'preamble-cut {"metric": "headline_queries_total", "value": 3.0, '
+        '"unit": "sec", "queries": {"q_one": 1.25, "q_two": 0.5}, '
+        '"runs": {"q_one": [1.25, 1.4], "q_two": [0.5, 0.52]}, '
+        '"run_spread_total": 0.17, "r1_subset_total": 1.75, '
+        '"canary_base": 14.16, "canary_factor": 1.0677, '
+        '"adjusted": {"q_one": 1.171, "q_two": 0.468}, '
+        '"adjusted_total": 2.81, "r2_subset_total": 1.75, "sf": 0.1}'
+    )
+    p = tmp_path / "tail_new.json"
+    p.write_text(json.dumps({"tail": line}))
+    rec = bd.load_record(str(p))
+    # raw timings, NOT the canary-adjusted twins; no fake rows
+    assert rec["queries"] == {"q_one": 1.25, "q_two": 0.5}
+    assert rec["runs"] == {"q_one": [1.25, 1.4], "q_two": [0.5, 0.52]}
+    assert rec["canary_factor"] == 1.0677
+
+    # mid-queries truncation (the round-3 shape) with the new trailing
+    # fields: flat scan must stop before `runs`/`adjusted` and exclude
+    # every top-level numeric field
+    cut = (
+        '5, "q_two": 0.5}, "runs": {"q_one": [1.25, 1.4]}, '
+        '"run_spread_total": 0.17, "canary_factor": 1.0677, '
+        '"adjusted": {"q_two": 99.0}, "adjusted_total": 2.81, "sf": 0.1}'
+    )
+    p2 = tmp_path / "tail_cut.json"
+    p2.write_text(json.dumps({"tail": cut}))
+    rec2 = bd.load_record(str(p2))
+    assert rec2["queries"] == {"q_two": 0.5}
+    assert rec2["canary_factor"] == 1.0677
+
+
+def test_bench_diff_flag_streak_counter():
+    """r11 (r10 verdict task 2): chronic-flag streaks advance on a
+    flag, reset on a clean comparison, and ignore absent names."""
+    import bench_diff as bd
+
+    orig = bd.load_flags
+
+    def fake_flags():
+        return {
+            "chronic": {"rounds_running": 2, "last_flag": "BENCH_r10.json"},
+            "recovered": {"rounds_running": 1, "last_flag": "BENCH_r10.json"},
+            "absent": {"rounds_running": 4, "last_flag": "BENCH_r09.json"},
+        }
+
+    bd.load_flags = fake_flags
+    try:
+        out = bd.update_flags(
+            ["chronic", "fresh"],
+            compared={"chronic", "fresh", "recovered"},
+            label="BENCH_r11.json",
+        )
+    finally:
+        bd.load_flags = orig
+    assert out["chronic"]["rounds_running"] == 3  # escalation bar
+    assert out["fresh"]["rounds_running"] == 1
+    assert "recovered" not in out  # compared clean -> reset & pruned
+    assert out["absent"]["rounds_running"] == 4  # no evidence either way

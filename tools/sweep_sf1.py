@@ -124,11 +124,25 @@ SUBSET_ENVELOPES: dict[str, tuple[int, int]] = {
 }
 
 #: TRADE rows: max TOTAL two-way diff (engine-extra + oracle-missing).
-#: Derivation: every differing derived row traces to a missed
-#: candidate pair, and one missed pair perturbs at most 2 rows of a
-#: component/representative view (the pair's two docs) -> bound =
-#: 2 x the pair envelope's upper end (2 x 142 = 284); the threshold
-#: sweep emits one row per threshold so its whole surface is 12.
+#: Two different justifications (r10 ADVICE: don't present the second
+#: as a derivation — it isn't one):
+#:
+#: - ``dedup_threshold_sweep``: one row per threshold, so the whole
+#:   surface is 12 — a true bound by construction.
+#: - ``corpus_dedup_keep_best``: each doc elects one representative,
+#:   so a missed pair perturbs at most the pair's own 2 rows — the
+#:   2 × 142 = 284 bound is pair-derived and holds per-row.
+#: - ``dedup_cluster_components``: NOT pair-derived. A single missed
+#:   BRIDGE edge splits a component and relabels EVERY node of the
+#:   split-off subcomponent, so the worst case is bounded by the max
+#:   component size over the replica corpus, not by 2×pairs. 284 is
+#:   MEASURED CALIBRATION on the default sf1 replica corpus (r9/r10
+#:   measured two-way diff 155, stable across rounds because the
+#:   replica corpus and the 16/4 banding are both deterministic); a
+#:   legitimate corpus/banding change may trip the envelope and then
+#:   the right action is recalibration, not a defect hunt. The
+#:   envelope's job is to catch UNEXPLAINED growth on an unchanged
+#:   corpus, which it still does.
 #: (Measured r10: 6 / 115 / 155 — all inside.)
 TRADE_ENVELOPES: dict[str, int] = {
     "dedup_threshold_sweep": 12,
