@@ -388,6 +388,10 @@ HEADLINE = [
     # task 8) — benched next to dedup_minhash so the 34-vs-4 band
     # candidate-volume cost stays a measured number
     "dedup_minhash_highrecall",
+    # round 11: the DOULION-sampled scale tier next to the exact
+    # triangle count (r10 verdict task 1) — the exact/sampled cost
+    # ratio stays a measured number every round
+    "graph_triangle_sampled",
 ]
 
 #: The r1-subset total of the round-8 committed record — the canonical

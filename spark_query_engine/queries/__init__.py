@@ -237,6 +237,13 @@ _REPIN_REWRITTEN = (
     # registered query's plan or values — defaults untouched — so
     # nothing re-pins this round; dedup_minhash_highrecall is NEW and
     # enters the window through the unverified prefix instead.)
+    #
+    # r11: the degree-oriented wedge core of graph_triangle_count was
+    # FACTORED into _oriented_triangles so the new DOULION-sampled
+    # tier shares it — the plan is unchanged by construction, but the
+    # signed evidence (r3, re-signed r9) predates the refactor, so it
+    # re-signs under the current code per the standing rule.
+    "graph_triangle_count",
 )
 
 

@@ -1536,6 +1536,69 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_shuffle_parts(spark: SparkSession) -> int:
+    """The session's shuffle width, tolerant of non-numeric values
+    ("auto" under some AQE/coalesce setups) — fall back to Spark's
+    default so callers' ``max()`` clamps stay monotone (ADVICE r6)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200
+
+
+def _oriented_triangles(ed, deg, wp: int, session_parts: int):
+    """Degree-oriented wedge-join triangle count (Cohen 2009 /
+    Suri-Vassilvitskii WWW'11) over an undirected edge set ``ed``
+    (columns u < v) with degree table ``deg`` (n, d): orient every
+    edge from its lower-(degree, id) endpoint, self-join oriented
+    edges on the pivot to form wedges, close each wedge against the
+    edge set. Orientation bounds out-degree by O(√m), so the wedge
+    relation is O(m^1.5) worst-case with no hub blowup, and every
+    triangle is generated exactly once. Returns a 1-row DataFrame
+    ``n_triangles``. ``wp`` widens the wedge-scale shuffles past the
+    session default when the caller's footer sizing asks for it.
+
+    Shared by the exact ``graph_triangle_count`` and the DOULION-
+    sampled ``graph_triangle_sampled`` (which passes the sampled edge
+    set — the algorithm is sampling-agnostic)."""
+    du = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")
+    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")
+    oriented = (
+        ed.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    if wp > session_parts:
+        oriented = oriented.repartition(wp, "s")
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
+    if wp > session_parts:
+        # e1.t < e2.t makes x < y by construction, so (x, y) is the
+        # canonical undirected key the closing join shuffles on —
+        # widen that exchange explicitly.
+        wedges = wedges.repartition(wp, "x", "y")
+    # close the wedge: the third edge may be oriented either way
+    closing = ed.select(
+        F.least("u", "v").alias("cx"), F.greatest("u", "v").alias("cy")
+    )
+    return wedges.join(
+        closing,
+        (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -1609,23 +1672,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # Orient by (degree, id): u→v if (d_u, u) < (d_v, v)
-    du = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")
-    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")
-    oriented = (
-        ed.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
-            .alias("e")
-        )
-        .select("e.s", "e.t")
-    )
     # Size the wedge-scale shuffles to the WEDGE relation, not the
     # session default: at sf1 the oriented wedge relation reaches
     # ~1.5 B rows (~24 GB at 16 B/row) and a 32-partition shuffle
@@ -1638,44 +1684,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the resolved width equals the session default (all SF ≤ 0.3
     # locally) the plan is left untouched — no repartition nodes,
     # no extra exchange.
-    try:
-        # parquet footer metadata — milliseconds, no Spark job. Falls
-        # back to a (metadata-optimized) count for directory layouts.
-        import pyarrow.parquet as _papq
-
-        li_rows = _papq.ParquetFile(
-            f"{sf_dir}/lineitem.parquet"
-        ).metadata.num_rows
-    except Exception:
-        li_rows = load(spark, sf_dir, "lineitem").count()
-    try:
-        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        # the conf can be non-numeric (e.g. "auto" under some
-        # AQE/coalesce setups) — fall back to Spark's default and let
-        # the max() below keep the knob monotone (ADVICE r6)
-        session_parts = 200
+    li_rows = footer_rows(spark, sf_dir, "lineitem")
+    session_parts = _session_shuffle_parts(spark)
     wp = max(session_parts, min(4096, (li_rows * 128) // 6_000_000))
-    if wp > session_parts:
-        oriented = oriented.repartition(wp, "s")
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
-    ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
-    if wp > session_parts:
-        # e1.t < e2.t makes x < y by construction, so (x, y) is the
-        # canonical undirected key the closing join shuffles on —
-        # widen that exchange explicitly.
-        wedges = wedges.repartition(wp, "x", "y")
-    # close the wedge: the third edge may be oriented either way
-    closing = ed.select(
-        F.least("u", "v").alias("cx"), F.greatest("u", "v").alias("cy")
-    )
-    tri = wedges.join(
-        closing,
-        (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")),
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = _oriented_triangles(ed, deg, wp, session_parts)
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.coalesce(
@@ -1692,6 +1704,152 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
         )
         .alias("transitivity"),
+    )
+
+
+#: Sampled-triangle budget: the smallest gate threshold t ∈ [16, 256]
+#: with t³·n_lineitem ≥ 256³·20000 — i.e. p³·n ≥ 20000 with p = t/256.
+#: Triangles grow ~linearly in n on this corpus (measured: 414 k at
+#: 60 k lineitem rows, 1.88 M at 600 k), so p³ ∝ 1/n keeps the
+#: EXPECTED SAMPLED TRIANGLE COUNT constant (~65 k) at every scale:
+#: the estimator's relative error stays ~1/√65k ≈ 0.4 % from sf0.01
+#: to 100 TB while the wedge-join cost falls as p². Pure integer
+#: arithmetic so Spark (Python) and DuckDB (range scan) derive the
+#: IDENTICAL threshold with zero float-boundary risk.
+_TRI_SAMPLE_BUDGET = 256**3 * 20_000  # = 335_544_320_000
+
+
+def _tri_sample_threshold(n_lineitem: int) -> int:
+    for t in range(16, 257):
+        if t * t * t * n_lineitem >= _TRI_SAMPLE_BUDGET:
+            return t
+    return 256
+
+
+@query(
+    "graph_triangle_sampled",
+    oracle="""
+        WITH nli AS (SELECT COUNT(*) AS n FROM lineitem),
+        cfg AS (
+            SELECT COALESCE(
+                (SELECT MIN(t) FROM range(16, 257) r(t), nli
+                  WHERE t * t * t * nli.n >= 335544320000),
+                256) AS thr
+        ),
+        sed AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            WHERE ('0x' || substr(md5('tri:' || a.l_partkey::VARCHAR
+                   || ':' || b.l_partkey::VARCHAR), 1, 2))::BIGINT
+                  < (SELECT thr FROM cfg)
+        ),
+        tri AS (
+            SELECT COUNT(*) AS t
+            FROM sed e1
+            JOIN sed e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN sed e3 ON e3.u = e1.v AND e3.v = e2.v
+        )
+        SELECT thr AS thr_256,
+               thr / 256.0 AS sample_p,
+               (SELECT COUNT(*) FROM sed) AS n_edges_sampled,
+               ROUND((SELECT COUNT(*) FROM sed) * 256.0 / thr, 3)
+                   AS est_edges,
+               (SELECT t FROM tri) AS n_tri_sampled,
+               ROUND((SELECT t FROM tri) * 16777216.0
+                     / (thr * thr * thr), 3) AS est_triangles
+        FROM cfg
+    """,
+)
+def graph_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style sampled triangle count (Tsourakakis et al., KDD
+    2009) — the priced SCALE TIER for the one superlinear heavyweight
+    in the registry: exact triangle counting is Θ(m^1.5) in the wedge
+    join (``graph_triangle_count``, measured exp 0.90 / 116 s at sf3),
+    while edge-sampling at probability p counts triangles on a p-thinned
+    graph and unbiases by 1/p³, cutting the wedge relation by p².
+
+    Sampling is SEEDED and PORTABLE (the repo's standard md5 trick):
+    an edge survives iff the first byte of md5('tri:u:v') < t, with
+    t ∈ [16, 256] the smallest integer where t³·n_lineitem ≥ 256³·2e4
+    (see ``_tri_sample_threshold`` — integer arithmetic, so the DuckDB
+    oracle replays the EXACT same sample and the driver hash-matches
+    bit-for-bit; the estimator's accuracy vs the exact count is
+    asserted separately, SCALING.md r11). p³ ∝ 1/n keeps the expected
+    sampled-triangle count ~65 k at every scale: constant ~0.4 %
+    relative error while cost falls — at sf0.01 t=178 (p=0.70), at
+    sf0.1 t=83 (p=0.32), at sf1 t=39 (p=0.15), at sf3 t=27 (p=0.11).
+
+    The gate is applied BELOW the distinct (it is a pure function of
+    the edge key), so the edge-dedup shuffle itself shrinks by p —
+    only the co-purchase pair enumeration runs at full scale, and that
+    is a single co-partitioned self-join on l_orderkey. Estimates for
+    BOTH edges and triangles are exact binary arithmetic (p = t/256 is
+    an exact double; 1/p³ = 2²⁴/t³ applied as integer-scaled double
+    division) so the two engines agree to the last bit.
+
+    Reference context: SURVEY.md §2.4 ABSENT (the reference engine has
+    no joins — this is the beyond-parity graph plane); r10 verdict
+    task 1."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    thr = _tri_sample_threshold(footer_rows(spark, sf_dir, "lineitem"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("tri"),
+                        F.col("u").cast("string"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < thr
+    )
+    sed = pairs.where(gate).distinct()
+    deg = (
+        sed.select(F.col("u").alias("n"))
+        .unionByName(sed.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # The sampled wedge relation is p² of the exact one, so the
+    # footer-sized width knob scales by t²/256² — at every locally
+    # measured SF it resolves to the session default (no extra
+    # exchange); at 100× it widens exactly like the exact query.
+    session_parts = _session_shuffle_parts(spark)
+    li_rows_eff = (footer_rows(spark, sf_dir, "lineitem") * thr * thr) // (
+        256 * 256
+    )
+    wp = max(session_parts, min(4096, (li_rows_eff * 128) // 6_000_000))
+    tri = _oriented_triangles(sed, deg, wp, session_parts).withColumnRenamed(
+        "n_triangles", "n_tri_sampled"
+    )
+    stats = sed.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+    return stats.crossJoin(tri).select(
+        F.lit(thr).cast("bigint").alias("thr_256"),
+        F.lit(thr / 256.0).alias("sample_p"),
+        "n_edges_sampled",
+        F.round(F.col("n_edges_sampled") * 256.0 / thr, 3).alias("est_edges"),
+        "n_tri_sampled",
+        F.round(
+            F.col("n_tri_sampled") * 16777216.0 / (thr * thr * thr), 3
+        ).alias("est_triangles"),
     )
 
 

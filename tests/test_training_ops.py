@@ -536,6 +536,51 @@ def test_triangle_count_matches_bruteforce(spark, baskets):
     assert got["n_triangles"] == tris
 
 
+def test_tri_sample_threshold_integer_rule():
+    """The DOULION gate threshold is derived by pure integer
+    arithmetic so Spark and the DuckDB oracle cannot diverge on a
+    float boundary: smallest t in [16, 256] with t³·n ≥ 256³·20000,
+    256 when no t qualifies (n < 20000 → p = 1, sampling off)."""
+    from spark_query_engine.queries.training import _tri_sample_threshold as f
+
+    assert f(1) == 256  # tiny corpus: keep everything
+    assert f(19_999) == 256
+    assert f(20_000) == 256  # exact boundary: t=256 satisfies with equality
+    # the measured testdata scales (verified against the DuckDB rule)
+    assert f(60_000) == 178
+    assert f(600_000) == 83
+    assert f(6_000_000) == 39
+    assert f(18_000_000) == 27
+    # the floor: even at 100 TB-ish n the gate never drops below 16/256
+    assert f(10**12) == 16
+    # monotone non-increasing in n
+    prev = 257
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**9):
+        t = f(n)
+        assert 16 <= t <= 256 and t <= prev
+        prev = t
+
+
+def test_triangle_sampled_is_exact_at_p1(spark, sf_dir):
+    """At sf0.001 (6k lineitem rows < the 20k budget) the sampled
+    query's gate threshold is 256 — every edge survives — so the
+    estimator must REPRODUCE the exact query bit-for-bit: same edge
+    count, same triangle count, estimates equal to the exact values
+    as doubles. Pins the estimator arithmetic (1/p³ at p=1) and the
+    shared wedge core against the exact twin."""
+    from spark_query_engine.queries import queries
+
+    qs = queries()
+    exact = qs["graph_triangle_count"](spark, sf_dir).collect()[0]
+    samp = qs["graph_triangle_sampled"](spark, sf_dir).collect()[0]
+    assert samp["thr_256"] == 256
+    assert samp["sample_p"] == 1.0
+    assert samp["n_edges_sampled"] == exact["n_edges"]
+    assert samp["n_tri_sampled"] == exact["n_triangles"]
+    assert samp["est_edges"] == float(exact["n_edges"])
+    assert samp["est_triangles"] == float(exact["n_triangles"])
+
+
 def test_image_ahash_blocking_has_exact_recall(spark):
     """The banded Hamming join must return exactly the brute-force
     pair set over the real hash relation (pigeonhole guarantee), and
