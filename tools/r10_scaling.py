@@ -35,7 +35,27 @@ the wall-time row measures whether per-round job cost stays linear.
 sf3 inputs are generated on first use (30 replicas via the existing
 structure-preserving generators in gen_scaling_data / gen_scaling_tpch).
 
-Usage:  python tools/r10_scaling.py rows|graph [sf_dirs...]
+r11 adds ``tri`` — the DOULION accuracy/speed envelope (r10 verdict
+task 1): at each dir, run the exact ``graph_triangle_count`` and the
+sampled ``graph_triangle_sampled``, ASSERT |est/exact − 1| within the
+envelope (±2 % for triangles, ±1 % for edges — generous multiples of
+the ~0.4 % binomial σ at the budgeted E[sampled triangles] ≈ 65 k,
+leaving room for the shared-edge variance term), and report min-of-2
+wall times for the speedup row. A violation exits non-zero.
+
+r11 also adds ``cold`` — the SCALING.md 10c cold-session protocol as
+a reusable subcommand (r10 verdict task 2): run the named queries at
+sf0.1 in THIS fresh process (invoke from a new python, quiet box),
+3 runs each with run 1 excluded as JVM/codegen warmup, preceded by an
+8-query canary probe whose per-query min-of-2 is compared against the
+committed BENCH_FULL.json record to price the session's ambient.
+
+r11 also adds ``top10`` — sf1/sf3 rows for the non-graph half of the
+driver's wall-clock top-10 (r10 verdict task 3), same min-of-2
+protocol as ``graph``.
+
+Usage:  python tools/r10_scaling.py rows|graph|tri|top10 [sf_dirs...]
+        python tools/r10_scaling.py cold <query> [query ...]
 """
 
 from __future__ import annotations
@@ -56,6 +76,18 @@ ROWS_QUERIES = [
     "multimodal_frame_sample",
     "dedup_minhash_highrecall",
     "dedup_minhash",  # the default-recall twin, same protocol, for the price ratio
+]
+
+#: r11 (r10 verdict task 3): the non-graph half of the driver's
+#: wall-clock top-10 — sf3 rows to complete the 10d pattern (the
+#: graph family got sf3 + round counts in r10).
+TOP10_QUERIES = [
+    "pipeline_dedup_cascade",
+    "dedup_ngram_prefix",
+    "corpus_dedup_keep_best",
+    "stats_poisson_bootstrap",
+    "corpus_ivf_occupancy",
+    "dedup_cluster_purity",
 ]
 
 GRAPH_QUERIES = [
@@ -123,6 +155,117 @@ def measure(names: list[str], sf_dirs: list[str]) -> None:
             )
 
 
+def tri_envelope(sf_dirs: list[str]) -> int:
+    """Sampled-vs-exact triangle adjudication: accuracy asserted,
+    speed reported. Returns a non-zero exit code on violation."""
+    from spark_query_engine import queries as registry
+    from spark_query_engine.session import get_session
+
+    spark = get_session("r11-tri")
+    qs = registry.queries()
+    failures = 0
+    for sf_dir in sf_dirs:
+        tag = Path(sf_dir).name
+        if not Path(f"{sf_dir}/lineitem.parquet").exists():
+            print(f"tri @ {tag}: SKIP (lineitem absent)")
+            continue
+        times: dict[str, list[float]] = {}
+        rows: dict[str, dict] = {}
+        for name in ("graph_triangle_sampled", "graph_triangle_count"):
+            # run 1: collect the values (doubles as JVM/codegen
+            # warmup, excluded from timing per the standing protocol)
+            rows[name] = qs[name](spark, sf_dir).collect()[0].asDict()
+            spark.catalog.clearCache()
+            times[name] = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times[name].append(time.time() - t0)
+                spark.catalog.clearCache()
+        exact, samp = rows["graph_triangle_count"], rows["graph_triangle_sampled"]
+        tri_err = samp["est_triangles"] / exact["n_triangles"] - 1.0
+        edge_err = samp["est_edges"] / exact["n_edges"] - 1.0
+        t_e = min(times["graph_triangle_count"])
+        t_s = min(times["graph_triangle_sampled"])
+        ok = abs(tri_err) <= 0.02 and abs(edge_err) <= 0.01
+        if not ok:
+            failures += 1
+        print(
+            f"tri @ {tag}: p={samp['sample_p']:.3f} "
+            f"est {samp['est_triangles']:.0f} vs exact "
+            f"{exact['n_triangles']} (err {tri_err*100:+.2f}%); "
+            f"edges err {edge_err*100:+.2f}%; "
+            f"exact {t_e:.2f}s vs sampled {t_s:.2f}s "
+            f"(speedup x{t_e / t_s:.2f}) "
+            f"[{'OK' if ok else 'ENVELOPE VIOLATION'}]",
+            flush=True,
+        )
+    return failures
+
+
+#: The canary probe of the 10c protocol: 8 cheap untouched-since-r1
+#: queries spanning scan/agg/join/window/dedup/text/events families.
+COLD_CANARY = [
+    "tpch_q1",
+    "filter_eq_project",
+    "agg_group_minmax",
+    "limit_topk",
+    "join_broadcast_dims",
+    "window_topk_per_group",
+    "text_quality",
+    "events_tumbling_window",
+]
+
+
+def cold_protocol(names: list[str], sf_dir: str = "/root/testdata/sf0.1") -> None:
+    import json
+
+    from spark_query_engine import queries as registry
+    from spark_query_engine.session import get_session
+
+    spark = get_session("cold-protocol")
+    qs = registry.queries()
+
+    def min_of(name: str, n_runs: int) -> tuple[float, list[float]]:
+        runs = []
+        for i in range(n_runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        # run 1 = warmup, excluded by protocol
+        return min(runs[1:]), runs
+
+    committed = json.loads((ROOT / "BENCH_FULL.json").read_text())["queries"]
+    ratios = []
+    for c in COLD_CANARY:
+        m, _ = min_of(c, 3)
+        if committed.get(c):
+            ratios.append(m / committed[c])
+    ratios.sort()
+    ambient = ratios[len(ratios) // 2] if ratios else 1.0
+    print(f"canary probe: median x{ambient:.3f} vs committed BENCH_FULL.json")
+
+    for name in names:
+        m, runs = min_of(name, 3)
+        base = committed.get(name)
+        vs = (
+            f" vs committed {base:.2f}s (x{m / base:.2f} raw, "
+            f"x{m / base / ambient:.2f} ambient-adjusted)"
+            if base
+            else ""
+        )
+        print(
+            f"cold {name}: min-of-2 {m:.2f}s "
+            f"(runs {[round(r, 2) for r in runs]}){vs}",
+            flush=True,
+        )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "rows"
     if mode == "rows":
@@ -135,6 +278,21 @@ def main() -> None:
     elif mode == "graph":
         dirs = sys.argv[2:] or [str(SCALING / "sf1"), ensure_sf3()]
         measure(GRAPH_QUERIES, dirs)
+    elif mode == "top10":
+        dirs = sys.argv[2:] or [str(SCALING / "sf1"), ensure_sf3()]
+        measure(TOP10_QUERIES, dirs)
+    elif mode == "tri":
+        dirs = sys.argv[2:] or [
+            "/root/testdata/sf0.1",
+            str(SCALING / "sf0.3"),
+            str(SCALING / "sf1"),
+            ensure_sf3(),
+        ]
+        raise SystemExit(tri_envelope(dirs))
+    elif mode == "cold":
+        if len(sys.argv) < 3:
+            raise SystemExit("cold mode needs query names")
+        cold_protocol(sys.argv[2:])
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

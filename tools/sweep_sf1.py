@@ -34,6 +34,8 @@ absent tables are reported ``SKIP``. Results are committed per round
 in SCALING.md (grep "sf1 sweep").
 
 Usage:  python tools/sweep_sf1.py [sf_dir] [query ...]
+        python tools/sweep_sf1.py [sf_dir] --graph   # GRAPH_FAMILY set
+        python tools/sweep_sf1.py [sf_dir] --all     # banded + graph
 """
 
 from __future__ import annotations
@@ -83,6 +85,26 @@ BANDED_FAMILIES = [
     # prefix-banded containment / shingle joins
     "dedup_containment",
     "dedup_ngram_jaccard",
+]
+
+#: r11 (r10 verdict task 5): the iterative-graph family — sf3 timing
+#: and round-count rows exist (SCALING.md 10d) but the r10 value sweep
+#: covered only the banded families. These oracles are EXACT (no
+#: banding anywhere in their candidate generation), so the expectation
+#: is MATCH with no envelopes; any SUBSET/TRADE/MISS is a defect.
+#: (dedup_cluster_components is NOT here — its input is banded MinHash
+#: candidates, so it stays in BANDED_FAMILIES with its TRADE envelope;
+#: graph_components_deep_chain is the exact-CC representative.)
+GRAPH_FAMILY = [
+    "corpus_graph_pagerank",
+    "graph_ppr_seeds",
+    "graph_kcore_peel",
+    "graph_hits_bipartite",
+    "graph_components_deep_chain",
+    "graph_link_prediction",
+    "graph_linkpred_eval",
+    "graph_triangle_count",
+    "graph_triangle_sampled",
 ]
 
 
@@ -199,7 +221,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(
         Path(__file__).resolve().parent.parent / ".scaling_data" / "sf1"
     )
-    only = list(sys.argv[2:]) or BANDED_FAMILIES
+    args = list(sys.argv[2:])
+    if args == ["--graph"]:
+        only = GRAPH_FAMILY
+    elif args == ["--all"]:
+        only = BANDED_FAMILIES + GRAPH_FAMILY
+    else:
+        only = args or BANDED_FAMILIES
 
     from spark_query_engine import queries as registry
     from spark_query_engine.session import get_session
