@@ -244,6 +244,13 @@ _REPIN_REWRITTEN = (
     # signed evidence (r3, re-signed r9) predates the refactor, so it
     # re-signs under the current code per the standing rule.
     "graph_triangle_count",
+    # r11: the ×32 replicate fan-out now spreads to session width
+    # before the explode (the sf3 rows caught it serialized onto the
+    # scan's 5 byte-sized splits — flat 29 s sf1→sf3, cores idle;
+    # 3.5 s after). Values are placement-independent (integer-exact
+    # per-(row, replicate) weights), but the plan changed, so it
+    # re-signs under the current code.
+    "stats_poisson_bootstrap",
 )
 
 
