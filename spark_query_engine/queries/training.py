@@ -1536,22 +1536,6 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spread_for_fanout(df, spark: SparkSession):
-    """Round-robin ``df`` out to the session's shuffle width when its
-    current partitioning is narrower — for stages whose PER-ROW work
-    is amplified by a constant factor (a ×B replicate explode, a
-    broadcast-constant crossJoin) right after a scan: Spark sizes scan
-    splits by BYTES (``spark.sql.files.maxPartitionBytes``), so a
-    byte-small input serializes an amplified stage onto a handful of
-    cores no matter how large the fan-out. A no-op when the scan is
-    already at/above session width (large inputs — there the extra
-    exchange would be pure overhead)."""
-    parts = _session_shuffle_parts(spark)
-    if df.rdd.getNumPartitions() < parts:
-        return df.repartition(parts)
-    return df
-
-
 def _session_shuffle_parts(spark: SparkSession) -> int:
     """The session's shuffle width, tolerant of non-numeric values
     ("auto" under some AQE/coalesce setups) — fall back to Spark's
@@ -6200,17 +6184,15 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, t in list(enumerate(ts))[1:]:
         w = w.when(h < t, k)
     w = w.otherwise(6)
-    # Spread the ×B fan-out across the cluster BEFORE exploding (r11):
-    # the md5-per-(row, replicate) work is ×32 the scan size but
-    # inherits the scan's SPLIT count, and orders.parquet bin-packs to
-    # O(file_MB/128) splits — 5 at sf1, 14 at sf3 — so the expensive
-    # stage ran on under half the cores and wall time sat FLAT at
-    # ~29 s from sf1 to sf3 while the rest idled (caught by the r11
-    # sf3 rows; see SCALING.md 11c). One n-row shuffle of two bigint
-    # columns unlocks full-width parallelism; skipped when the scan
-    # already provides session-width splits (the 100 TB case, where
-    # the shuffle would be pure overhead).
-    base = _spread_for_fanout(base, spark)
+    # Widen BEFORE the ×32 fan-out (r11): the md5-per-(row, replicate)
+    # work is ×32 the scan size but inherits the scan's SPLIT count —
+    # orders.parquet arrives as one file (5 byte-sized splits at sf1,
+    # 14 at sf3), so the expensive stage ran on under half the cores
+    # and wall time sat FLAT at ~29 s from sf1 to sf3 while the rest
+    # idled (caught by the r11 sf3 rows; SCALING.md 11c). The standard
+    # `widen` guard — one n-row shuffle of two bigint columns, no-op
+    # on many-split cluster scans — was simply missing here.
+    base = widen(base)
     # generator fan-out beats a 32-row broadcast crossJoin by ~20%
     # (no BNLJ row-copy loop; the array is constant-folded)
     wtd = base.select(
