@@ -251,6 +251,24 @@ _REPIN_REWRITTEN = (
     # per-(row, replicate) weights), but the plan changed, so it
     # re-signs under the current code.
     "stats_poisson_bootstrap",
+    # r11: the plan-level fan-out audit (tools/fanout_audit.py — the
+    # 11c defect class made mechanical) found 20 Generate-over-
+    # unshuffled-scan sites; these ten queries gained the standing
+    # `widen` guard in front of their per-row-expensive explodes
+    # (values placement-independent — all re-verified against their
+    # oracles at sf0.01 the same session), but the plans changed, so
+    # they re-sign under the current code. (winnow_fingerprint's
+    # widen was REVERTED on measurement — its Arrow substrate is
+    # already zero-shuffle — so it does not re-pin.)
+    "corpus_span_dedup",
+    "corpus_dup_span_removal",
+    "pipeline_pretraining_full",
+    "pipeline_rag_index",
+    "corpus_bpe_tokenize",
+    "corpus_bpe_fertility",
+    "corpus_chunk_sliding",
+    "corpus_ngram_topk",
+    "ann_hybrid_search",
 )
 
 

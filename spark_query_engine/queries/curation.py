@@ -620,9 +620,9 @@ def _minhash_oracle_ctes(num_hashes: int = 16, bands: int = 4) -> str:
         ),
         sigs AS (SELECT id, {mins} FROM based GROUP BY id),
         keys AS (SELECT id, {band_keys} FROM sigs),
-        banded AS (SELECT id, band_idx, band_key
+        banded AS MATERIALIZED (SELECT id, band_idx, band_key
                    FROM ({band_union})),
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -1009,7 +1009,7 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hash_shingles`` in operators/dedup.py); kept as text here so the
     oracle replays it verbatim."""
     docs = load(spark, sf_dir, "documents")
-    perdoc = T.span_dup_stats(docs, "doc_id", "text", k=8)
+    perdoc = T.span_dup_stats(widen(docs), "doc_id", "text", k=8)
     frac = F.round(
         F.when(
             F.coalesce(perdoc["n_chunks"], F.lit(0)) > 0,
@@ -1126,12 +1126,13 @@ def _pagerank_oracle_iters(t: int = 5) -> str:
     oracle=f"""
         WITH {_WORD_SHINGLES},
         {_minhash_oracle_ctes()},
-        pr_edges AS (
+        pr_edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM cand
             UNION ALL
             SELECT id_b, id_a FROM cand
         ),
-        pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
+        pr_deg AS MATERIALIZED (
+            SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
         nn AS (SELECT COUNT(*) AS n FROM pr_deg),
         r0 AS (
             SELECT src AS id, 1.0/(SELECT n FROM nn) AS pr FROM pr_deg
@@ -2573,12 +2574,13 @@ def _ppr_oracle_iters(t: int = 5, seed_mod: int = 5) -> str:
     oracle=f"""
         WITH {_WORD_SHINGLES},
         {_minhash_oracle_ctes()},
-        pr_edges AS (
+        pr_edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM cand
             UNION ALL
             SELECT id_b, id_a FROM cand
         ),
-        pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
+        pr_deg AS MATERIALIZED (
+            SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
         nseeds AS (
             SELECT COUNT(*) AS n FROM pr_deg WHERE src % 5 = 0
         ),

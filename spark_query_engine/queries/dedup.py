@@ -20,7 +20,7 @@ _WORD_SHINGLES = """
     words AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
         SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
         FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
         WHERE len(w) >= 3

@@ -240,7 +240,7 @@ def ann_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = docs.where(F.col("doc_id") == 0).select(
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    dt = docs.where(F.col("doc_id") != 0).select(
+    dt = widen(docs.where(F.col("doc_id") != 0)).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     lex = (

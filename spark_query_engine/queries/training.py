@@ -77,7 +77,7 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return chunk_sliding(
-        docs, "doc_id", "text", size=_CHUNK, stride=_STRIDE
+        widen(docs), "doc_id", "text", size=_CHUNK, stride=_STRIDE
     ).withColumnRenamed("id", "doc_id")
 
 
@@ -119,7 +119,7 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition keeps only 5 rows. The gram explosion itself is a
     narrow transform."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("lang", F.split("text", " ").alias("w")).where(
+    toks = widen(docs).select("lang", F.split("text", " ").alias("w")).where(
         F.size("w") >= 3
     )
     # Spark [] is 0-based (DuckDB's is 1-based) — triples start at w[i-1]
@@ -478,6 +478,12 @@ def corpus_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_query_engine.operators import textanalysis as T
 
     docs = load(spark, sf_dir, "documents")
+    # NOT widened (r11 fan-out audit): above WINNOW_ARROW_MIN_DOCS the
+    # operator dispatches to the zero-shuffle Arrow mapInPandas
+    # substrate, and a widen respread of the full text column in front
+    # of it MEASURED 2.31 s -> 6.11 s at sf1; the explode path the
+    # audit flags only exists below 2,000 docs, where per-row work is
+    # trivially small. Adjudicated in SCAN_FANOUT_ALLOWLIST.
     sel = T.winnow_fingerprints(
         docs, "doc_id", "text", k=_WK, w=_WW,
         n_hint=footer_rows(spark, sf_dir, "documents"),
@@ -922,7 +928,7 @@ def corpus_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_query_engine.operators.dedup import dup_span_removal
 
     docs = load(spark, sf_dir, "documents")
-    out = dup_span_removal(docs, "doc_id", "text", k=_SPAN_K)
+    out = dup_span_removal(widen(docs), "doc_id", "text", k=_SPAN_K)
     return out.select(
         F.col("id").alias("doc_id"),
         "n_tokens",
@@ -1303,7 +1309,7 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_query_engine.operators.dedup import dup_span_removal
     from spark_query_engine.operators.textanalysis import chunk_sliding
 
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(load(spark, sf_dir, "documents"))
     spans = dup_span_removal(docs, "doc_id", "text", k=_SPAN_K)
     norm_fp = F.md5(
         F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
@@ -1978,7 +1984,7 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid state."""
     from spark_query_engine.operators.textanalysis import bpe_apply, bpe_train
 
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(load(spark, sf_dir, "documents"))
     norm_fp = F.md5(
         F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
     )
@@ -2150,7 +2156,7 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     chunks = chunk_sliding(
-        docs, "doc_id", "text", size=_RAG_CHUNK, stride=_RAG_CHUNK
+        widen(docs), "doc_id", "text", size=_RAG_CHUNK, stride=_RAG_CHUNK
     ).select(F.col("id").alias("doc_id"), "chunk_idx", "chunk_fp")
 
     vd = [
@@ -2440,7 +2446,7 @@ def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain with the census head swapped on."""
     from spark_query_engine.operators.textanalysis import bpe_apply, bpe_train
 
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(load(spark, sf_dir, "documents"))
     norm_fp = F.md5(
         F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
     )
@@ -5121,7 +5127,7 @@ def _aa_weight_values() -> str:
               ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
         ),
-        ed AS (
+        ed AS MATERIALIZED (
             SELECT u, v FROM ed0
             WHERE ('0x' || substr(md5(u::VARCHAR || ':' || v::VARCHAR),
                                   1, 8))::BIGINT % {_AA_MOD} = 0
@@ -5136,7 +5142,7 @@ def _aa_weight_values() -> str:
             SELECT u AS z, v AS x FROM ed
             UNION ALL SELECT v AS z, u AS x FROM ed
         ),
-        piv AS (
+        piv AS MATERIALIZED (
             SELECT adj.z, adj.x, wt.w
             FROM adj JOIN deg ON deg.n = adj.z
                      JOIN wt ON wt.d = deg.d
@@ -6598,7 +6604,7 @@ _AA_EVAL_MOD = 5
               ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
         ),
-        ed AS (
+        ed AS MATERIALIZED (
             SELECT u, v,
                    ('0x' || substr(md5(u::VARCHAR || ':' || v::VARCHAR
                                        || ':T'), 1, 8))::BIGINT
@@ -6607,8 +6613,8 @@ _AA_EVAL_MOD = 5
             WHERE ('0x' || substr(md5(u::VARCHAR || ':' || v::VARCHAR),
                                   1, 8))::BIGINT % {_AA_MOD} = 0
         ),
-        train AS (SELECT u, v FROM ed WHERE NOT is_test),
-        test AS (SELECT u, v FROM ed WHERE is_test),
+        train AS MATERIALIZED (SELECT u, v FROM ed WHERE NOT is_test),
+        test AS MATERIALIZED (SELECT u, v FROM ed WHERE is_test),
         deg AS (
             SELECT n, COUNT(*) AS d FROM (
                 SELECT u AS n FROM train UNION ALL SELECT v FROM train
@@ -6619,7 +6625,7 @@ _AA_EVAL_MOD = 5
             SELECT u AS z, v AS x FROM train
             UNION ALL SELECT v AS z, u AS x FROM train
         ),
-        piv AS (
+        piv AS MATERIALIZED (
             SELECT adj.z, adj.x, wt.w
             FROM adj JOIN deg ON deg.n = adj.z
                      JOIN wt ON wt.d = deg.d
@@ -7850,20 +7856,21 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_hits_bipartite",
     oracle="""
-        WITH e AS (
+        WITH e AS MATERIALIZED (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         ),
-        a1 AS (SELECT p, CAST(COUNT(*) AS DOUBLE) AS a FROM e GROUP BY 1),
+        a1 AS MATERIALIZED (
+            SELECT p, CAST(COUNT(*) AS DOUBLE) AS a FROM e GROUP BY 1),
         am1 AS (SELECT MAX(a) AS m FROM a1),
         a1n AS (SELECT p, ROUND(a / (SELECT m FROM am1), 9) AS a FROM a1),
-        h1 AS (
+        h1 AS MATERIALIZED (
             SELECT c, ROUND(SUM(a), 9) AS h
             FROM e JOIN a1n USING (p) GROUP BY 1
         ),
         hm1 AS (SELECT MAX(h) AS m FROM h1),
         h1n AS (SELECT c, ROUND(h / (SELECT m FROM hm1), 9) AS h FROM h1),
-        a2 AS (
+        a2 AS MATERIALIZED (
             SELECT p, ROUND(SUM(h), 9) AS a
             FROM e JOIN h1n USING (c) GROUP BY 1
         ),

@@ -221,3 +221,55 @@ def test_bench_diff_flag_streak_counter():
     assert out["fresh"]["rounds_running"] == 1
     assert "recovered" not in out  # compared clean -> reset & pruned
     assert out["absent"]["rounds_running"] == 4  # no evidence either way
+
+
+def test_fanout_audit_tree_classifier():
+    """Unit-pin the Generate-over-unshuffled-scan detector on
+    synthetic plan trees: a fan-out straight off a relation counts; a
+    fan-out whose path to the relation crosses a shuffle-introducing
+    node (Repartition — the widen guard's footprint, or Aggregate)
+    does not; a Generate above BOTH a guarded and an unguarded branch
+    counts once (first reachable relation wins per child)."""
+    from fanout_audit import build_tree, count_scan_fanouts
+
+    def n(cls, *children):
+        return {
+            "class": f"org.apache.spark.sql.catalyst.plans.logical.{cls}",
+            "num-children": len(children),
+            "_children": list(children),
+        }
+
+    rel = n("LogicalRelation")
+    # explode straight over the scan: flagged
+    assert count_scan_fanouts(n("Generate", rel)) == 1
+    # widen's Repartition between explode and scan: clean
+    assert count_scan_fanouts(n("Generate", n("Repartition", rel))) == 0
+    # aggregate boundary: clean
+    assert count_scan_fanouts(n("Generate", n("Aggregate", rel))) == 0
+    # project/filter are pass-through: still flagged
+    assert (
+        count_scan_fanouts(n("Generate", n("Project", n("Filter", rel)))) == 1
+    )
+    # two stacked generates over one scan: both flagged
+    assert (
+        count_scan_fanouts(n("Generate", n("Generate", rel))) == 2
+    )
+    # flat toJSON order reconstructs the same tree
+    flat = [
+        {
+            "class": "org.apache.spark.sql.catalyst.plans.logical.Generate",
+            "num-children": 1,
+        },
+        {
+            "class": "org.apache.spark.sql.catalyst.plans.logical.Repartition",
+            "num-children": 1,
+        },
+        {
+            "class": (
+                "org.apache.spark.sql.execution.datasources.LogicalRelation"
+            ),
+            "num-children": 0,
+        },
+    ]
+    root, _ = build_tree(flat)
+    assert count_scan_fanouts(root) == 0

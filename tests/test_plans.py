@@ -362,6 +362,10 @@ def test_headline_plans_have_no_scale_killers(spark):
         "stats_ks_drift",
         # 1-row hits × 1-row test-count × 1-row train-count assembly
         "graph_linkpred_eval",
+        # 1-row sampled-edge count × 1-row sampled-triangle count
+        # assembly (the DOULION estimator's final projection) — both
+        # BNLJ sides are single-row aggregates
+        "graph_triangle_sampled",
         # 1-row min-day / counts / psi-total broadcasts into the
         # bucket grid — every BNLJ side is O(1) or O(buckets)
         "stats_psi_drift",

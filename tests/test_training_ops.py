@@ -179,12 +179,22 @@ def test_dsir_prefers_target_slice(spark):
 
 
 # ------------------------------------------------------------- plan shapes
-def test_chunk_sliding_is_zero_shuffle(spark):
+def test_chunk_sliding_has_no_key_shuffle(spark):
+    """The chunker itself is a pure narrow transform — no KEY-based
+    Exchange (hash/range) anywhere in the plan. The one allowed
+    Exchange is the widen guard's RoundRobinPartitioning respread
+    (r11: the explode inherited the scan's byte-packed split count —
+    measured 1.13 s -> 0.64 s at sf1; a no-op on many-split cluster
+    scans). The OPERATOR stays exchange-free for streaming parity —
+    asserted separately in test_streaming.py."""
     from spark_query_engine.plans import format_plan
     from spark_query_engine.queries import queries
 
     plan = format_plan(queries()["corpus_chunk_sliding"](spark, SF), "physical")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
 
 
 def test_batch_ann_uses_window_group_limit(spark):

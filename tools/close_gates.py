@@ -15,9 +15,12 @@ Gates, in order (fail-fast):
      equals ``len(queries())``; every bench.HEADLINE name is
      registered; every query has an oracle or is on the documented
      rows-only list.
-  4. global-window plan audit: no registered query's optimized plan
-     carries an unpartitioned Window node unless its support is
-     bounded and allowlisted (GLOBAL_WINDOW_ALLOWLIST).
+  4. plan audit (one walk, two invariants): no registered query's
+     optimized plan carries an unpartitioned Window node unless its
+     support is bounded and allowlisted (GLOBAL_WINDOW_ALLOWLIST),
+     and no Generate fan-out feeds straight off an unshuffled file
+     scan unless adjudicated (SCAN_FANOUT_ALLOWLIST — the SCALING.md
+     11c split-count-inheritance defect class).
 
 Usage:  python tools/close_gates.py [sf_dir]
 Exit status 0 only if every gate passes.
@@ -32,6 +35,7 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
 
 #: queries registered without an oracle on purpose (driver records a
 #: rows-only check; the judge sees which) — keep in sync with VERDICT
@@ -267,14 +271,43 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
 }
 
 
+#: Generate-over-unshuffled-scan sites adjudicated FINE (r11 fan-out
+#: audit, SCALING.md 11e): the fan-out is either over a ≤1-row side
+#: (the query-document token explode in ann_hybrid_search /
+#: text_bm25_search, broadcast immediately after) or a trivial ×salt
+#: row copy on the small join side that the join's own shuffle
+#: redistributes (join_salted_skew). Values are per-query counts so a
+#: NEW unguarded fan-out in an allowlisted query still trips the gate.
+SCAN_FANOUT_ALLOWLIST = {
+    "ann_hybrid_search": 1,
+    "join_salted_skew": 1,
+    "text_bm25_search": 1,
+    # the JVM array path's selected-position explode, taken only
+    # below WINNOW_ARROW_MIN_DOCS (2,000) docs — the gate walks plans
+    # at sf0.001 where this path is active; at bench scales the
+    # operator dispatches to the zero-shuffle Arrow substrate and a
+    # widen in front of it measured 2.31 s -> 6.11 s at sf1
+    # (SCALING.md 11e)
+    "corpus_winnow_fingerprint": 1,
+}
+
+
 def gate_global_windows(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
     """Walk every registered query's OPTIMIZED logical plan (toJSON —
     no execution beyond the model-state fits query construction
-    already runs) and flag any unpartitioned Window/WindowGroupLimit
-    node on a query without a bounded-support allowlist entry; stale
-    allowlist entries (query gone, or no unpartitioned window left)
-    are flagged too, so the list cannot rot."""
+    already runs) and flag (a) any unpartitioned Window/
+    WindowGroupLimit node on a query without a bounded-support
+    allowlist entry, and (b) any Generate (explode fan-out) whose
+    input comes straight off a file scan with no shuffle in between —
+    the SCALING.md 11c split-count-inheritance defect (amplified
+    per-row work serialized onto however many splits the parquet
+    footer bin-packed; the standing ``widen`` guard is the fix) —
+    unless allowlisted with its adjudicated site count. Stale
+    allowlist entries (query gone, or condition no longer present)
+    are flagged too, so neither list can rot."""
     import json as _json
+
+    from fanout_audit import build_tree, count_scan_fanouts
 
     from spark_query_engine.queries import queries
     from spark_query_engine.session import get_session
@@ -282,6 +315,7 @@ def gate_global_windows(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
     spark = get_session("plan-gate")
     errs: list[str] = []
     seen_unpart: set[str] = set()
+    seen_fanout: dict[str, int] = {}
     for name, fn in queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -306,11 +340,30 @@ def gate_global_windows(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
                     f"{name}: {n_unpart} unpartitioned Window node(s) and "
                     "no bounded-support GLOBAL_WINDOW_ALLOWLIST entry"
                 )
+        root, _ = build_tree(nodes)
+        n_fan = count_scan_fanouts(root)
+        if n_fan:
+            seen_fanout[name] = n_fan
+            if n_fan > SCAN_FANOUT_ALLOWLIST.get(name, 0):
+                errs.append(
+                    f"{name}: {n_fan} Generate-over-unshuffled-scan "
+                    f"site(s) (allowlisted "
+                    f"{SCAN_FANOUT_ALLOWLIST.get(name, 0)}) — per-row "
+                    "fan-out inherits scan split count; add the widen "
+                    "guard or adjudicate in SCAN_FANOUT_ALLOWLIST"
+                )
     for name in GLOBAL_WINDOW_ALLOWLIST:
         if name not in seen_unpart:
             errs.append(
                 f"stale GLOBAL_WINDOW_ALLOWLIST entry: {name} has no "
                 "unpartitioned window (or left the registry)"
+            )
+    for name, n_allowed in SCAN_FANOUT_ALLOWLIST.items():
+        if seen_fanout.get(name, 0) != n_allowed:
+            errs.append(
+                f"stale SCAN_FANOUT_ALLOWLIST entry: {name} has "
+                f"{seen_fanout.get(name, 0)} unshuffled-scan fan-out "
+                f"site(s), allowlist says {n_allowed}"
             )
     return errs
 
