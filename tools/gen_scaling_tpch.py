@@ -33,23 +33,31 @@ def gen(out_root: Path, replicas: int, name: str) -> None:
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
+    # o_orderpriority rides along for graph_components_deep_chain:
+    # replica r shifts orderkeys, so consecutive-rank edges WITHIN a
+    # priority class link replicas into one chain per class — the
+    # component count stays 5 while the diameter grows with the
+    # replica count, which is exactly the adversarial shape that
+    # query exists to stress (deeper chain = harder, not easier).
     o = con.execute(
-        f"SELECT o_orderkey, o_custkey, o_totalprice"
+        f"SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority"
         f" FROM read_parquet('{SRC}/orders.parquet')"
     ).fetchall()
     max_o = max(r[0] for r in o) + 1
     max_c = max(r[1] for r in o) + 1
-    okeys, ckeys, prices = [], [], []
+    okeys, ckeys, prices, prios = [], [], [], []
     for r in range(replicas):
-        okeys.extend(x + r * max_o for x, _, _ in o)
-        ckeys.extend(c + r * max_c for _, c, _ in o)
-        prices.extend(p for _, _, p in o)
+        okeys.extend(x + r * max_o for x, _, _, _ in o)
+        ckeys.extend(c + r * max_c for _, c, _, _ in o)
+        prices.extend(p for _, _, p, _ in o)
+        prios.extend(pr for _, _, _, pr in o)
     pq.write_table(
         pa.table({"o_orderkey": pa.array(okeys, pa.int64()),
                   "o_custkey": pa.array(ckeys, pa.int64()),
                   "o_totalprice": pa.array(
                       [float(p) for p in prices], pa.float64()
-                  )}),
+                  ),
+                  "o_orderpriority": pa.array(prios, pa.string())}),
         out / "orders.parquet",
     )
 
