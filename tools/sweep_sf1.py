@@ -35,7 +35,8 @@ in SCALING.md (grep "sf1 sweep").
 
 Usage:  python tools/sweep_sf1.py [sf_dir] [query ...]
         python tools/sweep_sf1.py [sf_dir] --graph   # GRAPH_FAMILY set
-        python tools/sweep_sf1.py [sf_dir] --all     # banded + graph
+        python tools/sweep_sf1.py [sf_dir] --events  # every events_* query
+        python tools/sweep_sf1.py [sf_dir] --all     # banded + graph + events
 """
 
 from __future__ import annotations
@@ -106,6 +107,16 @@ GRAPH_FAMILY = [
     "graph_triangle_count",
     "graph_triangle_sampled",
 ]
+
+
+def events_family() -> list[str]:
+    """Every registered events_* query — the time-series/sessionization
+    plane (r11: third family in the sf1 value sweep; exact oracles,
+    MATCH expected, 43/43 on first run — SCALING.md 11g). Derived from
+    the registry so new events queries join the sweep automatically."""
+    from spark_query_engine import queries as registry
+
+    return [n for n in registry.queries() if n.startswith("events_")]
 
 
 #: Queries whose output is an AGGREGATE or DERIVED view of MinHash
@@ -224,8 +235,10 @@ def main() -> int:
     args = list(sys.argv[2:])
     if args == ["--graph"]:
         only = GRAPH_FAMILY
+    elif args == ["--events"]:
+        only = events_family()
     elif args == ["--all"]:
-        only = BANDED_FAMILIES + GRAPH_FAMILY
+        only = BANDED_FAMILIES + GRAPH_FAMILY + events_family()
     else:
         only = args or BANDED_FAMILIES
 
