@@ -567,8 +567,16 @@ def corpus_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted beside each partition; the union is O(groups), not
     O(rows)."""
     docs = load(spark, sf_dir, "documents")
+    # lgConfigK=16 (σ = 1.04/√2^16 ≈ 0.41%), making the asserted 2%
+    # envelope a ≥4.9σ bound. The DEFAULT lgK=12 has σ ≈ 1.63%, i.e.
+    # 2% is only 1.2σ — and the sf1 value sweep (SCALING.md 11h)
+    # caught exactly that draw: merged estimate 51,825 vs 50,000
+    # (+3.65%) flipped within_2pct to false. Sketch size at lgK=16 is
+    # ≤ 64 KB per group in dense mode — still bytes-per-partition
+    # state at 100 TB, and sparse mode keeps it far smaller until
+    # ~2^14 distincts per group.
     partials = docs.groupBy("lang").agg(
-        F.hll_sketch_agg("doc_id").alias("sk")
+        F.hll_sketch_agg("doc_id", 16).alias("sk")
     )
     merged = partials.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")

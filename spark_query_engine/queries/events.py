@@ -1708,8 +1708,11 @@ def data_sketch_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"),
         "user_id",
     )
+    # lgConfigK=16 as in corpus_sketch_merge: σ ≈ 0.41%, so the 5%
+    # envelope is a ≥12σ bound instead of the default lgK=12's ~3σ
+    # (the r11 sf1 sweep caught a 2.2σ draw on the corpus twin)
     partials = ev.groupBy("day", "hour").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_agg("user_id", 16).alias("sk"),
         F.countDistinct("user_id").alias("n_hour"),
     )
     day = partials.groupBy("day").agg(
@@ -1849,8 +1852,10 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         WITH ev AS ({EVENTS_ORACLE}),
         b AS (
             SELECT event_type,
-                   quantile_cont(value, 0.05) AS lo,
-                   quantile_cont(value, 0.95) AS hi
+                   FLOOR(quantile_cont(value, 0.05) * 1000000.0 + 0.5)
+                       / 1000000.0 AS lo,
+                   FLOOR(quantile_cont(value, 0.95) * 1000000.0 + 0.5)
+                       / 1000000.0 AS hi
             FROM ev WHERE value IS NOT NULL
             GROUP BY 1
         ),
@@ -1888,13 +1893,31 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + aggregate; at 100 TB swap ``percentile`` for the
     ``percentile_approx`` sketch and the plan is one pass. The mean
     is ROUNDed once at the end (aggregate-of-doubles tolerance, the
-    repo's float discipline); the bounds themselves are exact
-    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont``, the ``agg_percentiles`` parity)."""
+    repo's float discipline); the bounds are interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` in exact
+    arithmetic) pinned at 6dp floor-half-up on both engines — see the
+    inline note for the 1-ulp interpolation-formula hazard the r11
+    sf1 sweep caught."""
     ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # The bounds are pinned at 6dp with floor-based half-up on BOTH
+    # engines (the repo's per-row float idiom). Exact-arithmetic
+    # percentile interpolation is engine-equal, but the FORMULA isn't:
+    # Spark evaluates a + h·(b−a), DuckDB (1−h)·a + h·b — identical
+    # reals, 1 ulp apart in doubles when a = b (a duplicated-value
+    # mass at the percentile). The r11 sf1 sweep caught it: lo = 2.52
+    # exactly (Spark) vs 2.52+1ulp (DuckDB), and 50 rows sitting
+    # exactly at 2.52 flipped the strict `<` clip census while the
+    # mean stayed equal (clipping a boundary-equal value is a no-op).
+    # 2dp inputs make every interpolated bound a ≤4dp decimal, so the
+    # 6dp floor sits ≥ 50 µunits from any half-case — deterministic
+    # on both engines.
     b = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+        F.expr(
+            "floor(percentile(value, 0.05) * 1000000.0 + 0.5) / 1000000.0"
+        ).alias("lo"),
+        F.expr(
+            "floor(percentile(value, 0.95) * 1000000.0 + 0.5) / 1000000.0"
+        ).alias("hi"),
     )
     w = ev.join(F.broadcast(b), "event_type").select(
         "event_type",

@@ -3808,7 +3808,7 @@ def _casc_k(n: int) -> int:
         ),
         s3 AS (SELECT doc_id FROM s2
                WHERE doc_id NOT IN (SELECT doc_id FROM d3)),
-        c AS (SELECT (SELECT COUNT(*) FROM documents) AS n0,
+        c AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM documents) AS n0,
                      (SELECT COUNT(*) FROM s1) AS n1,
                      (SELECT COUNT(*) FROM s2) AS n2,
                      (SELECT COUNT(*) FROM s3) AS n3)

@@ -94,15 +94,23 @@ def test_sf1_sweep_classify_and_envelopes():
     st, _msg, ex, mi = sw.classify(base.rename(columns={"v": "w"}), base.copy())
     assert (st, ex, mi) == ("MISS", None, None)
 
-    # envelope-table coherence
-    assert set(sw.TRADE_ENVELOPES) == set(sw.DERIVED_OF_BANDING)
+    # envelope-table coherence: every DERIVED_OF_BANDING name carries
+    # either a two-way TRADE bound or (for 1-row aggregates whose row
+    # bound is vacuous) a value-deficit envelope — never neither, and
+    # no orphaned bounds
+    assert set(sw.TRADE_ENVELOPES) | set(sw.AGG_DEFICIT_ENVELOPES) == set(
+        sw.DERIVED_OF_BANDING
+    )
+    assert not set(sw.TRADE_ENVELOPES) & set(sw.AGG_DEFICIT_ENVELOPES)
     for lo, hi in sw.SUBSET_ENVELOPES.values():
         assert 0 <= lo <= hi
-    # the r10 measured calibration points sit inside their envelopes
+    # measured calibration points sit inside their envelopes
+    # (r10 points + the r11 full-registry additions)
     measured = {
         "dedup_minhash": 112,
         "dedup_minhash_highrecall": 1,
         "corpus_contrastive_pairs": 112,
+        "dedup_bag_jaccard": 112,
     }
     for name, missed in measured.items():
         lo, hi = sw.SUBSET_ENVELOPES[name]
@@ -111,8 +119,17 @@ def test_sf1_sweep_classify_and_envelopes():
         "dedup_threshold_sweep": 6,
         "corpus_dedup_keep_best": 115,
         "dedup_cluster_components": 155,
+        "dedup_chain_recursive": 144,
+        "dedup_source_attribution": 48,
+        "dedup_cluster_purity": 123,
+        "pipeline_dedup_cascade": 4,
     }.items():
         assert total <= sw.TRADE_ENVELOPES[name], name
+    for name, (col, lo, hi) in sw.AGG_DEFICIT_ENVELOPES.items():
+        assert name in sw.DERIVED_OF_BANDING and lo <= hi
+    # the r11 measured deficit point
+    assert sw.AGG_DEFICIT_ENVELOPES["vec_text_alignment_audit"][1] <= 28
+    assert 28 <= sw.AGG_DEFICIT_ENVELOPES["vec_text_alignment_audit"][2]
 
 
 def test_bench_diff_record_loading_and_canary_fallback(tmp_path):
