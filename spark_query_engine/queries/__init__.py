@@ -269,6 +269,17 @@ _REPIN_REWRITTEN = (
     "corpus_chunk_sliding",
     "corpus_ngram_topk",
     "ann_hybrid_search",
+    # r11: the full-registry sf1 value sweep's two defect fixes
+    # (SCALING.md 11h) — lgConfigK=16 HLL sketches and the 6dp
+    # floor-half-up percentile-bound pinning — change these queries'
+    # plans AND oracles; the cascade's oracle gained a counts-CTE
+    # materialization (values identical, text changed). All
+    # re-verified at sf0.01 + sf1 the same session; they re-sign
+    # under the current code per the standing rule.
+    "corpus_sketch_merge",
+    "data_sketch_time_rollup",
+    "stats_winsorized_mean",
+    "pipeline_dedup_cascade",
 )
 
 
