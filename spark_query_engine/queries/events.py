@@ -1852,10 +1852,10 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         WITH ev AS ({EVENTS_ORACLE}),
         b AS (
             SELECT event_type,
-                   FLOOR(quantile_cont(value, 0.05) * 1000000.0 + 0.5)
-                       / 1000000.0 AS lo,
-                   FLOOR(quantile_cont(value, 0.95) * 1000000.0 + 0.5)
-                       / 1000000.0 AS hi
+                   FLOOR(quantile_cont(value, 0.05) * 1e6 + 0.5)
+                       / 1e6 AS lo,
+                   FLOOR(quantile_cont(value, 0.95) * 1e6 + 0.5)
+                       / 1e6 AS hi
             FROM ev WHERE value IS NOT NULL
             GROUP BY 1
         ),
@@ -1910,13 +1910,16 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean stayed equal (clipping a boundary-equal value is a no-op).
     # 2dp inputs make every interpolated bound a ≤4dp decimal, so the
     # 6dp floor sits ≥ 50 µunits from any half-case — deterministic
+    # on both engines. 1e6 (not 1000000.0) because DuckDB parses a
+    # decimal literal as DECIMAL and would carry the bound in
+    # DECIMAL arithmetic (the float-literal gotcha); 1e6 is DOUBLE
     # on both engines.
     b = ev.groupBy("event_type").agg(
         F.expr(
-            "floor(percentile(value, 0.05) * 1000000.0 + 0.5) / 1000000.0"
+            "floor(percentile(value, 0.05) * 1e6 + 0.5) / 1e6"
         ).alias("lo"),
         F.expr(
-            "floor(percentile(value, 0.95) * 1000000.0 + 0.5) / 1000000.0"
+            "floor(percentile(value, 0.95) * 1e6 + 0.5) / 1e6"
         ).alias("hi"),
     )
     w = ev.join(F.broadcast(b), "event_type").select(

@@ -971,3 +971,49 @@ def test_pagerank_deep_lineage_truncation_is_value_transparent(spark):
     assert set(got) == set(pr)
     for u in pr:
         assert abs(got[u] - pr[u]) < 2e-9, (u, got[u], pr[u])
+
+
+def test_winsorized_bounds_pin_boundary_mass(spark):
+    """The 1-ulp percentile-interpolation hazard (SCALING.md 11h):
+    with a duplicated-value mass spanning the percentile index, the
+    interpolation endpoints are EQUAL (a = b = the mass value), yet
+    Spark's a + h·(b−a) is exact while DuckDB's (1−h)·a + h·b is
+    1 ulp off — flipping strict-< clip counts for boundary-equal
+    rows. The fix pins the bounds at 6dp floor-half-up with DOUBLE
+    1e6 literals on both engines; this pins the semantics: pinned
+    bounds are bit-identical across engines, equal to the mass
+    value, and boundary-equal rows are unclipped on both sides."""
+    import duckdb
+    import pandas as pd
+
+    # 60 copies of 2.52 then 940 larger values: p5 index = 49.95
+    # falls INSIDE the 2.52 mass, so a = b = 2.52 — the hazard case
+    vals = [2.52] * 60 + [10.0 + i * 0.01 for i in range(940)]
+    pdf = pd.DataFrame({"value": vals})
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    b = sdf.agg(
+        F.expr("floor(percentile(value, 0.05) * 1e6 + 0.5) / 1e6").alias(
+            "lo"
+        )
+    ).head()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    (dlo,) = con.execute(
+        "SELECT FLOOR(quantile_cont(value, 0.05) * 1e6 + 0.5) / 1e6 FROM t"
+    ).fetchone()
+    # DOUBLE on both engines (the 1000000.0 literal would be DECIMAL
+    # in DuckDB), bit-identical, and equal to the duplicated mass
+    assert isinstance(dlo, float)
+    assert b["lo"] == dlo == 2.52
+    # whether the RAW bounds differ by the ulp depends on h and the
+    # value magnitude (measured at sf1: lo = 2.52 exact vs 2.52+1ulp,
+    # SCALING.md 11h) — the pin must hold either way, which is what
+    # the equalities above and the clip parity below assert
+    # boundary-equal rows are not clipped under strict < on either side
+    n_clip_spark = sdf.where(F.col("value") < F.lit(b["lo"])).count()
+    (n_clip_duck,) = con.execute(
+        f"SELECT COUNT(*) FROM t WHERE value < {dlo!r}"
+    ).fetchone()
+    assert n_clip_spark == n_clip_duck == 0
