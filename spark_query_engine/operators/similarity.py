@@ -23,7 +23,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import nested_lit, release_on_drop, widen
+from spark_query_engine.operators import (
+    d2_sql,
+    nested_lit,
+    nested_sql,
+    release_on_drop,
+    widen,
+)
 from spark_query_engine.operators.dedup import cosine
 
 
@@ -920,22 +926,20 @@ def pq_encode(
     codegen-loop pattern as the k-means assignment): encode is one
     scan, zero shuffle, zero Python. Returns (id, vec, codes) with
     ``codes[j]`` ∈ [0, k)."""
-    def d2(a, b) -> Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
+    # r11 OPT: each subspace's code is ONE F.expr parse — the former
+    # per-code Python-lambda HOF chain (transform + zip_with +
+    # aggregate per subspace) cost dozens of py4j round trips per
+    # lambda, re-paid at every construction (construction is inside
+    # the bench's timed region). Same fold text ⇒ bit-identical.
     codes = []
     for j, cb in enumerate(codebooks):
-        sub = F.slice(F.col("vec"), j * sub_dim + 1, sub_dim)
-        dists = F.transform(nested_lit(cb), lambda c: d2(sub, c))
+        sub = f"slice(vec,{j * sub_dim + 1},{sub_dim})"
+        dists = f"transform({nested_sql(cb)}, c -> {d2_sql(sub, 'c')})"
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            F.expr(
+                f"CAST(array_position({dists}, array_min({dists})) - 1 "
+                f"AS INT)"
+            )
         )
     return v.select("id", "vec", F.array(*codes).alias("codes"))
 
@@ -956,23 +960,16 @@ def pq_adc_topk(
     TakeOrderedAndProject: the PQ probe never shuffles the table."""
     q = [float(x) for x in query_vec]
 
-    def d2(a, b) -> Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
-    adc = F.lit(0.0)
+    # r11 OPT: the whole ADC sum is ONE F.expr parse (was a per-
+    # subspace Python-lambda HOF chain — dozens of py4j round trips
+    # per lambda at every construction). Same fold text and the same
+    # left-to-right addition order ⇒ bit-identical.
+    terms = ["0D"]
     for j, cb in enumerate(codebooks):
-        q_sub = F.array(
-            *[F.lit(x) for x in q[j * sub_dim : (j + 1) * sub_dim]]
-        )
-        lut = F.transform(nested_lit(cb), lambda c: d2(q_sub, c))
-        adc = adc + F.element_at(lut, F.col("codes")[j] + 1)
+        q_sub = nested_sql(q[j * sub_dim : (j + 1) * sub_dim])
+        lut = f"transform({nested_sql(cb)}, c -> {d2_sql(q_sub, 'c')})"
+        terms.append(f"element_at({lut}, codes[{j}] + 1)")
+    adc = F.expr("(" + " + ".join(terms) + ")")
     out = encoded.select("id", F.round(adc, 6).alias("adc_dist"))
     if exclude_id is not None:
         out = out.where(F.col("id") != exclude_id)
@@ -1054,30 +1051,29 @@ def pq_train_codebooks(
         ),
     )
 
-    def d2(a, b) -> Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
     for _ in range(iters):
-        cb_lit = nested_lit([[list(c) for c in cb] for cb in cbs])
-        table = F.element_at(cb_lit, F.col("j") + 1)
-        dists = F.transform(table, lambda c: d2(F.col("s"), c))
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        # r11 OPT: the per-iteration argmin-code and the mean-vector
+        # reassembly are each ONE F.expr parse (same fold text as the
+        # former Python-lambda HOF chain ⇒ bit-identical), instead of
+        # re-building transform/zip_with/aggregate lambdas through
+        # py4j on every Lloyd iteration.
+        cb_sql = nested_sql([[list(c) for c in cb] for cb in cbs])
+        dists = (
+            f"transform(element_at({cb_sql}, j + 1), "
+            f"c -> {d2_sql('s', 'c')})"
+        )
+        code = F.expr(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        )
         means = (
             subs.select("j", code.alias("code"), F.posexplode("s").alias("pos", "val"))
             .groupBy("j", "code", "pos")
             .agg(F.round(F.avg("val"), 6).alias("val"))
             .groupBy("j", "code")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, val)))"
+                    ", r -> r.val)"
                 ).alias("c")
             )
         )
