@@ -301,35 +301,52 @@ def covariance_matrix(
     covariance derives once per output cell from identical integers
     on both engines.
 
-    Plan: the (id, i, xq) element relation self-joins on id restricted
-    to i ≤ j — n·d(d+1)/2 product rows into a (i, j)-keyed hash agg
-    with map-side combine; one d-row marginal agg joins back on i/j.
-    Linear in n; d² is the OUTPUT size, constant per corpus."""
+    Plan (r11): the upper-triangle products are generated PER ROW with
+    nested higher-order transforms over the quantized element array —
+    no element self-join, so nothing shuffles before the (i, j)-keyed
+    hash agg's own tiny exchange (the r10 plan shuffled the n·d element
+    relation twice to equi-join it with itself on id). n·d(d+1)/2
+    product rows flow scan → explode → map-side combine (≤ d(d+1)/2
+    groups per partition). The per-row product xq·yq stays a BIGINT
+    (exact while |element| < ~3e3, i.e. |xq| < ~3e9 — embeddings are
+    unit-scale); the cross-row SUM widens to decimal(38,0) exactly as
+    before, so the integer moments are unchanged at any n. One d-row
+    marginal agg joins back on i/j. Linear in n; d² is the OUTPUT
+    size, constant per corpus."""
     v = _vectors(df, id_col, vec_col)
     n = v.count()
-    el = (
-        v.select("id", F.posexplode("vec").alias("i", "x"))
-        .select(
-            "id",
-            (F.col("i") + 1).alias("i"),
-            F.floor(F.col("x") * F.lit(1000000.0)).alias("xq"),
+    xq_arr = F.transform(F.col("vec"), lambda x: F.floor(x * F.lit(1000000.0)))
+    d_len = F.size(F.col("vec"))
+    tri = F.flatten(
+        F.transform(
+            xq_arr,
+            lambda x, i: F.transform(
+                F.slice(xq_arr, i + 1, d_len - i),
+                lambda y, jo: F.struct(
+                    (i + 1).alias("i"),
+                    (i + jo + 1).alias("j"),
+                    (x * y).alias("p"),
+                ),
+            ),
         )
-    )
-    b = el.select(
-        F.col("id").alias("id_b"), F.col("i").alias("j"), F.col("xq").alias("yq")
     )
     sxy = (
-        el.join(b, (F.col("id") == F.col("id_b")) & (F.col("i") <= F.col("j")))
-        .groupBy("i", "j")
+        v.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
         .agg(
-            # Cast an OPERAND (not the product) to decimal(38,0): a
-            # BIGINT*BIGINT multiply wraps silently in Spark before a
-            # post-hoc cast can widen it (the r5g overflow rule); the
-            # DuckDB oracle widens the same operand to HUGEINT.
-            F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq")).alias("s_xy")
+            # Cast before the cross-row SUM widens to decimal(38,0):
+            # the per-row BIGINT product cannot wrap for unit-scale
+            # elements (see docstring bound), and the decimal SUM is
+            # exact at any row count — same integers the r10 operand-
+            # widened form produced; the DuckDB oracle widens the same
+            # way to HUGEINT.
+            F.sum(F.col("t.p").cast("decimal(38,0)")).alias("s_xy")
         )
     )
-    marg = el.groupBy("i").agg(F.sum(F.col("xq").cast("decimal(38,0)")).alias("s"))
+    el = v.select(F.posexplode(xq_arr).alias("i0", "xq"))
+    marg = el.groupBy((F.col("i0") + 1).alias("i")).agg(
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("s")
+    )
     nn = float(n)
     return (
         sxy.join(F.broadcast(marg.select(F.col("i"), F.col("s").alias("s_x"))), "i")

@@ -709,23 +709,28 @@ def corpus_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_hits = exact.join(cand, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    # r11: all three counts from ONE full-outer join + one 1-row agg.
+    # The r10 shape evaluated the brute-force `exact` subtree twice
+    # (count + hits join) and the LSH `cand` subtree twice (count +
+    # hits join), then crossJoined three 1-row relations; both pair
+    # relations are key-unique, so a full-outer join preserves every
+    # pair exactly once and COUNT over each side's marker reproduces
+    # the same three integers.
+    j = exact.select("id_a", "id_b", F.lit(1).alias("ex")).join(
+        cand.select("id_a", "id_b", F.lit(1).alias("cd")),
+        ["id_a", "id_b"],
+        "full_outer",
     )
-    return (
-        n_exact.crossJoin(n_cand)
-        .crossJoin(n_hits)
-        .select(
-            F.col("n_exact").cast("bigint").alias("n_exact"),
-            F.col("n_candidates").cast("bigint").alias("n_candidates"),
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
-            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
-                "precision"
-            ),
-        )
+    return j.agg(
+        F.count("ex").alias("ne"),
+        F.count("cd").alias("nc"),
+        F.count(F.when(F.col("ex").isNotNull() & F.col("cd").isNotNull(), 1)).alias("nh"),
+    ).select(
+        F.col("ne").cast("bigint").alias("n_exact"),
+        F.col("nc").cast("bigint").alias("n_candidates"),
+        F.col("nh").cast("bigint").alias("n_hits"),
+        F.round(F.col("nh") / F.col("ne"), 6).alias("recall"),
+        F.round(F.col("nh") / F.col("nc"), 6).alias("precision"),
     )
 
 

@@ -910,27 +910,30 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     den_a = 1000000.0 * math.sqrt(float(na))
     den_b = 1000000.0 * math.sqrt(float(nb))
     v = C._vectors(emb, "vec_id", "embedding")
-    el = v.select("id", F.posexplode("vec").alias("i", "x")).select(
+    # r11: the projection is a PER-ROW integer fold against the basis
+    # as array literals — the r10 plan exploded n·d element rows,
+    # broadcast-joined the basis, and shuffled the corpus through a
+    # groupBy(id) hash agg just to re-assemble per-row sums it could
+    # have computed in place. Same exact integers: Σ floor(x·1e6)·va
+    # per row (products ≤ ~6e11, sums ≤ ~4e13 — far inside BIGINT),
+    # same one division + ROUND per component. Plan: one map-only
+    # scan, zero Exchange.
+    xq_arr = F.transform(F.col("vec"), lambda x: F.floor(x * F.lit(1000000.0)))
+    va_arr = F.array(*[F.lit(int(v1[i])).cast("bigint") for i in range(_PCA_D)])
+    vb_arr = F.array(*[F.lit(int(v2[i])).cast("bigint") for i in range(_PCA_D)])
+    zero = F.lit(0).cast("bigint")
+
+    def dot(basis_arr):
+        return F.aggregate(
+            F.zip_with(xq_arr, basis_arr, lambda x, a: x * a),
+            zero,
+            lambda acc, e: acc + e,
+        )
+
+    return v.select(
         "id",
-        (F.col("i") + 1).alias("i"),
-        F.floor(F.col("x") * F.lit(1000000.0)).alias("xq"),
-    )
-    basis = spark.createDataFrame(
-        [(i + 1, v1[i], v2[i]) for i in range(_PCA_D)],
-        "i int, va bigint, vb bigint",
-    )
-    return (
-        el.join(F.broadcast(basis), "i")
-        .groupBy("id")
-        .agg(
-            F.sum(F.col("xq") * F.col("va")).alias("da"),
-            F.sum(F.col("xq") * F.col("vb")).alias("db"),
-        )
-        .select(
-            "id",
-            F.round(F.col("da").cast("double") / F.lit(den_a), 6).alias("pc1"),
-            F.round(F.col("db").cast("double") / F.lit(den_b), 6).alias("pc2"),
-        )
+        F.round(dot(va_arr).cast("double") / F.lit(den_a), 6).alias("pc1"),
+        F.round(dot(vb_arr).cast("double") / F.lit(den_b), 6).alias("pc2"),
     )
 
 

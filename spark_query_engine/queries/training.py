@@ -7960,8 +7960,13 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # r11: keep the raw count alongside its double cast — n_buyers
+    # below derives from this cached relation instead of re-scanning
+    # the edge relation through a second identical groupBy(p) exchange
     a1 = e.groupBy("p").agg(
-        F.count(F.lit(1)).cast("double").alias("a")
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        "p", "cnt", F.col("cnt").cast("double").alias("a")
     ).persist()
     am1 = a1.agg(F.max("a").alias("m"))
     a1n = a1.crossJoin(F.broadcast(am1)).select(
@@ -7984,7 +7989,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     am2 = a2.agg(F.max("a").alias("m"))
-    nb = e.groupBy("p").agg(F.count(F.lit(1)).alias("n_buyers"))
+    nb = a1.select("p", F.col("cnt").alias("n_buyers"))
     return (
         a2.crossJoin(F.broadcast(am2))
         .join(nb, "p")
