@@ -3925,9 +3925,16 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
     n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
     n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
-    # the 1-row census feeds THREE union branches; persist it or each
-    # branch re-evaluates the whole cascade (incl. the d3 pair join).
-    c = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3).persist()
+    # the 1-row census feeds THREE union branches; without a barrier
+    # each branch re-evaluates the whole cascade (incl. the d3 pair
+    # join). r11: LAZY localCheckpoint instead of persist — same
+    # single evaluation, but the checkpoint also TRUNCATES the plan to
+    # a leaf, so Catalyst analyzes the ~1800-node cascade lineage once
+    # instead of once per union branch (the corpus_domain_mixture
+    # lineage-truncation pattern, d1245f6).
+    c = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3).localCheckpoint(
+        eager=False
+    )
     rows = [
         (1, "exact", "n0", "n1"),
         (2, "minhash_jaccard", "n1", "n2"),
