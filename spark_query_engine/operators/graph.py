@@ -73,14 +73,24 @@ def pagerank(
     from spark_query_engine.operators import release_on_drop
 
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # persist the symmetric edges FIRST: pairs is usually a lazy
+    # barrier the symmetric edges FIRST: pairs is usually a lazy
     # candidate-generation DAG (shingles → signatures → band join), and
-    # without this both deg and ed would re-run that whole pipeline
+    # without this both deg and ed would re-run that whole pipeline.
+    # r11: LAZY localCheckpoint instead of persist — same single
+    # evaluation, but the round chain references ``ed`` once per round
+    # and a persist leaves the full candidate lineage in every
+    # reference's analyzed plan (the r10 plan: 356 Exchange / 177
+    # scans printed for 5 rounds); the checkpoint truncates each
+    # reference to a leaf (the cascade-census pattern, measured there
+    # 15.1 s degrading → 6.9 s stable).
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = sym.join(deg, "u").select("u", "v", "deg").persist()
+    ed = (
+        sym.join(deg, "u").select("u", "v", "deg")
+        .localCheckpoint(eager=False)
+    )
 
     n = deg.count()  # scalar model state, as in any iterative job
     # derive (1-d)/N from the same /1000 rational the SQL oracle
@@ -145,11 +155,17 @@ def personalized_pagerank(
     from spark_query_engine.operators import release_on_drop
 
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # r11: lazy localCheckpoint barriers (see ``pagerank`` above) —
+    # same single evaluation, leaf-truncated lineage per round
+    # reference.
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = sym.join(deg, "u").select("u", "v", "deg").persist()
+    ed = (
+        sym.join(deg, "u").select("u", "v", "deg")
+        .localCheckpoint(eager=False)
+    )
 
     seed = (F.col("u") % seed_mod == 0).cast("int")
     nodes = deg.select("u", seed.alias("is_seed"))

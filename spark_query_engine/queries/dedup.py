@@ -620,9 +620,12 @@ def dedup_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
     ).select("id_a", "id_b")
     # materialize: each recursion round re-reads this relation, and an
-    # unpersisted view would re-run the whole LSH pipeline per round
-    pairs = pairs.persist()
-    pairs.count()
+    # unpersisted view would re-run the whole LSH pipeline per round.
+    # r11: EAGER localCheckpoint replaces persist+count — one job
+    # either way, but the recursion's per-round references now analyze
+    # a leaf instead of the full LSH lineage (the cascade-census
+    # pattern).
+    pairs = pairs.localCheckpoint()
     pairs.createOrReplaceTempView("dedup_chain_pairs")
     out = spark.sql(
         """
@@ -911,10 +914,15 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``corpus_dedup_keep_best`` already runs. The oracle replays the
     pair brute-force and the recursive closure."""
     docs = load(spark, sf_dir, "documents")
+    # r11: lazy localCheckpoint instead of persist — pairs feeds both
+    # the CC operator and the edge rollup join; the checkpoint keeps
+    # the single-evaluation barrier AND truncates the deep MinHash
+    # lineage to a leaf in each reference's analyzed plan (the
+    # cascade-census pattern).
     pairs = D.minhash_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
         threshold=0.6,
-    ).persist()
+    ).localCheckpoint(eager=False)
     comp = D.connected_components(pairs)
     sizes_df = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")
