@@ -561,7 +561,11 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
         .distinct()
-        .persist()
+        # r11: lazy localCheckpoint instead of persist (referenced by
+        # the per-source census, the sketch window and both sides of
+        # the exact-intersection join — leaf-truncated lineage per
+        # reference, the pagerank-batch pattern)
+        .localCheckpoint(eager=False)
     )
     ns = els.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("source").orderBy("h")
@@ -569,7 +573,7 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         els.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _KMV_K)
         .drop("rn")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     skstat = sk.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
