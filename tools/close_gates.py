@@ -164,11 +164,10 @@ MOMENT_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/events.py", 'F.sum(F.col("value") * F.col("dur_us"))'):
         "DOUBLE operand (time-weighted average) — decimal cast would "
         "change the value; float path is deliberate here",
-    ("queries/semantic.py", 'F.sum(F.col("xq") * F.col("va"))'):
-        "PCA projection dot: sum over d=64 dims of 1e12 products "
-        "~ 6e13 — bounded by DIMENSION, not corpus size",
-    ("queries/semantic.py", 'F.sum(F.col("xq") * F.col("vb"))'):
-        "see xq*va row",
+    # (r11: the PCA projection's xq*va / xq*vb F.sum moments were
+    # replaced by per-row zip_with/aggregate folds — same 6e13
+    # dimension-bounded products, now outside this gate's F.sum
+    # pattern; their bound is documented at the fold site.)
     ("queries/training.py", 'F.sum(F.col("w") * F.col("cents"))'):
         "Poisson bootstrap replicate sums: weight <= ~8 (Poisson(1) "
         "tail) x price cents <= 6e7 -> ~5e8/row, x1e9 rows = 5e17 "
