@@ -434,6 +434,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    reruns: dict[str, float] = {}
     for name in HEADLINE:
         # run 1 = warmup (whole-stage-codegen compile + JIT of this
         # query's generated classes — one-time cost, heavily load-
@@ -451,6 +452,17 @@ def main() -> None:
             # isolate queries: drop persisted intermediates (dedup
             # shingle caches etc.) so cache residue can't tax the next
             spark.catalog.clearCache()
+        # r12 (r11 verdict task 1): if the two recorded runs spread
+        # more than 2x, one of them absorbed an ambient stall — take
+        # ONE extra recorded run so the kept min measures the query,
+        # not the box. Bounded (at most one re-run per query), and the
+        # kept statistic is still the min over recorded runs.
+        if max(runs) > 2.0 * min(runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+            reruns[name] = round(runs[-1], 3)
         timings[name] = round(min(runs), 3)
         all_runs[name] = [round(r, 3) for r in runs]
 
@@ -470,6 +482,46 @@ def main() -> None:
     # ×(canary-adjusted) mechanically, without manual ambient prose.
     r1_total = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
     canary_factor = round(r1_total / R1_CANARY_BASE, 4) if r1_total else 1.0
+    # r12 (r11 verdict task 1): the in-loop canary measures the box at
+    # the START of the session (the r1 subset runs first in HEADLINE
+    # order). Re-time the same 27 queries once each at the END so the
+    # record can self-certify that the ambient held for the whole run
+    # — r11's record was taken on a box that degraded 3.3x mid-session
+    # and was only adjudicable by forensics. Single timed run per
+    # query (codegen is warm; the min-of-2 discipline guards the kept
+    # per-query numbers, this leg only needs the ambient sum).
+    end_canary: dict[str, float] = {}
+    for name in R1_SUBSET:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        end_canary[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    r1_end_total = round(sum(end_canary.values()), 3)
+    canary_factor_end = round(r1_end_total / R1_CANARY_BASE, 4)
+    canary_drift = (
+        round(abs(canary_factor_end - canary_factor) / canary_factor, 4)
+        if canary_factor
+        else 0.0
+    )
+    ambient_flags: list[str] = []
+    if canary_factor > 1.35:
+        ambient_flags.append(
+            f"start canary {canary_factor} > 1.35: box degraded at start"
+        )
+    if canary_factor_end > 1.35:
+        ambient_flags.append(
+            f"end canary {canary_factor_end} > 1.35: box degraded at end"
+        )
+    if canary_drift > 0.15:
+        ambient_flags.append(
+            f"canary drifted {canary_drift:.0%} within the run: ambient unstable"
+        )
+    ambient_ok = not ambient_flags
+    if not ambient_ok:
+        print(
+            "bench: AMBIENT-DEGRADED RECORD — " + "; ".join(ambient_flags),
+            file=sys.stderr,
+        )
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -480,6 +532,13 @@ def main() -> None:
         "r1_subset_total": r1_total,
         "canary_base": R1_CANARY_BASE,
         "canary_factor": canary_factor,
+        "r1_subset_end_total": r1_end_total,
+        "canary_factor_end": canary_factor_end,
+        "canary_drift": canary_drift,
+        "ambient_ok": ambient_ok,
+        "ambient_flags": ambient_flags,
+        "end_canary_runs": end_canary,
+        "reruns": reruns,
         "adjusted": {
             n: round(t / canary_factor, 3) for n, t in timings.items()
         },
@@ -523,6 +582,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "r1_subset_total": record["r1_subset_total"],
                 "canary_factor": canary_factor,
+                "canary_factor_end": canary_factor_end,
+                "canary_drift": canary_drift,
+                "ambient_ok": ambient_ok,
                 "adjusted_total": record["adjusted_total"],
                 "run_spread_total": spread,
                 "queries": top10,

@@ -92,6 +92,44 @@ def nested_lit(nested):
     return F.expr(nested_sql(nested))
 
 
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate a DataFrame's lineage with a checkpoint barrier,
+    routed by deployment mode (r11 verdict task 2).
+
+    Local / single-JVM (the default): ``localCheckpoint`` — blocks
+    live on the executors at MEMORY_AND_DISK with no replication and
+    the lineage is DISCARDED, so it is the cheapest barrier but an
+    executor loss makes the data unrecoverable (guide §5). That trade
+    is free on ``local[N]`` where executor == driver == one process.
+
+    Cluster: when a reliable checkpoint directory is configured —
+    ``$SPARK_QE_CHECKPOINT_DIR`` or the Spark conf
+    ``spark.spark_query_engine.checkpoint.dir`` (set either to an
+    HDFS/object-store path at submit time) — route through reliable
+    ``DataFrame.checkpoint()`` against ``sc.setCheckpointDir`` so the
+    barrier state survives executor loss. Default off locally so the
+    bench measures the same code path the driver harness times.
+
+    ``eager=False`` keeps the lazy-barrier semantics several operators
+    rely on (the cut must not force a job of its own; materialization
+    happens on the consumer's first action).
+    """
+    import os
+
+    spark = df.sparkSession
+    ckpt_dir = os.environ.get("SPARK_QE_CHECKPOINT_DIR") or spark.conf.get(
+        "spark.spark_query_engine.checkpoint.dir", None
+    )
+    if ckpt_dir:
+        sc = spark.sparkContext
+        # set once per context; setCheckpointDir is idempotent but
+        # creates a fresh UUID subdir on every call
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def release_on_drop(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie operator-internal ``persist()`` lifetimes to the RESULT.
 
@@ -117,6 +155,22 @@ def release_on_drop(result: DataFrame, *cached: DataFrame) -> DataFrame:
     When the persisted relation IS the result, wrap it first —
     ``DataFrame(result._jdf, result.sparkSession)`` — and register
     the wrapper.
+
+    CHECKPOINTED handles (r12, advisor row 1): ``DataFrame.unpersist``
+    is a deliberate no-op on a ``cut_lineage``/``localCheckpoint``
+    barrier — its blocks belong to the checkpointed RDD, not the cache
+    manager. That is by DESIGN here, not an oversight: unpersisting a
+    locally-checkpointed RDD destroys data that has NO lineage to
+    recompute from, so any still-live derived DataFrame would fail its
+    next action, whereas an unpersisted cache merely recomputes. A
+    finalizer cannot know whether derived frames outlive the result
+    (``carry_caches`` compositions do exactly that), so checkpoint
+    blocks are left to Spark's ContextCleaner, which unpersists them
+    once the JVM-side Dataset is garbage-collected (driven by py4j
+    handle release + periodic GC, ``spark.cleaner.periodicGC.interval``
+    default 30 min). ``tools/ckpt_leak_probe.py`` measures the
+    steady-state block residue across repeated checkpoint-heavy query
+    runs so the accumulation stays a bounded, observed number.
     """
     import weakref
 
@@ -188,6 +242,7 @@ __all__ = [
     "textanalysis",
     "timeseries",
     "widen",
+    "cut_lineage",
     "release_on_drop",
     "carry_caches",
 ]

@@ -309,7 +309,10 @@ def covariance_matrix(
     product rows flow scan → explode → map-side combine (≤ d(d+1)/2
     groups per partition). The per-row product xq·yq stays a BIGINT
     (exact while |element| < ~3e3, i.e. |xq| < ~3e9 — embeddings are
-    unit-scale); the cross-row SUM widens to decimal(38,0) exactly as
+    unit-scale); r12: that bound is now ENFORCED — the marginal agg
+    carries max|xq| per dimension and the output projection raises
+    beyond it, so out-of-domain inputs fail loudly instead of wrapping
+    silently. The cross-row SUM widens to decimal(38,0) exactly as
     before, so the integer moments are unchanged at any n. One d-row
     marginal agg joins back on i/j. Linear in n; d² is the OUTPUT
     size, constant per corpus."""
@@ -345,13 +348,48 @@ def covariance_matrix(
     )
     el = v.select(F.posexplode(xq_arr).alias("i0", "xq"))
     marg = el.groupBy((F.col("i0") + 1).alias("i")).agg(
-        F.sum(F.col("xq").cast("decimal(38,0)")).alias("s")
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("s"),
+        # r12 (r11 verdict task 4): enforce the docstring's BIGINT
+        # product bound at runtime. Piggybacks on the marginal agg
+        # (already scans every element — no extra pass); the final
+        # projection raises if ANY dimension's max |xq| reaches the
+        # exact-product domain edge, so out-of-domain vectors fail
+        # loudly instead of wrapping silently.
+        F.max(F.abs(F.col("xq"))).alias("mx"),
     )
     nn = float(n)
+    # |xq·yq| stays below 2^63 (~9.22e18) while both operands stay
+    # below 3.0e9 (elements < ~3e3 after the 1e6 quantization); every
+    # index appears as i in its own (i, i) output row, so checking the
+    # joined i- and j-side maxes covers every element of every vector.
+    _lim = 3_000_000_000
+    _guard = (F.col("mx_x") < _lim) & (F.col("mx_y") < _lim)
+    _err = F.raise_error(
+        F.lit(
+            "covariance_matrix: element magnitude exceeds the exact "
+            "BIGINT product domain (|element| must be < ~3.0e3 after "
+            "1e-6 quantization); widen the per-row product to decimal"
+        )
+    ).cast("double")
     return (
-        sxy.join(F.broadcast(marg.select(F.col("i"), F.col("s").alias("s_x"))), "i")
+        sxy.join(
+            F.broadcast(
+                marg.select(
+                    F.col("i"),
+                    F.col("s").alias("s_x"),
+                    F.col("mx").alias("mx_x"),
+                )
+            ),
+            "i",
+        )
         .join(
-            F.broadcast(marg.select(F.col("i").alias("j"), F.col("s").alias("s_y"))),
+            F.broadcast(
+                marg.select(
+                    F.col("i").alias("j"),
+                    F.col("s").alias("s_y"),
+                    F.col("mx").alias("mx_y"),
+                )
+            ),
             "j",
         )
         .select(
@@ -362,7 +400,8 @@ def covariance_matrix(
             # BigDecimal round emits +0.0; values compare equal but a
             # bit-pattern hash distinguishes them. -0.0 + 0.0 = +0.0
             # on both engines, so the two sides now agree bitwise.
-            (
+            F.when(~_guard, _err)
+            .otherwise(
                 F.round(
                     (
                         F.col("s_xy").cast("double")
@@ -374,7 +413,8 @@ def covariance_matrix(
                     6,
                 )
                 + F.lit(0.0)
-            ).alias("cov"),
+            )
+            .alias("cov"),
         )
     )
 

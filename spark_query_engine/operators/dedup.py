@@ -25,7 +25,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import release_on_drop, widen
+from spark_query_engine.operators import cut_lineage, release_on_drop, widen
 
 
 # --- shingling -------------------------------------------------------------
@@ -110,10 +110,18 @@ def _minhash_params(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
 
     rng = np.random.RandomState(seed)
     bound = 1 << 30
-    return [
+    params = [
         (int(rng.randint(1, bound)), int(rng.randint(0, bound)))
         for _ in range(num_hashes)
     ]
+    # r12 (advisor row 4): the F.expr SQL strings interpolate these as
+    # bare `L`-suffixed BIGINT literals — a_j·h + b_j must stay exact
+    # signed-64-bit (h < 2^32, so a_j < 2^30 caps the product at 2^62).
+    # Lock the contract the string interpolation depends on.
+    assert all(
+        1 <= a < bound and 0 <= b < bound for a, b in params
+    ), "_minhash_params: coefficient out of the exact-64-bit domain"
+    return params
 
 
 def minhash_signatures(
@@ -706,16 +714,15 @@ def connected_components_star(
     # 2.71 -> 2.37. `nodes` stays lazy: it is consumed exactly once
     # (the final left join), so it rides the result's action and
     # reads the checkpointed leaf.
-    e0 = (
+    e0 = cut_lineage(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .localCheckpoint()
     )
     nodes = (
         e0.select(F.col("u").alias("n"))
         .union(e0.select(F.col("v").alias("n")))
         .distinct()
     )
-    edges = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    edges = cut_lineage(e0.where(F.col("u") != F.col("v")).distinct())
     prev_sig = None
     for _i in range(max_iter):
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -752,7 +759,7 @@ def connected_components_star(
         # the plan to a leaf each round (a real cluster job uses
         # reliable checkpointing); the materialization it forces is
         # work the convergence probe needs anyway.
-        small = small.localCheckpoint()
+        small = cut_lineage(small)
         row = small.agg(
             F.count(F.lit(1)).alias("cnt"),
             F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
@@ -836,7 +843,7 @@ def connected_components_label(
             # eager localCheckpoint materializes first, then the
             # pre-checkpoint persist handle can drop — reassigning
             # without unpersisting would strand those cached blocks
-            cp = new.localCheckpoint()
+            cp = cut_lineage(new)
             new.unpersist()
             new = cp
         changed = new.where(F.col("label") < F.col("old_label")).count()

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_query_engine.operators import cut_lineage
+
 
 def _truncate_deep_lineage(
     df: DataFrame, i: int, iterations: int, every: int = 8
@@ -30,7 +32,7 @@ def _truncate_deep_lineage(
     unchanged either way (checkpointing replays the same 9dp-rounded
     state)."""
     if iterations > 15 and (i + 1) % every == 0 and (i + 1) < iterations:
-        return df.localCheckpoint(eager=False)
+        return cut_lineage(df, eager=False)
     return df
 
 
@@ -83,13 +85,13 @@ def pagerank(
     # scans printed for 5 rounds); the checkpoint truncates each
     # reference to a leaf (the cascade-census pattern, measured there
     # 15.1 s degrading → 6.9 s stable).
-    sym = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    sym = cut_lineage(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        eager=False,
+    )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = (
-        sym.join(deg, "u").select("u", "v", "deg")
-        .localCheckpoint(eager=False)
+    ed = cut_lineage(
+        sym.join(deg, "u").select("u", "v", "deg"), eager=False
     )
 
     n = deg.count()  # scalar model state, as in any iterative job
@@ -158,13 +160,13 @@ def personalized_pagerank(
     # r11: lazy localCheckpoint barriers (see ``pagerank`` above) —
     # same single evaluation, leaf-truncated lineage per round
     # reference.
-    sym = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    sym = cut_lineage(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        eager=False,
+    )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = (
-        sym.join(deg, "u").select("u", "v", "deg")
-        .localCheckpoint(eager=False)
+    ed = cut_lineage(
+        sym.join(deg, "u").select("u", "v", "deg"), eager=False
     )
 
     seed = (F.col("u") % seed_mod == 0).cast("int")

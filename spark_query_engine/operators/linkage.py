@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from spark_query_engine.operators import cut_lineage
 from pyspark.sql.window import Window
 
 
@@ -103,10 +105,9 @@ def global_rank(
         n = min(max(1, -(-rows_hint // RANK_ROWS_PER_PARTITION)), 4 * par)
     else:
         n = par
-    ranged = (
+    ranged = cut_lineage(
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     run = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

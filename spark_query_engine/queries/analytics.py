@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from spark_query_engine.operators import cut_lineage
+
 from spark_query_engine.queries import load, query
 
 
@@ -561,20 +563,20 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
         .distinct()
-        # r11: lazy localCheckpoint instead of persist (referenced by
-        # the per-source census, the sketch window and both sides of
-        # the exact-intersection join — leaf-truncated lineage per
-        # reference, the pagerank-batch pattern)
-        .localCheckpoint(eager=False)
     )
+    # r11: lazy lineage cut instead of persist (referenced by the
+    # per-source census, the sketch window and both sides of the
+    # exact-intersection join — leaf-truncated lineage per reference,
+    # the pagerank-batch pattern)
+    els = cut_lineage(els, eager=False)
     ns = els.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("source").orderBy("h")
     sk = (
         els.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _KMV_K)
         .drop("rn")
-        .localCheckpoint(eager=False)
     )
+    sk = cut_lineage(sk, eager=False)
     skstat = sk.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
     )

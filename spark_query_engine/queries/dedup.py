@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_query_engine.operators import carry_caches, release_on_drop, widen
+from spark_query_engine.operators import carry_caches, cut_lineage, release_on_drop, widen
 from spark_query_engine.operators import dedup as D
 from spark_query_engine.queries import footer_rows, load, query
 
@@ -625,7 +625,7 @@ def dedup_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # either way, but the recursion's per-round references now analyze
     # a leaf instead of the full LSH lineage (the cascade-census
     # pattern).
-    pairs = pairs.localCheckpoint()
+    pairs = cut_lineage(pairs)
     pairs.createOrReplaceTempView("dedup_chain_pairs")
     out = spark.sql(
         """
@@ -922,7 +922,8 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
         threshold=0.6,
-    ).localCheckpoint(eager=False)
+    )
+    pairs = cut_lineage(pairs, eager=False)
     comp = D.connected_components(pairs)
     sizes_df = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")

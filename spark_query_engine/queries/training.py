@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_query_engine.operators import carry_caches, release_on_drop, widen
+from spark_query_engine.operators import carry_caches, cut_lineage, release_on_drop, widen
 from spark_query_engine.operators import clustering as C
 from spark_query_engine.operators import similarity as S
 from spark_query_engine.operators import dedup as D
@@ -3932,8 +3932,8 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a leaf, so Catalyst analyzes the ~1800-node cascade lineage once
     # instead of once per union branch (the corpus_domain_mixture
     # lineage-truncation pattern, d1245f6).
-    c = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3).localCheckpoint(
-        eager=False
+    c = cut_lineage(
+        n0.crossJoin(n1).crossJoin(n2).crossJoin(n3), eager=False
     )
     rows = [
         (1, "exact", "n0", "n1"),
@@ -4227,9 +4227,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, "u")
         .persist()
     )
-    deg = sym.groupBy("u").agg(
+    deg = cut_lineage(sym.groupBy("u").agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
-    ).localCheckpoint()
+    ))
     front = deg.where(F.col("degree") < _KCORE_K).select("u")
     front_cnt = front.count()
     # r10: rounds actually peeled (scaling evidence for SCALING.md's
@@ -4256,8 +4256,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.coalesce(F.col("removed_deg"), F.lit(0))
                 ).alias("degree"),
             )
-            .localCheckpoint()
         )
+        deg = cut_lineage(deg)
         front = deg.where(F.col("degree") < _KCORE_K).select("u")
         front_cnt = front.count()
         graph_kcore_peel.last_rounds = _r + 1
@@ -5108,7 +5108,7 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RDD scan: measured alternating A/B at sf0.1, min-of-4
     # 3.84 s -> 2.07 s (-46%). State checkpointed is model-sized
     # (one row per source), never data-scale.
-    kl = kl.localCheckpoint()
+    kl = cut_lineage(kl)
     w = kl.withColumn("w", F.lit(1000000).cast("bigint"))
     for _t in range(_MW_ROUNDS):
         u = w.select(
@@ -6791,8 +6791,9 @@ def graph_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consistently ~1 s slower at sf0.1 (5.27-5.29 vs 6.13-6.31,
         # alternating same-box runs) — the 4-way train reuse reads the
         # RDD scan cheaper than the columnar cache decode
-        .localCheckpoint()  # split reused by train graph, test probe, counts
     )
+    # split reused by train graph, test probe, counts
+    ed = cut_lineage(ed)
     train = ed.where(~F.col("is_test")).select("u", "v")
     test = ed.where(F.col("is_test")).select("u", "v")
     # r11 OPT: one-pass degree/adjacency (see graph_link_prediction);

@@ -1216,3 +1216,87 @@ def test_hot_shingle_guard_batch_paths(spark):
         ).collect()
     }
     assert got_ngram == want
+
+
+def test_cut_lineage_reliable_path(spark, tmp_path, monkeypatch):
+    """r11 verdict task 2: with a checkpoint dir configured the
+    barrier routes through reliable ``DataFrame.checkpoint`` (files on
+    shared storage, survives executor loss) instead of
+    ``localCheckpoint``; without it, the local path is used and no
+    checkpoint dir is required. Values identical on both paths."""
+    from spark_query_engine.operators import cut_lineage
+
+    df = spark.range(100).selectExpr("id", "id * 3 as v")
+    want = sorted((r["id"], r["v"]) for r in df.collect())
+
+    # local path (default): no checkpoint dir involved
+    monkeypatch.delenv("SPARK_QE_CHECKPOINT_DIR", raising=False)
+    local = cut_lineage(df)
+    assert sorted((r["id"], r["v"]) for r in local.collect()) == want
+
+    # reliable path: env var routes through sc.setCheckpointDir +
+    # DataFrame.checkpoint — checkpoint files land under the dir
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_QE_CHECKPOINT_DIR", str(ckpt))
+    reliable = cut_lineage(df)
+    assert sorted((r["id"], r["v"]) for r in reliable.collect()) == want
+    files = list(ckpt.rglob("*"))
+    assert files, "reliable checkpoint wrote nothing under the dir"
+
+    # lazy form works on the reliable path too (materializes on the
+    # consumer's first action, not at the cut)
+    lazy = cut_lineage(df.where("id < 10"), eager=False)
+    assert lazy.count() == 10
+
+
+def test_covariance_matrix_bigint_bound_guard(spark):
+    """r11 verdict task 4: the per-row BIGINT product bound
+    (|element| < ~3e3 after 1e-6 quantization) is enforced at runtime
+    — near-bound values stay exact, out-of-domain values raise instead
+    of silently wrapping."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    from spark_query_engine.operators import clustering as C
+
+    # near the bound but inside it: |element| = 2999 -> xq = 2.999e9;
+    # products ~8.99e18 < 2^63 — still exact
+    rows = [
+        (1, [2999.0, -2999.0]),
+        (2, [-2999.0, 2999.0]),
+        (3, [1.5, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in C.covariance_matrix(df, "id", "vec").collect()
+    }
+    # exact replay with python ints (the engine's quantized moments)
+    import math
+
+    q = [[math.floor(x * 1e6) for x in vec] for _, vec in rows]
+    n = float(len(rows))
+    want = {}
+    for i in range(2):
+        for j in range(i, 2):
+            sxy = sum(v[i] * v[j] for v in q)
+            sx = sum(v[i] for v in q)
+            sy = sum(v[j] for v in q)
+            want[(i + 1, j + 1)] = round(
+                (sxy - sx * sy / n) / (n * 1e12), 6
+            ) + 0.0
+    assert got == pytest.approx(want)
+
+    # out of domain: |element| = 4000 -> xq = 4e9; 4e9*4e9 = 1.6e19
+    # exceeds BIGINT — the job must fail loudly, never return garbage.
+    # Under ANSI (Spark 4 default) the multiply itself raises
+    # ARITHMETIC_OVERFLOW in the explode stage; with ANSI off the
+    # product wraps silently and the operator's own max|xq| guard
+    # raises at the output projection instead. Either way: loud.
+    bad = spark.createDataFrame(
+        [(1, [4000.0, 4000.0]), (2, [1.0, 2.0])],
+        "id int, vec array<double>",
+    )
+    with pytest.raises(
+        Exception,
+        match="exact BIGINT product domain|ARITHMETIC_OVERFLOW",
+    ):
+        C.covariance_matrix(bad, "id", "vec").collect()

@@ -7,7 +7,8 @@ the fix: run it after the LAST registry/HEADLINE/test edit of the
 round, and only commit the close when it prints ALL GATES GREEN.
 
 Gates, in order (fail-fast):
-  0. DECIMAL(38,0) moment-widening static check (MOMENT_ALLOWLIST)
+  0. DECIMAL(38,0) moment-widening static check (MOMENT_ALLOWLIST
+     + the r12 HOF-lambda twin, HOF_MOMENT_ALLOWLIST)
   1. full pytest suite (``python -m pytest tests/ -q``)
   2. the sf0.01 oracle sweep over EVERY registered query
      (``tools/check_correctness.py`` — the driver's local mirror)
@@ -291,6 +292,84 @@ SCAN_FANOUT_ALLOWLIST = {
 }
 
 
+#: r12 (advisor row 3): products inside higher-order-function lambdas
+#: (transform/zip_with/aggregate bodies) are structurally invisible to
+#: gate_moment_widening's F.sum pattern — this is their allowlist.
+#: Key: (file, "line-text product snippet"); value: why the product
+#: cannot overflow (double arithmetic, or a documented integer bound).
+HOF_MOMENT_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("operators/dedup.py", "x * y"):
+        "cosine dot fold — DOUBLE arithmetic (0.0 accumulator)",
+    ("operators/dedup.py", "v * v"):
+        "cosine norm folds — DOUBLE arithmetic",
+    ("operators/dedup.py", "na * nb"):
+        "product of two DOUBLE norms",
+    ("operators/similarity.py", "x * y"):
+        "LSH plane dot folds — DOUBLE arithmetic (0.0 accumulator)",
+    ("operators/similarity.py", "s * w"):
+        "CP band bucket key: ±1 sign x 2^i weight, |sum| < 2^per "
+        "with per <= 32 planes/band — far below 2^63",
+    ("operators/similarity.py", "x * w"):
+        "CP rotation-projection dots — DOUBLE arithmetic",
+    ("operators/clustering.py", "x * y"):
+        "covariance tri product — BIGINT by design; bound |xq| < 3e9 "
+        "ENFORCED at runtime (r12 max|xq| guard in the output "
+        "projection; ANSI additionally aborts the multiply itself)",
+    ("queries/extended.py", "x * x"):
+        "l2 norm fold — DOUBLE arithmetic",
+    ("queries/semantic.py", "x * a"):
+        "PCA projection moment: xq = floor(x*1e6) <= ~3e7 x int basis "
+        "<= 1e6 -> per-term <= 3e13, x 64 dims < 2.5e15 < 2^63 "
+        "(bound documented at the fold site)",
+    ("queries/similarity.py", "x * x"):
+        "norm fold over explicitly double-cast elements",
+}
+
+
+def gate_hof_moment_widening() -> list[str]:
+    """The r5g rule extended to higher-order-function lambda bodies
+    (advisor r11 row 3): a product of two bare names inside (or just
+    below) a ``lambda`` — the shape of the covariance tri product and
+    the PCA projection folds — must either be double arithmetic or
+    carry a range-bound HOF_MOMENT_ALLOWLIST entry. Heuristic scope:
+    a line matching ``name * name`` (neither operand a call or an
+    ``F.``-built Column) counts when ``lambda`` appears on that line
+    or within the four lines above it — the multi-line HOF bodies
+    this codebase writes."""
+    pat = re.compile(r"\b([a-z]\w*)\s*\*\s*([a-z]\w*)\b(?!\s*\()")
+    errs: list[str] = []
+    pkg = ROOT / "spark_query_engine"
+    seen: set[tuple[str, str]] = set()
+    for p in sorted(pkg.rglob("*.py")):
+        rel = str(p.relative_to(pkg))
+        lines = p.read_text().splitlines()
+        for idx, line in enumerate(lines):
+            if line.lstrip().startswith("#"):
+                continue
+            ctx = " ".join(
+                ln.split("#")[0] for ln in lines[max(0, idx - 4): idx + 1]
+            )
+            if "lambda" not in ctx:
+                continue
+            for m in pat.finditer(line.split("#")[0]):
+                snippet = re.sub(r"\s+", " ", m.group(0))
+                key = (rel, snippet)
+                seen.add(key)
+                if key not in HOF_MOMENT_ALLOWLIST:
+                    errs.append(
+                        f"{rel}:{idx + 1}: HOF-lambda product "
+                        f"`{snippet}` — prove the range (double math "
+                        "or documented integer bound) and add a "
+                        "HOF_MOMENT_ALLOWLIST entry"
+                    )
+    for key, _why in HOF_MOMENT_ALLOWLIST.items():
+        if key not in seen:
+            errs.append(
+                f"stale HOF_MOMENT_ALLOWLIST entry: {key[0]} `{key[1]}`"
+            )
+    return errs
+
+
 def gate_global_windows(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
     """Walk every registered query's OPTIMIZED logical plan (toJSON —
     no execution beyond the model-state fits query construction
@@ -372,7 +451,7 @@ def main() -> int:
 
     print("== gate 0/5: DECIMAL(38,0) moment-widening static check ==",
           flush=True)
-    errs = gate_moment_widening()
+    errs = gate_moment_widening() + gate_hof_moment_widening()
     if errs:
         for e in errs:
             print(" -", e)
