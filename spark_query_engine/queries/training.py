@@ -1552,7 +1552,34 @@ def _session_shuffle_parts(spark: SparkSession) -> int:
         return 200
 
 
-def _oriented_triangles(ed, deg, wp: int, session_parts: int):
+#: Broadcast gate for the triangle closing join, in ESTIMATED edges.
+#: The closing relation is two longs per edge; 4M edges is ~64 MB raw
+#: (~a few hundred MB as a built broadcast hash relation) — safely
+#: inside driver/executor memory here while staying far from the 8 GB
+#: / 512M-row broadcast cap. Conf-overridable for cluster deployments
+#: (`spark.spark_query_engine.triangle.broadcast_max_edges`); past the
+#: gate the shuffled closing join with `wp` widening is used — the
+#: measured-at-sf1 scale path (SCALING.md r5).
+_TRI_BROADCAST_MAX_EDGES = 4_000_000
+
+
+def _tri_close_strategy(spark: SparkSession, est_edges: int) -> bool:
+    """True when the estimated edge count fits the broadcast gate."""
+    try:
+        cap = int(
+            spark.conf.get(
+                "spark.spark_query_engine.triangle.broadcast_max_edges",
+                str(_TRI_BROADCAST_MAX_EDGES),
+            )
+        )
+    except (TypeError, ValueError):
+        cap = _TRI_BROADCAST_MAX_EDGES
+    return est_edges <= cap
+
+
+def _oriented_triangles(
+    ed, deg, wp: int, session_parts: int, broadcast_close: bool = False
+):
     """Degree-oriented wedge-join triangle count (Cohen 2009 /
     Suri-Vassilvitskii WWW'11) over an undirected edge set ``ed``
     (columns u < v) with degree table ``deg`` (n, d): orient every
@@ -1563,6 +1590,18 @@ def _oriented_triangles(ed, deg, wp: int, session_parts: int):
     triangle is generated exactly once. Returns a 1-row DataFrame
     ``n_triangles``. ``wp`` widens the wedge-scale shuffles past the
     session default when the caller's footer sizing asks for it.
+
+    ``broadcast_close`` (r12, guide §3.1/§3.2): the closing join's
+    big side is the O(m^1.5) WEDGE relation and its small side the
+    O(m) edge set — broadcasting the edge set removes the wedge-scale
+    Exchange entirely (the wedges are hash-probed map-side where they
+    are produced). Callers gate this on an edge-count estimate
+    (``_tri_close_strategy``): the broadcast build holds the whole
+    edge relation on the driver and every executor, so past the gate
+    the shuffled closing join (with ``wp`` widening) remains the
+    scale-safe path. Only effective combined with a lineage cut on
+    ``ed`` — without the cut, building the broadcast re-runs the edge
+    subtree (measured SLOWER than the shuffle at sf0.1, r12 A/B).
 
     Shared by the exact ``graph_triangle_count`` and the DOULION-
     sampled ``graph_triangle_sampled`` (which passes the sampled edge
@@ -1590,15 +1629,18 @@ def _oriented_triangles(ed, deg, wp: int, session_parts: int):
         e2,
         (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
     ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
-    if wp > session_parts:
+    if wp > session_parts and not broadcast_close:
         # e1.t < e2.t makes x < y by construction, so (x, y) is the
         # canonical undirected key the closing join shuffles on —
-        # widen that exchange explicitly.
+        # widen that exchange explicitly. (With a broadcast closing
+        # side there is no wedge exchange to widen.)
         wedges = wedges.repartition(wp, "x", "y")
     # close the wedge: the third edge may be oriented either way
     closing = ed.select(
         F.least("u", "v").alias("cx"), F.greatest("u", "v").alias("cy")
     )
+    if broadcast_close:
+        closing = F.broadcast(closing)
     return wedges.join(
         closing,
         (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")),
@@ -1672,6 +1714,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # r12 OPT (guide §3.3/§5): LAZY lineage cut on the edge relation —
+    # `ed` feeds deg, both orientation sides, AND the closing join;
+    # the cut materializes it once on the first action and every
+    # consumer (including the broadcast build below) reads the leaf
+    # instead of re-planning the lineitem self-join + distinct.
+    # Alternating A/B at sf0.1 (min-of-4): 11.35 s -> 7.07 s together
+    # with the broadcast closing join; broadcast WITHOUT the cut
+    # measured 18.5 s (the broadcast build re-ran the edge subtree).
+    ed = cut_lineage(ed, eager=False)
     # r11 OPT: degree via ONE explode pass instead of a two-branch
     # union — each union branch re-ran the post-shuffle distinct
     # aggregate over the (AQE-reused) edge exchange, so the explode
@@ -1699,7 +1750,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_rows = footer_rows(spark, sf_dir, "lineitem")
     session_parts = _session_shuffle_parts(spark)
     wp = max(session_parts, min(4096, (li_rows * 128) // 6_000_000))
-    tri = _oriented_triangles(ed, deg, wp, session_parts)
+    # r12 OPT (guide §3.1/§3.2): the closing join's big side is the
+    # O(m^1.5) wedge relation, its small side the O(m) edge set —
+    # broadcast the edge set when it fits (est. edges ≈ 2×lineitem
+    # rows on this co-purchase graph, measured 1.196M / 600k at
+    # sf0.1) so the wedges are closed map-side with NO wedge-scale
+    # Exchange. Past the conf-gated estimate the shuffled path with
+    # `wp` widening remains (the 100 TB-safe shape).
+    tri = _oriented_triangles(
+        ed,
+        deg,
+        wp,
+        session_parts,
+        broadcast_close=_tri_close_strategy(spark, 2 * li_rows),
+    )
     # n_edges = sum(d)/2 exactly (every edge contributes two degree
     # ends); reading it off the node-scale deg relation removes the
     # last full-pass consumer of `ed` outside the wedge machinery.
@@ -1841,6 +1905,10 @@ def graph_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         < thr
     )
     sed = pairs.where(gate).distinct()
+    # r12 OPT: same lazy lineage cut as the exact query — `sed` feeds
+    # deg, both orientation sides, and the closing join; materialize
+    # once, consumers read the leaf (see graph_triangle_count).
+    sed = cut_lineage(sed, eager=False)
     # r11 OPT: same explode-degree / n_edges-from-deg restructure as
     # the exact query (see graph_triangle_count): min-of-6 alternating
     # A/B at sf0.1 5.27 s -> 4.50 s (-15%).
@@ -1858,9 +1926,18 @@ def graph_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         256 * 256
     )
     wp = max(session_parts, min(4096, (li_rows_eff * 128) // 6_000_000))
-    tri = _oriented_triangles(sed, deg, wp, session_parts).withColumnRenamed(
-        "n_triangles", "n_tri_sampled"
-    )
+    # r12 OPT: broadcast the (p-thinned) closing edge set under the
+    # same conf-gated estimate as the exact query — sampled edges ≈
+    # 2×lineitem rows × p (see graph_triangle_count).
+    tri = _oriented_triangles(
+        sed,
+        deg,
+        wp,
+        session_parts,
+        broadcast_close=_tri_close_strategy(
+            spark, (2 * footer_rows(spark, sf_dir, "lineitem") * thr) // 256
+        ),
+    ).withColumnRenamed("n_triangles", "n_tri_sampled")
     stats = deg.agg(
         (F.coalesce(F.sum("d"), F.lit(0)) / 2)
         .cast("bigint")
