@@ -10049,8 +10049,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the edge build is the triangle count's equi-join (bounded
     by per-order basket sizes, never all-parts); degrees are one hash
-    agg; attaching both endpoint degrees is two equi-joins on the
-    edge relation; the moment fold is one map-side-combinable agg."""
+    agg; sxy attaches ONE endpoint degree on the edge relation and
+    folds the other node-side (r12 — see inline comment); every
+    other moment is a node-scale agg over the degree table."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
@@ -10073,25 +10074,47 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
+    ).persist()
+    # r12 OPT (guide §2.3/§2.4): the only moment that needs edge-level
+    # degree PAIRS is sxy, and it factors by distributivity —
+    # Σ_sym dx·dy = Σ_u d(u)·(Σ_{v∈N(u)} d(v)) — so ONE edge-scale
+    # join (attach the neighbor degree, agg per node) replaces the
+    # former two, and the remaining moments are pure functions of the
+    # node-scale degree table: mm = Σd (each node appears d times as a
+    # sym source), sx = Σ_sym dx = Σd², sxx = Σd³, n_edges = Σd/2 —
+    # which also drops the dd count pass and the separate n_edges
+    # pass over `ed`. Integer addition is associative, so every
+    # moment is the SAME exact integer as before (oracle-verified).
+    # Alternating A/B min-of-5 at sf0.1: 4.04 → 3.55 s, every B leg
+    # under every A leg but one.
+    s = (
+        sym.join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dy")),
+            "v",
+        )
+        .groupBy("u")
+        .agg(F.sum("dy").cast("bigint").alias("sdy"))
     )
-    dd = (
-        sym.join(deg.select(F.col("node").alias("u"),
-                            F.col("d").alias("dx")), "u")
-        .join(deg.select(F.col("node").alias("v"),
-                         F.col("d").alias("dy")), "v")
-        .select("dx", "dy")
+    sxy = s.join(deg.select(F.col("node").alias("u"), "d"), "u").agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("sdy"))
+        .cast("bigint")
+        .alias("sxy")
     )
-    m = dd.agg(
-        F.count(F.lit(1)).cast("bigint").alias("mm"),
-        F.sum("dx").cast("bigint").alias("sx"),
-        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("bigint").alias("sxy"),
+    m = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("mm"),
+        (F.coalesce(F.sum("d"), F.lit(0)) / 2)
+        .cast("bigint")
+        .alias("n_edges"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .cast("bigint")
+        .alias("sx"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d") * F.col("d"))
+        .cast("bigint")
+        .alias("sxx"),
     )
-    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    ne = ed.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return (
-        nn.crossJoin(ne)
-        .crossJoin(F.broadcast(m))
+        m.crossJoin(F.broadcast(sxy))
         .select(
             "n_nodes",
             "n_edges",
